@@ -1,0 +1,87 @@
+"""Benchmark: SLAM annotation throughput on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the end-to-end SLAM hot path (per-frame feature encoding + motion
+filter + frontend GRU/BA tracking at the production ~512×384 operating
+resolution) on a synthetic 720p video, in frames/second.  vs_baseline is
+against the BASELINE.json north-star of 150 fps/chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+import numpy as np
+
+
+def synth_stream(n_frames: int, h: int = 720, w: int = 1280, seed: int = 0):
+    from vipe_tpu.streams.base import FrameAttribute, VideoFrame, VideoStream
+
+    rng = np.random.default_rng(seed)
+    base = rng.random((h + 64, w + 64, 3)).astype(np.float32)
+
+    class _S(VideoStream):
+        def __len__(self):
+            return n_frames
+
+        def frame_size(self):
+            return (h, w)
+
+        def attributes(self):
+            return {FrameAttribute.RGB, FrameAttribute.INTRINSICS}
+
+        def __iter__(self):
+            for k in range(n_frames):
+                # translate a textured canvas → real parallax-free flow, which
+                # keeps the motion filter + frontend busy like real footage
+                ox, oy = (k * 5) % 64, (k * 3) % 64
+                yield VideoFrame(
+                    raw_frame_idx=k,
+                    rgb=base[oy: oy + h, ox: ox + w],
+                    intrinsics=np.asarray(
+                        [w * 0.9, w * 0.9, w / 2, h / 2], np.float32
+                    ),
+                )
+
+    return _S()
+
+
+def main():
+    import jax
+
+    from vipe_tpu.slam.system import SLAMSystem
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "48"))
+    warm_frames = 12
+
+    def run(n):
+        sys_ = SLAMSystem(config=dict(
+            warmup=8, buffer=256, infill_chunk_size=16, backend_iters=4,
+        ))
+        stream = synth_stream(n)
+        return sys_.run(stream)
+
+    # warmup: populates jit caches (persistent across runs too)
+    run(warm_frames)
+
+    t0 = time.perf_counter()
+    out = run(n_frames)
+    dt = time.perf_counter() - t0
+    assert out.trajectory.shape[0] == n_frames
+
+    fps = n_frames / dt
+    print(json.dumps({
+        "metric": "slam_annotation_fps_720p",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 150.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""End-to-end SLAM system test with a geometric-oracle update operator.
+
+Validates the WHOLE graph machinery — motion filter → frontend (init +
+incremental), interleaved/global backend, inner filler, map extraction —
+without learned weights: the oracle update_fn emits delta = (GT reprojection
+− current reprojection) and unit confidence, so BA must drive poses/disps to
+the synthetic ground truth (SURVEY.md §4 items 3-4).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vipe_tpu.ops import cameras as cam
+from vipe_tpu.ops import geom, lie
+from vipe_tpu.slam.system import SLAMSystem
+from vipe_tpu.streams.base import FrameAttribute, VideoFrame, VideoStream
+from vipe_tpu.utils.geometry import align_trajectories, ate_rmse
+
+
+H, W = 48, 64           # full-res (chosen so the resize processor is identity)
+HT, WD = H // 8, W // 8  # SLAM grid
+T = 12                   # frames
+DEPTH = 2.0
+
+
+def make_gt(rng):
+    """Camera translating in x/z with small rotations over a fronto plane."""
+    poses_c2w = [lie.se3_identity()]
+    for k in range(1, T):
+        xi = jnp.asarray(
+            [0.06, 0.005 * rng.normal(), 0.004 * rng.normal(),
+             0.002 * rng.normal(), 0.004 * rng.normal(), 0.002 * rng.normal()],
+            jnp.float32,
+        )
+        poses_c2w.append(lie.se3_mul(poses_c2w[-1], lie.se3_exp(xi)))
+    poses_c2w = jnp.stack(poses_c2w)
+    poses_w2c = lie.se3_inv(poses_c2w)
+
+    u, v = geom.pixel_grid(HT, WD)
+    disps = jnp.broadcast_to(
+        (1.0 / DEPTH) * (1.0 + 0.1 * jnp.sin(u / 2.0) * jnp.cos(v / 1.5)),
+        (T, HT, WD),
+    )
+    intr_full = jnp.asarray([W * 1.2, W * 1.2, W / 2.0, H / 2.0])
+    return poses_w2c, disps, intr_full
+
+
+class SyntheticStream(VideoStream):
+    def __init__(self, rng, disps_grid, intr_full, with_depth=True):
+        self.rng_imgs = [
+            rng.random((H, W, 3)).astype(np.float32) for _ in range(T)
+        ]
+        self.disps = np.asarray(disps_grid)
+        self.intr = np.asarray(intr_full, np.float32)
+        self.with_depth = with_depth
+
+    def __len__(self):
+        return T
+
+    def frame_size(self):
+        return (H, W)
+
+    def attributes(self):
+        attrs = {FrameAttribute.RGB, FrameAttribute.INTRINSICS}
+        if self.with_depth:
+            attrs.add(FrameAttribute.METRIC_DEPTH)
+        return attrs
+
+    def __iter__(self):
+        for k in range(T):
+            depth = None
+            if self.with_depth:
+                # full-res depth whose [3::8, 3::8] samples hit the GT grid
+                depth = np.kron(
+                    1.0 / self.disps[k], np.ones((8, 8), np.float32)
+                )
+            yield VideoFrame(
+                raw_frame_idx=k,
+                rgb=self.rng_imgs[k],
+                metric_depth=depth,
+                intrinsics=self.intr.copy(),
+            )
+
+
+def make_oracle(buffer_ref, poses_w2c_gt, disps_gt, intr_full):
+    """update_fn closure: GT flow targets, unit weights, constant damping.
+
+    Maps buffer keyframe slots to original frame indices through the live
+    buffer timestamps (host-side — the oracle is not jitted).
+    """
+    intr_grid = intr_full / 8.0
+
+    def update_fn(params, net, inp, corr, motn, ii, jj, num_frames):
+        del params, inp, corr
+        E, ht, wd, _ = motn.shape
+        u, v = geom.pixel_grid(ht, wd)
+        grid = jnp.stack([u, v], -1)
+        coords1 = motn[..., 0:2] + grid
+
+        buf = buffer_ref[0]
+        np_ii = np.clip(np.asarray(ii), 0, buf.buffer_size - 1)
+        np_jj = np.clip(np.asarray(jj), 0, buf.buffer_size - 1)
+        fi = buf.tstamp[np_ii]
+        fj = buf.tstamp[np_jj]
+        gt_coords, gt_valid = geom.reproject(
+            poses_w2c_gt, disps_gt, intr_grid, cam.CameraType.PINHOLE,
+            jnp.asarray(fi, jnp.int32), jnp.asarray(fj, jnp.int32),
+        )
+        delta = gt_coords - coords1
+        weight = jnp.broadcast_to(
+            gt_valid[..., None].astype(jnp.float32), delta.shape
+        )
+        # magnitude of the real GRU head: 0.01 · softplus(·) ≈ 1e-2
+        eta = jnp.full((num_frames, ht, wd), 0.01, jnp.float32)
+        return net, delta, weight, eta
+
+    return update_fn
+
+
+@pytest.fixture(scope="module")
+def slam_result():
+    rng = np.random.default_rng(3)
+    poses_w2c, disps, intr_full = make_gt(rng)
+    stream = SyntheticStream(rng, disps, intr_full)
+
+    buffer_ref = [None]
+    oracle = make_oracle(buffer_ref, poses_w2c, disps, intr_full)
+
+    def encode_features(params, images):
+        return jnp.zeros((images.shape[0], HT, WD, 128), jnp.float32)
+
+    def encode_context(params, images):
+        z = jnp.zeros((images.shape[0], HT, WD, 128), jnp.float32)
+        return z, z
+
+    system = SLAMSystem(
+        config=dict(
+            resize_area=H * W,       # keep the tiny synthetic frames as-is
+            filter_thresh=-1.0,      # every frame a keyframe
+            keyframe_thresh=0.0,     # never drop keyframes
+            warmup=4,
+            buffer=64,
+            infill_chunk_size=6,
+            backend_iters=12,
+        ),
+        update_fn=oracle,
+        params=None,
+        encode_features=encode_features,
+        encode_context=encode_context,
+    )
+
+    # let the oracle see the live buffer
+    orig_run = system.run
+
+    def run_with_ref(stream, **kw):
+        import vipe_tpu.slam.system as sysmod
+
+        orig_buffer_cls = sysmod.GraphBuffer
+
+        class SpyBuffer(orig_buffer_cls):
+            def __init__(self, *a, **k):
+                super().__init__(*a, **k)
+                buffer_ref[0] = self
+
+        sysmod.GraphBuffer = SpyBuffer
+        try:
+            return orig_run(stream, **kw)
+        finally:
+            sysmod.GraphBuffer = orig_buffer_cls
+
+    out = run_with_ref(stream)
+    gt_c2w = np.asarray(lie.se3_inv(poses_w2c))
+    return out, gt_c2w, np.asarray(disps)
+
+
+class TestSLAMSystemOracle:
+    def test_trajectory_recovered(self, slam_result):
+        out, gt_c2w, _ = slam_result
+        assert out.trajectory.shape == (T, 7)
+        err = ate_rmse(out.trajectory, gt_c2w, align=True)
+        # trajectory spans ~0.66 in x; demand cm-level recovery
+        assert err < 0.02, f"ATE {err}"
+
+    def test_scale_is_metric(self, slam_result):
+        """disps_sens anchoring keeps the metric scale (no Umeyama rescue)."""
+        out, gt_c2w, _ = slam_result
+        err = ate_rmse(out.trajectory, gt_c2w, align=False)
+        assert err < 0.05, f"unaligned ATE {err}"
+
+    def test_slam_map_sane(self, slam_result):
+        out, _, disps = slam_result
+        assert out.slam_map is not None
+        xyz, rgb = out.slam_map.masked_points()
+        assert len(xyz) > 50
+        # plane at depth ~2 in front of near-identity cameras → z around 2
+        z = xyz[:, 2]
+        assert 1.0 < float(np.median(z)) < 3.5
+
+    def test_intrinsics_passthrough(self, slam_result):
+        out, _, _ = slam_result
+        np.testing.assert_allclose(out.intrinsics[:2], W * 1.2, rtol=1e-5)

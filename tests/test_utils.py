@@ -1,0 +1,162 @@
+"""Tests for config composition, artifact IO, morphology, alignment,
+trajectory metrics, and the knn op."""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+from vipe_tpu.ops.morph import dilate, erode
+from vipe_tpu.priors.depth.alignment import (
+    align_depth_to_depth,
+    align_inv_depth_to_depth,
+    apply_inv_depth_alignment,
+)
+from vipe_tpu.utils import io as io_utils
+from vipe_tpu.utils.config import compose, get_config_path
+from vipe_tpu.utils.geometry import (
+    align_trajectories,
+    ate_rmse,
+    depth_abs_relative_difference,
+    depth_delta1_accuracy,
+    depth_rmse_log,
+    matrix_to_se3,
+    se3_to_matrix,
+)
+
+
+class TestConfig:
+    def test_compose_defaults(self):
+        cfg = compose(get_config_path(), "default")
+        assert cfg["pipeline"]["slam"]["warmup"] == 8
+        assert cfg["streams"]["instance"].endswith("RawMp4StreamList")
+
+    def test_dotted_override(self):
+        cfg = compose(get_config_path(), "default", ["pipeline.slam.warmup=3"])
+        assert cfg["pipeline"]["slam"]["warmup"] == 3
+
+    def test_neq_resolver(self):
+        cfg = compose(get_config_path(), "default")
+        assert cfg["pipeline"]["slam"]["optimize_intrinsics"] is True
+        cfg = compose(get_config_path(), "default", ["pipeline.init.intrinsics=gt"])
+        assert cfg["pipeline"]["slam"]["optimize_intrinsics"] is False
+
+
+class TestArtifactIO:
+    def test_pose_intrinsics_roundtrip(self, tmp_path, rng):
+        art = io_utils.ArtifactPath(tmp_path, "clip")
+        traj = rng.normal(size=(5, 7)).astype(np.float32)
+        traj[:, 3:] /= np.linalg.norm(traj[:, 3:], axis=-1, keepdims=True)
+        io_utils.save_poses(art, traj)
+        io_utils.save_intrinsics(art, np.asarray([100.0, 100, 32, 24]), "pinhole", 5)
+        mats, inds = io_utils.read_pose_artifacts(art)
+        assert mats.shape == (5, 4, 4)
+        np.testing.assert_allclose(mats, se3_to_matrix(traj), atol=1e-5)
+        intr, ct = io_utils.read_intrinsics_artifacts(art)
+        assert intr.shape == (5, 4) and ct == "pinhole"
+        assert art.exists()
+        assert io_utils.ArtifactPath.glob(tmp_path)[0].name == "clip"
+
+    def test_depth_mask_roundtrip(self, tmp_path, rng):
+        art = io_utils.ArtifactPath(tmp_path, "clip")
+        depths = [rng.random((6, 8)).astype(np.float32) for _ in range(3)]
+        io_utils.save_depth_zip(art, iter(depths))
+        back = list(io_utils.read_depth_artifacts(art))
+        assert len(back) == 3
+        np.testing.assert_allclose(back[1], depths[1], atol=1e-2)
+
+        masks = [(rng.random((6, 8)) * 3).astype(np.uint8) for _ in range(3)]
+        io_utils.save_mask_zip(art, iter(masks), ["person", "dog"])
+        back = list(io_utils.read_mask_artifacts(art))
+        np.testing.assert_array_equal(back[2], masks[2])
+        assert art.mask_phrase_path.read_text().splitlines() == ["person", "dog"]
+
+
+class TestMorph:
+    def test_dilate_erode(self):
+        m = np.zeros((9, 9), bool)
+        m[4, 4] = True
+        d = dilate(m, 1)
+        assert d.sum() == 9
+        assert not erode(d, 1)[3, 3]
+        assert erode(d, 1)[4, 4]
+        e = erode(np.ones((9, 9), bool), 1)
+        assert e[1:-1, 1:-1].all() and not e[0].any()
+
+
+class TestAlignment:
+    def test_inv_depth_alignment_recovers(self, rng):
+        gt_depth = rng.uniform(1, 5, (32, 32))
+        inv = (1.0 / gt_depth - 0.05) / 2.0  # gt_inv = 2*x + 0.05
+        s, b = align_inv_depth_to_depth(inv, gt_depth)
+        assert abs(s - 2.0) < 0.05 and abs(b - 0.05) < 0.01
+        aligned = apply_inv_depth_alignment(inv, s, b)
+        np.testing.assert_allclose(aligned, gt_depth, rtol=0.05)
+
+    def test_depth_scale_alignment(self, rng):
+        gt = rng.uniform(1, 5, (32, 32))
+        assert abs(align_depth_to_depth(gt / 3.0, gt) - 3.0) < 0.05
+
+
+class TestGeometryMetrics:
+    def test_umeyama_alignment_exact(self, rng):
+        import jax.numpy as jnp
+
+        from vipe_tpu.ops import lie
+
+        traj_gt = np.asarray(
+            lie.se3_exp(jnp.asarray(rng.normal(size=(10, 6)) * 0.3, np.float32))
+        )
+        s, Rxi = 2.5, lie.se3_exp(jnp.asarray([0.3, -0.1, 0.2, 0.1, 0.2, -0.1]))
+        sim = np.asarray(Rxi)
+        pos = traj_gt[:, :3] * s
+        pos = np.asarray(lie.se3_act(jnp.asarray(sim), jnp.asarray(pos)))
+        traj = np.concatenate([pos, traj_gt[:, 3:]], -1)
+        assert ate_rmse(traj, traj_gt, align=True) < 1e-4
+        assert ate_rmse(traj, traj_gt, align=False) > 0.1
+
+    def test_matrix_roundtrip(self, rng):
+        import jax.numpy as jnp
+
+        from vipe_tpu.ops import lie
+
+        traj = np.asarray(
+            lie.se3_exp(jnp.asarray(rng.normal(size=(6, 6)) * 0.4, np.float32))
+        )
+        back = matrix_to_se3(se3_to_matrix(traj))
+        np.testing.assert_allclose(back[:, :3], traj[:, :3], atol=1e-5)
+
+    def test_depth_metrics(self):
+        gt = np.full((8, 8), 2.0)
+        pred = np.full((8, 8), 2.2)
+        assert abs(depth_abs_relative_difference(pred, gt) - 0.1) < 1e-6
+        assert depth_delta1_accuracy(pred, gt) == 1.0
+        assert depth_rmse_log(pred, gt) < 0.1
+        assert depth_delta1_accuracy(gt * 1.3, gt) == 0.0
+
+
+class TestKnn:
+    def test_knn_exact(self, rng):
+        import jax.numpy as jnp
+
+        from vipe_tpu.ops.knn import knn
+
+        pts = rng.normal(size=(200, 3)).astype(np.float32)
+        q = rng.normal(size=(37, 3)).astype(np.float32)
+        d2, idx = knn(jnp.asarray(q), jnp.asarray(pts), k=3, chunk=16)
+        full = ((q[:, None] - pts[None]) ** 2).sum(-1)
+        want_idx = np.argsort(full, axis=1)[:, :3]
+        np.testing.assert_array_equal(np.sort(idx, 1), np.sort(want_idx, 1))
+        np.testing.assert_allclose(
+            np.sort(d2, 1), np.sort(np.take_along_axis(full, want_idx, 1), 1),
+            atol=1e-4,
+        )
+
+    def test_knn_infill(self):
+        from vipe_tpu.ops.knn import knn_infill_depth
+
+        d = np.zeros((8, 8), np.float32)
+        d[2, 2] = 1.5
+        out = knn_infill_depth(d, max_dist_px=3.0)
+        assert out[2, 3] == 1.5 and out[3, 3] == 1.5
+        assert out[7, 7] == 0.0  # beyond max dist

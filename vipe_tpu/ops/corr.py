@@ -1,0 +1,196 @@
+"""Correlation-volume construction and windowed lookup (XLA; Pallas-ready).
+
+TPU-native equivalents of the reference CUDA kernels
+``corr_index_forward`` (/root/reference/csrc/droid_net_ext/correlation_kernels.cu:23-66)
+and ``altcorr_forward`` (altcorr_kernel.cu:27-130), wrapped by
+``CorrBlock``/``AltCorrBlock`` (/root/reference/vipe/slam/networks/droid_net.py:48-176).
+
+Two formulations, as in the reference:
+  * ``corr_pyramid`` + ``corr_lookup``: materialize the all-pairs volume once
+    per graph build (frontend — volumes are reused across GRU iterations),
+    then lookups are cheap gathers.
+  * ``alt_corr_lookup``: recompute the windowed dot products on the fly
+    (backend — avoids materializing h1·w1 × h2·w2 over hundreds of edges).
+
+Conventions: feature maps are NHWC ``(E, H, W, C)``; coords are ``(u, v)``
+pixel coordinates at level-0 scale (divided by 2^l per level, like the
+reference).  Both fmaps are pre-scaled by 1/4 so correlations carry the
+reference's 1/16 normalization (droid_net.py:98-99,135).  Out-of-bounds
+samples contribute zero (CUDA kernels bound-check and skip).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def level_dims(ht: int, wd: int, level: int):
+    """Target-plane dims at a pyramid level, clamped at 1 px so tiny test
+    grids still produce the full 4-level (196-channel) feature stack."""
+    return max(ht >> level, 1), max(wd >> level, 1)
+
+
+def avg_pool2(x):
+    """2x2 average pool, stride 2, over the trailing (..., H, W) dims.
+    Dims already at 1 are left unpooled (clamped pyramid)."""
+    h0, w0 = x.shape[-2], x.shape[-1]
+    h, w = max(h0 // 2, 1), max(w0 // 2, 1)
+    if h0 >= 2:
+        x = x[..., : 2 * h, :].reshape(x.shape[:-2] + (h, 2, x.shape[-1]))
+        x = x.mean(axis=-2)
+    if w0 >= 2:
+        x = x[..., : 2 * w].reshape(x.shape[:-1] + (w, 2))
+        x = x.mean(axis=-1)
+    return x
+
+
+def avg_pool2_nhwc(x):
+    """(E, H, W, C) → (E, max(H//2,1), max(W//2,1), C)."""
+    x = jnp.moveaxis(x, -1, 1)  # (E, C, H, W)
+    x = avg_pool2(x)
+    return jnp.moveaxis(x, 1, -1)
+
+
+def corr_volume(fmap1, fmap2):
+    """All-pairs correlation: (E,H,W,C) x2 → (E, H, W, H, W), scaled 1/16."""
+    f1 = fmap1.astype(jnp.float32) / 4.0
+    f2 = fmap2.astype(jnp.float32) / 4.0
+    return jnp.einsum("eyxc,ezwc->eyxzw", f1, f2)
+
+
+def corr_pyramid(fmap1, fmap2, num_levels: int = 4):
+    """Pyramid over the TARGET dims only (reference droid_net.py:67-69)."""
+    vol = corr_volume(fmap1, fmap2)
+    pyramid = [vol]
+    for _ in range(num_levels - 1):
+        e, h1, w1, h2, w2 = vol.shape
+        v = vol.reshape(e * h1 * w1, h2, w2)
+        v = avg_pool2(v)
+        vol = v.reshape(e, h1, w1, v.shape[-2], v.shape[-1])
+        pyramid.append(vol)
+    return pyramid
+
+
+def _gather_patch(vol, coords, radius):
+    """Gather the (2r+2)² integer neighborhood around floor(coords).
+
+    vol: (E, h1, w1, h2, w2) or (E, h2, w2, C) target plane per source pixel.
+    Returns patch + bilinear weights (du, dv) and an in-bounds mask.
+    """
+    r = radius
+    u = coords[..., 0]
+    v = coords[..., 1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    du = u - u0
+    dv = v - v0
+    offs = jnp.arange(2 * r + 2) - r
+    xi = u0[..., None].astype(jnp.int32) + offs  # (E,h1,w1,S)
+    yi = v0[..., None].astype(jnp.int32) + offs
+    return xi, yi, du, dv
+
+
+def corr_lookup(vol, coords, radius: int = 3):
+    """Sample a (2r+1)² window bilinearly from a materialized volume.
+
+    vol: (E, h1, w1, h2, w2); coords: (E, h1, w1, 2) at this level's scale.
+    Returns (E, h1, w1, (2r+1)²); parity with corr_index_forward.
+    """
+    E, h1, w1, h2, w2 = vol.shape
+    xi, yi, du, dv = _gather_patch(vol, coords, radius)
+    okx = (xi >= 0) & (xi < w2)
+    oky = (yi >= 0) & (yi < h2)
+    xic = jnp.clip(xi, 0, w2 - 1)
+    yic = jnp.clip(yi, 0, h2 - 1)
+
+    ei = jnp.arange(E)[:, None, None, None, None]
+    yi1 = jnp.arange(h1)[None, :, None, None, None]
+    xi1 = jnp.arange(w1)[None, None, :, None, None]
+    patch = vol[ei, yi1, xi1, yic[..., :, None], xic[..., None, :]]
+    mask = (oky[..., :, None] & okx[..., None, :]).astype(patch.dtype)
+    patch = patch * mask  # (E, h1, w1, S, S), S = 2r+2, [dv, du] order
+
+    w00 = ((1 - dv) * (1 - du))[..., None, None]
+    w01 = ((1 - dv) * du)[..., None, None]
+    w10 = (dv * (1 - du))[..., None, None]
+    w11 = (dv * du)[..., None, None]
+    out = (
+        w00 * patch[..., :-1, :-1]
+        + w01 * patch[..., :-1, 1:]
+        + w10 * patch[..., 1:, :-1]
+        + w11 * patch[..., 1:, 1:]
+    )
+    k = 2 * radius + 1
+    return out.reshape(E, h1, w1, k * k)
+
+
+def corr_lookup_pyramid(pyramid, coords, radius: int = 3):
+    """Lookup every level at coords/2^l and concat channels (level-major).
+
+    Output (E, h1, w1, L·(2r+1)²) matching CorrBlock.__call__ channel order.
+    """
+    outs = []
+    for lvl, vol in enumerate(pyramid):
+        outs.append(corr_lookup(vol, coords / (2.0**lvl), radius))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def fmap_pyramid(fmaps, num_levels: int = 4):
+    """(N, H, W, C) feature pyramid (pre-scaled by 1/4) for alt-corr."""
+    f = fmaps.astype(jnp.float32) / 4.0
+    pyr = [f]
+    for _ in range(num_levels - 1):
+        f = avg_pool2_nhwc(f)
+        pyr.append(f)
+    return pyr
+
+
+def alt_corr_lookup_level(fmap1, fmap2, coords, radius: int = 3):
+    """On-the-fly windowed correlation at one level (altcorr_forward parity).
+
+    fmap1: (E, h1, w1, C) level-0 source features (already /4).
+    fmap2: (E, h2, w2, C) this level's target features (already /4).
+    coords: (E, h1, w1, 2) at this level's scale.
+    Returns (E, h1, w1, (2r+1)²).
+    """
+    E, h1, w1, C = fmap1.shape
+    h2, w2 = fmap2.shape[1:3]
+    xi, yi, du, dv = _gather_patch(None, coords, radius)
+    okx = (xi >= 0) & (xi < w2)
+    oky = (yi >= 0) & (yi < h2)
+    xic = jnp.clip(xi, 0, w2 - 1)
+    yic = jnp.clip(yi, 0, h2 - 1)
+
+    ei = jnp.arange(E)[:, None, None, None, None]
+    patch = fmap2[ei, yic[..., :, None], xic[..., None, :]]  # (E,h1,w1,S,S,C)
+    mask = (oky[..., :, None] & okx[..., None, :]).astype(patch.dtype)
+    dots = jnp.einsum("eyxabc,eyxc->eyxab", patch, fmap1) * mask
+
+    w00 = ((1 - dv) * (1 - du))[..., None, None]
+    w01 = ((1 - dv) * du)[..., None, None]
+    w10 = (dv * (1 - du))[..., None, None]
+    w11 = (dv * du)[..., None, None]
+    out = (
+        w00 * dots[..., :-1, :-1]
+        + w01 * dots[..., :-1, 1:]
+        + w10 * dots[..., 1:, :-1]
+        + w11 * dots[..., 1:, 1:]
+    )
+    k = 2 * radius + 1
+    return out.reshape(E, h1, w1, k * k)
+
+
+def alt_corr_lookup(pyramid, coords, ii, jj, radius: int = 3):
+    """Multi-level alt-corr over an edge list.
+
+    pyramid: list of (N, h_l, w_l, C) from fmap_pyramid.
+    coords: (E, h1, w1, 2) level-0 coords; ii/jj: (E,) frame indices.
+    """
+    outs = []
+    f1 = pyramid[0][ii]
+    for lvl, fm in enumerate(pyramid):
+        outs.append(
+            alt_corr_lookup_level(f1, fm[jj], coords / (2.0**lvl), radius)
+        )
+    return jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,147 @@
+"""Stream processors for the annotation pipeline (reference
+/root/reference/vipe/pipeline/processors.py:67-301)."""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from ..ops.cameras import CameraType
+from ..priors.depth.alignment import align_inv_depth_to_depth, apply_inv_depth_alignment
+from ..priors.depth.base import DepthType
+from ..priors.depth.factory import make_depth_model
+from ..streams.base import StreamProcessor, VideoFrame
+
+
+class HeuristicIntrinsicsProcessor(StreamProcessor):
+    """FOV-heuristic intrinsics: fx = fy from an assumed horizontal FOV,
+    principal point at the center (used until GeoCalib lands; the reference's
+    GeoCalib processor also writes fov→fx=fy, cx=W/2, processors.py:83-104)."""
+
+    def __init__(self, fov_deg: float = 60.0):
+        self.fov_deg = fov_deg
+
+    def __call__(self, frame_idx: int, frame: VideoFrame) -> VideoFrame:
+        if frame.intrinsics is None:
+            h, w = frame.size()
+            f = 0.5 * w / np.tan(np.deg2rad(self.fov_deg) / 2.0)
+            frame.intrinsics = np.asarray([f, f, w / 2.0, h / 2.0], np.float32)
+        return frame
+
+    def update_attributes(self, previous):
+        from ..streams.base import FrameAttribute
+
+        return set(previous) | {FrameAttribute.INTRINSICS}
+
+
+class GeoCalibIntrinsicsProcessor(StreamProcessor):
+    """Learned single-image calibration (reference processors.py:67-104).
+
+    Calibrates from 3 sampled frames with shared intrinsics (or 1 frame for
+    MEI distortion).  Requires the GeoCalib port (vipe_tpu.priors.geocalib).
+    """
+
+    def __init__(self, camera_type: str = "pinhole", shared_intrinsics: bool = True):
+        from ..priors.geocalib import GeoCalib  # noqa: F401 — raises if absent
+
+        self.model = GeoCalib(camera_type)
+        self.camera_type = camera_type
+        self.shared = shared_intrinsics
+        self._intr = None
+
+    def calibrate(self, frames: List[np.ndarray]):
+        self._intr = self.model.calibrate(frames)
+
+    def __call__(self, frame_idx: int, frame: VideoFrame) -> VideoFrame:
+        if self._intr is not None:
+            frame.intrinsics = np.asarray(self._intr, np.float32)
+        return frame
+
+
+class TrackAnythingProcessor(StreamProcessor):
+    """Open-vocabulary instance masking (reference processors.py:107-142).
+
+    Requires the GroundingDINO+SAM+DeAOT port (vipe_tpu.priors.track_anything);
+    until then use ``instance: null`` configs (the reference's static_vda
+    variant ships without it too, configs/pipeline/static_vda.yaml:5-6).
+    """
+
+    def __init__(self, phrases: List[str], mask_expand: int = 5, **kwargs):
+        from ..priors.track_anything import TrackAnythingPipeline
+
+        self.pipeline = TrackAnythingPipeline(phrases, **kwargs)
+        self.phrases = phrases
+        self.mask_expand = mask_expand
+
+    def __call__(self, frame_idx: int, frame: VideoFrame) -> VideoFrame:
+        from ..ops.morph import erode
+
+        instance = self.pipeline.track(frame_idx, frame.rgb)
+        frame.instance = instance
+        valid = instance == 0
+        frame.mask = np.asarray(erode(valid, self.mask_expand))
+        return frame
+
+
+class AdaptiveDepthProcessor(StreamProcessor):
+    """Post-SLAM metric depth (reference processors.py:145-296).
+
+    Model string ``adaptive_<metric>_<svda|vda>`` (processors.py:167-180):
+      * compute a SLAM-map UV coverage score over every 10th pose;
+      * low coverage (< 0.3) → run the pure metric model per frame;
+        otherwise → PriorDA completion prompted by the projected SLAM map;
+      * optionally run VideoDepthAnything over the whole video and per-frame
+        affine-align it to the prompt depth with 0.99-momentum EMA.
+    Round-1 scope: the metric path; PriorDA/VDA branches activate once those
+    ports land (they raise from make_depth_model until then).
+    """
+
+    def __init__(self, model: str, slam_output=None, coverage_thresh: float = 0.3):
+        self.model_str = model
+        self.coverage_thresh = coverage_thresh
+        self.slam_output = slam_output
+        parts = model.split("_")
+        assert parts[0] == "adaptive", f"expected adaptive_<metric>_<vda>: {model}"
+        self.metric_name = parts[1]
+        self.vda_kind = parts[2] if len(parts) > 2 else None
+        self.metric_model = make_depth_model(self.metric_name)
+        self._ema_scale: Optional[float] = None
+        self._ema_bias: Optional[float] = None
+
+    def _coverage_score(self) -> float:
+        out = self.slam_output
+        if out is None or out.slam_map is None:
+            return 0.0
+        import jax.numpy as jnp
+
+        from ..ops import lie
+
+        w2c = np.asarray(
+            lie.se3_inv(jnp.asarray(out.trajectory, np.float32))
+        )
+        scores = []
+        for k in range(0, len(w2c), 10):
+            scores.append(
+                out.slam_map.uv_coverage_score(
+                    w2c[k], out.intrinsics / 8.0, out.camera_type,
+                    image_size=(48, 64), frame_idx=k,
+                )
+            )
+        return float(min(scores)) if scores else 0.0
+
+    def update_iterator(self, it: Iterator[VideoFrame]) -> Iterator[VideoFrame]:
+        score = self._coverage_score()
+        use_metric = score < self.coverage_thresh
+
+        for frame_idx, frame in enumerate(it):
+            if use_metric or True:  # PriorDA branch pending port
+                focal = (
+                    float(frame.intrinsics[0])
+                    if frame.intrinsics is not None else None
+                )
+                depth = np.asarray(
+                    self.metric_model.estimate_depth(frame.rgb, focal)
+                )
+            frame.metric_depth = depth.astype(np.float32)
+            yield frame

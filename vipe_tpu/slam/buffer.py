@@ -1,0 +1,229 @@
+"""GraphBuffer: the SLAM state-of-the-world as fixed-shape device arrays.
+
+TPU-native counterpart of the reference ``GraphBuffer``
+(/root/reference/vipe/slam/components/buffer.py:49-370).  Same preallocated
+ring-buffer design (``buffer_size`` slots, ``configs/slam/default.yaml:1``),
+but arrays are jnp NHWC and all mutation happens through functional
+``.at[].set`` so every consumer stays jit-friendly.  Topology bookkeeping
+(n_frames, timestamps) is host-side numpy, exactly where the reference keeps
+its Python ints.
+
+Round-1 scope: single view (V = 1).  The multi-view rig axis
+(buffer.py:303-361 cross-view machinery) is planned for a later round; the
+field layout deliberately leaves room for it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import cameras as cam
+from ..ops import geom, lie
+
+
+def bucket_size(n: int, minimum: int = 16) -> int:
+    """Round up to the next power of two (bounds jit recompiles)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class GraphBuffer:
+    def __init__(
+        self,
+        height: int,
+        width: int,
+        buffer_size: int = 1024,
+        init_disp: float = 1.0,
+        camera_type: cam.CameraType = cam.CameraType.PINHOLE,
+        dense_disp_alpha: float = 0.001,
+        feat_dtype=jnp.float32,
+    ):
+        assert height % 8 == 0 and width % 8 == 0
+        self.height = height
+        self.width = width
+        self.ht = height // 8
+        self.wd = width // 8
+        self.camera_type = camera_type
+        self.buffer_size = buffer_size
+        self.init_disp = init_disp
+        self.dense_disp_alpha = dense_disp_alpha
+
+        self.n_frames: int = 0
+        self.tstamp = np.zeros(buffer_size, np.int64)
+
+        B, ht, wd = buffer_size, self.ht, self.wd
+        self.images = jnp.zeros((B, height, width, 3), feat_dtype)
+        self.poses = jnp.broadcast_to(
+            lie.se3_identity(), (B, 7)
+        ).astype(jnp.float32)
+        self.intrinsics = jnp.zeros((camera_type.intrinsics_dim(),), jnp.float32)
+        self.disps = jnp.full((B, ht, wd), init_disp, jnp.float32)
+        self.disps_sens = jnp.zeros((B, ht, wd), jnp.float32)
+        self.masks = jnp.zeros((B, ht, wd), bool)  # 1 = invalid (dynamic)
+        self.fmaps = jnp.zeros((B, ht, wd, 128), feat_dtype)
+        self.nets = jnp.zeros((B, ht, wd, 128), feat_dtype)
+        self.inps = jnp.zeros((B, ht, wd, 128), feat_dtype)
+        # last intrinsics used for sens-depth estimation (buffer.py:176)
+        self.last_depth_intrinsics: Optional[jnp.ndarray] = None
+
+    # ------------------------------------------------------------------ state
+
+    @property
+    def scaled_intrinsics(self):
+        """Intrinsics at the 1/8 SLAM grid."""
+        return cam.scaled_intrinsics(self.camera_type, self.intrinsics, 1.0 / 8.0)
+
+    @property
+    def pinhole_grid_intrinsics(self):
+        return cam.pinhole_equivalent(self.camera_type, self.intrinsics) / 8.0
+
+    def append_keyframe(
+        self,
+        frame_idx: int,
+        image,
+        fmap,
+        net,
+        inp,
+        mask=None,
+        metric_depth=None,
+        intrinsics=None,
+        pose=None,
+    ):
+        """Fill the next buffer slot (reference SLAMSystem._add_keyframe,
+        system.py:131-163).  ``metric_depth`` is full-res depth; sampled at
+        [3::8, 3::8] and inverted into disps_sens."""
+        k = self.n_frames
+        assert k < self.buffer_size, "keyframe buffer exhausted"
+        self.tstamp[k] = frame_idx
+        self.images = self.images.at[k].set(image.astype(self.images.dtype))
+        self.fmaps = self.fmaps.at[k].set(fmap.astype(self.fmaps.dtype))
+        self.nets = self.nets.at[k].set(net.astype(self.nets.dtype))
+        self.inps = self.inps.at[k].set(inp.astype(self.inps.dtype))
+        if mask is not None:
+            self.masks = self.masks.at[k].set(mask)
+        if intrinsics is not None and k == 0:
+            self.intrinsics = jnp.asarray(intrinsics, jnp.float32)
+        if metric_depth is not None:
+            d = jnp.asarray(metric_depth)[3::8, 3::8]
+            sens = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-8), d)
+            self.disps_sens = self.disps_sens.at[k].set(sens)
+        if pose is not None:
+            self.poses = self.poses.at[k].set(jnp.asarray(pose, jnp.float32))
+        self.n_frames += 1
+
+    def remove_second_newest(self):
+        """Shift slot n-1 into n-2 (reference buffer.py:218-232)."""
+        ix = self.n_frames - 2
+        for name in ("images", "poses", "disps", "disps_sens", "masks",
+                     "fmaps", "nets", "inps"):
+            arr = getattr(self, name)
+            setattr(self, name, arr.at[ix].set(arr[ix + 1]))
+        self.tstamp[ix] = self.tstamp[ix + 1]
+        self.n_frames -= 1
+
+    # --------------------------------------------------------------- geometry
+
+    def reproject(self, ii, jj):
+        """coords of frame-ii grids in frame jj (buffer.py:527-549)."""
+        ii = jnp.asarray(ii, jnp.int32)
+        jj = jnp.asarray(jj, jnp.int32)
+        return geom.reproject(
+            self.poses, self.disps, self.scaled_intrinsics, self.camera_type, ii, jj
+        )
+
+    def frame_distance(self, ii, jj, beta: float = 0.3, bidirectional: bool = True):
+        """Mean induced flow distance (buffer.py:550-593): kernel call with
+        (ii, jj, disp=ii), optionally averaged with (jj, ii, disp=jj)."""
+        ii = jnp.asarray(ii, jnp.int32)
+        jj = jnp.asarray(jj, jnp.int32)
+        intr = self.pinhole_grid_intrinsics
+        d = geom.frame_distance(self.poses, self.disps, intr, ii, jj, di=ii, beta=beta)
+        if bidirectional:
+            d2 = geom.frame_distance(
+                self.poses, self.disps, intr, jj, ii, di=jj, beta=beta
+            )
+            d = 0.5 * (d + d2)
+        return d
+
+    def update_disps_sens(self, depth_model, frame_idx=None):
+        """Re-estimate (or rescale) metric prior depth after intrinsics change
+        (reference buffer.py:233-269).  METRIC_DEPTH models are focal-scalable
+        without a rerun: disp_sens *= f_old / f_new."""
+        if depth_model is None:
+            return
+        from ..priors.depth.base import DepthType
+
+        if frame_idx is None:
+            if self.last_depth_intrinsics is not None and bool(
+                jnp.allclose(self.last_depth_intrinsics, self.intrinsics)
+            ):
+                return
+            if (
+                depth_model.depth_type == DepthType.METRIC_DEPTH
+                and self.last_depth_intrinsics is not None
+            ):
+                ratio = float(self.last_depth_intrinsics[0]) / float(self.intrinsics[0])
+                self.disps_sens = self.disps_sens.at[: self.n_frames].multiply(ratio)
+                self.last_depth_intrinsics = self.intrinsics
+                return
+            frames = range(self.n_frames)
+        else:
+            frames = [frame_idx]
+
+        for k in frames:
+            out = depth_model.estimate_depth(
+                self.images[k].astype(jnp.float32),
+                focal_length=float(self.intrinsics[0]),
+            )
+            d = out[3::8, 3::8]
+            sens = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-8), d)
+            self.disps_sens = self.disps_sens.at[k].set(sens)
+        self.last_depth_intrinsics = self.intrinsics
+
+    # ---------------------------------------------------------------- mapping
+
+    def extract_slam_map(self, filter_thresh: float):
+        """Filtered colored point cloud of the keyframe map
+        (reference buffer.py:595-645 + depth_filter CUDA kernel)."""
+        from .interface import SLAMMap
+
+        n = self.n_frames
+        poses = self.poses[:n]
+        disps = self.disps[:n]
+        c2w = lie.se3_inv(poses)
+
+        intr_grid = self.scaled_intrinsics
+        u, v = geom.pixel_grid(self.ht, self.wd)
+        pts_local = cam.iproj_disp(
+            self.camera_type, intr_grid,
+            jnp.broadcast_to(u, disps.shape), jnp.broadcast_to(v, disps.shape), disps,
+        )
+        pts_world = geom.act_homog(c2w[:, None, None, :], pts_local)
+        xyz = pts_world[..., :3] / jnp.maximum(pts_world[..., 3:], 1e-8)
+
+        mean_disp = float(jnp.mean(disps))
+        thresh_v = filter_thresh * (1.0 / max(mean_disp, 1e-8))
+        counts = geom.depth_filter(
+            poses, disps, self.pinhole_grid_intrinsics,
+            jnp.arange(n), jnp.full((n,), thresh_v),
+        )
+        per_frame_mean = jnp.mean(disps, axis=(1, 2), keepdims=True)
+        mask = (
+            (counts >= min(2, n - 1))
+            & (disps > 0.5 * per_frame_mean)
+            & (~self.masks[:n])
+        )
+        colors = self.images[:n, 3::8, 3::8, :].astype(jnp.float32)
+        return SLAMMap(
+            xyz=np.asarray(xyz),
+            rgb=np.asarray(colors),
+            mask=np.asarray(mask),
+            frame_inds=self.tstamp[:n].copy(),
+        )

@@ -1,0 +1,117 @@
+"""SLAM frontend: keyframe-incremental tracking (reference
+/root/reference/vipe/slam/components/frontend.py:32-159).
+
+Handles system initialization after ``warmup`` keyframes and the per-keyframe
+update: proximity-edge proposal, iters1+iters2 GRU/BA rounds, removal of
+too-close keyframes, constant-velocity pose prediction.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import lie
+from .buffer import GraphBuffer
+from .factor_graph import FactorGraph
+
+
+class SLAMFrontend:
+    def __init__(self, buffer: GraphBuffer, update_fn, params, config):
+        self.buffer = buffer
+        self.config = config
+        self.graph = FactorGraph(
+            buffer, update_fn, params, max_factors=48, incremental=True
+        )
+        self.t1 = 0
+        self.is_initialized = False
+        self.max_age = 25
+        self.iters1 = 4
+        self.iters2 = 2
+
+        c = config
+        self.warmup = c.get("warmup", 8)
+        self.beta = c.get("beta", 0.3)
+        self.frontend_nms = c.get("frontend_nms", 1)
+        self.keyframe_thresh = c.get("keyframe_thresh", 4.0)
+        self.frontend_window = c.get("frontend_window", 25)
+        self.frontend_thresh = c.get("frontend_thresh", 16.0)
+        self.frontend_radius = c.get("frontend_radius", 2)
+        self.seq_init = c.get("seq_init", True)
+        self.has_init_pose = c.get("has_init_pose", False)
+
+    def _init_pose(self):
+        """Constant-velocity prediction for the next slot (frontend.py:70-76)."""
+        buf = self.buffer
+        p1 = buf.poses[self.t1 - 2]
+        p2 = buf.poses[self.t1 - 1]
+        w = lie.se3_log(lie.se3_mul(p2, lie.se3_inv(p1))) * 0.5
+        buf.poses = buf.poses.at[self.t1].set(lie.se3_mul(lie.se3_exp(w), p2))
+
+    def _update(self):
+        """Per-new-keyframe update (frontend.py:78-124)."""
+        self.t1 += 1
+        g = self.graph
+        buf = self.buffer
+
+        if g.n_edges > 0:
+            g.rm_factors(g.age[: g.n_edges] > self.max_age, store=True)
+
+        g.add_proximity_factors(
+            self.t1 - 5,
+            max(self.t1 - self.frontend_window, 0),
+            rad=self.frontend_radius,
+            nms=self.frontend_nms,
+            thresh=self.frontend_thresh,
+            beta=self.beta,
+            remove=True,
+        )
+
+        for _ in range(self.iters1):
+            g.update(use_inactive=True, fixed_motion=self.has_init_pose)
+
+        d = buf.frame_distance(
+            jnp.asarray([self.t1 - 3], jnp.int32),
+            jnp.asarray([self.t1 - 2], jnp.int32),
+            beta=self.beta, bidirectional=True,
+        )
+        if float(jnp.max(d)) < self.keyframe_thresh:
+            g.rm_second_newest_keyframe(self.t1 - 2)
+            self.t1 -= 1
+        else:
+            for _ in range(self.iters2):
+                g.update(use_inactive=True, fixed_motion=self.has_init_pose)
+
+        if not self.has_init_pose:
+            self._init_pose()
+        buf.disps = buf.disps.at[self.t1].set(jnp.mean(buf.disps[self.t1 - 1]))
+
+    def _initialize(self):
+        """System init over the first ``warmup`` keyframes (frontend.py:126-148)."""
+        g = self.graph
+        buf = self.buffer
+        self.t1 = buf.n_frames
+
+        g.add_neighborhood_factors(0, self.t1, r=1 if self.seq_init else 3)
+        for _ in range(8):
+            g.update(t0=1, use_inactive=True, fixed_motion=self.has_init_pose)
+
+        if not self.seq_init:
+            g.add_proximity_factors(0, 0, rad=2, nms=2,
+                                    thresh=self.frontend_thresh, remove=False)
+            for _ in range(8):
+                g.update(t0=1, use_inactive=True, fixed_motion=self.has_init_pose)
+
+        if not self.has_init_pose:
+            self._init_pose()
+        buf.disps = buf.disps.at[self.t1].set(
+            jnp.mean(buf.disps[self.t1 - 4: self.t1])
+        )
+        self.is_initialized = True
+        g.rm_factors(g.ii[: g.n_edges] < self.warmup - 4, store=True)
+
+    def run(self):
+        if not self.is_initialized and self.buffer.n_frames == self.warmup:
+            self._initialize()
+        elif self.is_initialized and self.t1 < self.buffer.n_frames:
+            self._update()

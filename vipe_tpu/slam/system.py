@@ -1,0 +1,226 @@
+"""SLAMSystem: the two-pass driver (reference
+/root/reference/vipe/slam/system.py:79-316).
+
+Pass 1: motion-filter every frame → keyframe buffer → frontend tracking with
+interleaved backend runs.  Then global backend BA ×2.  Pass 2: re-iterate all
+frames, interpolating non-keyframe poses per 16-frame chunk (InnerFiller).
+Returns camera-to-world trajectory, refined intrinsics and the filtered SLAM
+map.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import cameras as cam
+from ..ops import lie
+from ..streams.base import FrameAttribute, ProcessedVideoStream, StreamProcessor, VideoFrame, VideoStream
+from .backend import SLAMBackend
+from .buffer import GraphBuffer
+from .frontend import SLAMFrontend
+from .inner_filler import InnerFiller
+from .interface import SLAMOutput
+from .motion_filter import MotionFilter
+
+
+class StandardResizeStreamProcessor(StreamProcessor):
+    """Resize every input to ≈384·512 px area, crop to /8 multiples
+    (reference system.py:40-76); remembers the factors so intrinsics can be
+    mapped back to the original resolution at the end."""
+
+    def __init__(self, target_area: int = 384 * 512):
+        self.target_area = target_area
+        self.fac_x = self.fac_y = 1.0
+        self.scx = self.scy = 0
+
+    def _compute(self, prev):
+        h0, w0 = prev
+        scale = float(np.sqrt(self.target_area / (h0 * w0)))
+        h1, w1 = int(h0 * scale), int(w0 * scale)
+        ch, cw = h1 % 8, w1 % 8
+        top, bottom = ch // 2, ch - ch // 2
+        left, right = cw // 2, cw - cw // 2
+        self.fac_x, self.fac_y = w0 / w1, h0 / h1
+        self.scx, self.scy = left, top
+        return (h1, w1), (top, bottom, left, right)
+
+    def update_frame_size(self, previous):
+        (h1, w1), (t, b, l, r) = self._compute(previous)
+        return h1 - t - b, w1 - l - r
+
+    def __call__(self, frame_idx: int, frame: VideoFrame) -> VideoFrame:
+        (h1, w1), (t, b, l, r) = self._compute(frame.size())
+        return frame.resize((h1, w1)).crop(t, b, l, r)
+
+    def recover_intrinsics(self, intr: np.ndarray) -> np.ndarray:
+        out = np.asarray(intr).copy()
+        out[2] += self.scx
+        out[3] += self.scy
+        out[0:4:2] *= self.fac_x
+        out[1:4:2] *= self.fac_y
+        return out
+
+
+def make_droidnet_fns(model):
+    """Jitted (encode_features, encode_context, update_fn) closures over a
+    flax DroidNet; ``update_fn`` matches the FactorGraph injection protocol."""
+
+    @jax.jit
+    def encode_features(params, images):
+        return model.apply(params, images, method=model.encode_features)
+
+    @jax.jit
+    def encode_context(params, images):
+        return model.apply(params, images, method=model.encode_context)
+
+    @functools.partial(jax.jit, static_argnums=(7,))
+    def update_fn(params, net, inp, corr, motn, ii, jj, num_frames):
+        del jj  # DroidNet's GraphAgg only uses the source index
+        return model.apply(
+            params, net, inp, corr, motn, ii, num_frames,
+            method=lambda m, *a: m.update(*a),
+        )
+
+    return encode_features, encode_context, update_fn
+
+
+class SLAMSystem:
+    """Single-video SLAM driver.  ``config`` is a plain dict (the hydra-like
+    layer lives in vipe_tpu.utils.config)."""
+
+    def __init__(self, config: Optional[dict] = None, update_fn=None, params=None,
+                 encode_features=None, encode_context=None, metric_depth=None):
+        self.config = dict(config or {})
+        if update_fn is None:
+            from ..models.droidnet import DroidNet, init_droidnet
+
+            model, params_init = init_droidnet(jax.random.PRNGKey(0))
+            params = params if params is not None else params_init
+            encode_features, encode_context, update_fn = make_droidnet_fns(model)
+        self.update_fn = update_fn
+        self.params = params
+        self.encode_features = encode_features
+        self.encode_context = encode_context
+        self.metric_depth = metric_depth
+
+    def _mask_to_buffer(self, mask, ht, wd):
+        """Full-res valid-mask → 1/8 invalid-mask (reference system.py:188-199):
+        downsample, keep pixels whose valid fraction > 0.9, invert."""
+        import cv2
+
+        m = cv2.resize(
+            np.asarray(mask, np.float32), (wd, ht), interpolation=cv2.INTER_LINEAR
+        )
+        return jnp.asarray(~(m > 0.9))
+
+    def run(
+        self,
+        video_stream: VideoStream,
+        camera_type: cam.CameraType = cam.CameraType.PINHOLE,
+    ) -> SLAMOutput:
+        c = self.config
+        resizer = StandardResizeStreamProcessor(
+            target_area=c.get("resize_area", 384 * 512)
+        )
+        stream = ProcessedVideoStream(video_stream, [resizer])
+        h, w = stream.frame_size()
+        total = len(stream)
+        has_init_pose = FrameAttribute.POSE in stream.attributes()
+        c = {**c, "has_init_pose": has_init_pose}
+
+        buffer = GraphBuffer(
+            height=h, width=w,
+            buffer_size=c.get("buffer", 1024),
+            init_disp=c.get("init_disp", 1.0),
+            camera_type=camera_type,
+            dense_disp_alpha=c.get("ba", {}).get("dense_disp_alpha", 0.001),
+        )
+        motion_filter = MotionFilter(
+            self.encode_features, self.encode_context, self.update_fn,
+            self.params, thresh=c.get("filter_thresh", 2.4),
+        )
+        frontend = SLAMFrontend(buffer, self.update_fn, self.params, c)
+        backend = SLAMBackend(buffer, self.update_fn, self.params, c)
+        backend.depth_model = self.metric_depth
+        filler = InnerFiller(buffer, self.update_fn, self.params, c)
+
+        fbi = c.get("frontend_backend_iters", [16, 64, 256])
+
+        # ----------------------------------------------------------- pass 1
+        for frame_idx, frame in enumerate(stream):
+            rgb = jnp.asarray(frame.rgb)
+            bmask = (
+                self._mask_to_buffer(frame.mask, buffer.ht, buffer.wd)
+                if frame.mask is not None else None
+            )
+            is_kf = motion_filter.check(rgb, bmask) or frame_idx == total - 1
+            if is_kf:
+                # re-encode at add time (reference _add_keyframe re-runs both
+                # encoders, system.py:143-144) — also covers the forced final
+                # keyframe where the motion filter said no
+                fmap = self.encode_features(self.params, rgb[None])[0]
+                net, inp = self.encode_context(self.params, rgb[None])
+                net, inp = net[0], inp[0]
+                pose = None
+                if frame.pose is not None:
+                    pose = np.asarray(
+                        lie.se3_inv(jnp.asarray(frame.pose, jnp.float32))
+                    )
+                buffer.append_keyframe(
+                    frame_idx, rgb, fmap, net, inp,
+                    mask=bmask,
+                    metric_depth=frame.metric_depth,
+                    intrinsics=frame.intrinsics,
+                    pose=pose,
+                )
+                if self.metric_depth is not None and frame.metric_depth is None:
+                    buffer.update_disps_sens(
+                        self.metric_depth, frame_idx=buffer.n_frames - 1
+                    )
+            frontend.run()
+            if buffer.n_frames in fbi and is_kf:
+                backend.run_if_necessary(5)
+
+        # ------------------------------------------------------- global BA
+        backend.run(7)
+        backend.run(c.get("backend_iters", 24), update_depth=False)
+
+        # ----------------------------------------------------------- pass 2
+        filler.set_start_idx(buffer.n_frames)
+        for frame_idx, frame in enumerate(stream):
+            rgb = jnp.asarray(frame.rgb)
+            bmask = (
+                self._mask_to_buffer(frame.mask, buffer.ht, buffer.wd)
+                if frame.mask is not None else None
+            )
+            fmap = self.encode_features(self.params, rgb[None])[0]
+            net, inp = self.encode_context(self.params, rgb[None])
+            buffer.append_keyframe(
+                frame_idx, rgb, fmap, net[0], inp[0],
+                mask=bmask, metric_depth=frame.metric_depth,
+            )
+            if filler.check() or frame_idx == total - 1:
+                filler.compute()
+
+        filled = filler.get_result()
+        if filled.poses.shape[0] != total:
+            raise ValueError(
+                "Video exhausted early — possibly malformed; "
+                "try streams.cached=true"
+            )
+
+        slam_map = buffer.extract_slam_map(c.get("map_filter_thresh", 0.05))
+        intr_full = resizer.recover_intrinsics(np.asarray(buffer.intrinsics))
+
+        trajectory = np.asarray(lie.se3_inv(jnp.asarray(filled.poses)))
+        return SLAMOutput(
+            trajectory=trajectory,
+            intrinsics=intr_full,
+            camera_type=camera_type,
+            slam_map=slam_map,
+        )

@@ -1,0 +1,268 @@
+"""Lazy video stream layer (reference /root/reference/vipe/streams/base.py).
+
+Same shapes as the reference: ``VideoFrame`` (per-frame attribute record),
+``VideoStream`` (sized iterable), ``ProcessedVideoStream`` (processor
+composition), ``CachedVideoStream`` (decode-once memory cache), and the
+``StreamList`` factory.  Frames are numpy HWC float32 RGB in [0, 1] on the
+host; device placement happens at the consumer (SLAM / priors) so the stream
+layer stays decode-only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib
+from enum import Enum
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class FrameAttribute(Enum):
+    """Reference streams/base.py:37-44."""
+
+    RGB = "rgb"
+    MASK = "mask"
+    INSTANCE = "instance"
+    METRIC_DEPTH = "metric_depth"
+    POSE = "pose"
+    INTRINSICS = "intrinsics"
+
+
+@dataclasses.dataclass
+class VideoFrame:
+    """Per-frame record (reference streams/base.py:46-263).
+
+    rgb: (H, W, 3) float32 in [0, 1].
+    mask: (H, W) bool, True = valid (dynamic pixels False) — NOTE the
+      reference stores 1=valid here and inverts into buffer masks.
+    instance: (H, W) int32 instance ids (0 = background).
+    metric_depth: (H, W) float32 metric depth.
+    pose: (7,) cam2world SE3 [t, q] if known (GT streams).
+    intrinsics: (D,) full-res intrinsics if known.
+    """
+
+    raw_frame_idx: int
+    rgb: np.ndarray
+    mask: Optional[np.ndarray] = None
+    instance: Optional[np.ndarray] = None
+    metric_depth: Optional[np.ndarray] = None
+    pose: Optional[np.ndarray] = None
+    intrinsics: Optional[np.ndarray] = None
+
+    def size(self) -> tuple:
+        return self.rgb.shape[0], self.rgb.shape[1]
+
+    def resize(self, new_size: tuple) -> "VideoFrame":
+        import cv2
+
+        h1, w1 = new_size
+        h0, w0 = self.size()
+        if (h0, w0) == (h1, w1):
+            return self
+
+        def _img(x, interp):
+            return cv2.resize(np.asarray(x), (w1, h1), interpolation=interp)
+
+        out = dataclasses.replace(self, rgb=_img(self.rgb, cv2.INTER_LINEAR))
+        if self.mask is not None:
+            out.mask = _img(self.mask.astype(np.uint8), cv2.INTER_NEAREST).astype(bool)
+        if self.instance is not None:
+            out.instance = _img(self.instance, cv2.INTER_NEAREST)
+        if self.metric_depth is not None:
+            out.metric_depth = _img(self.metric_depth, cv2.INTER_NEAREST)
+        if self.intrinsics is not None:
+            intr = self.intrinsics.copy()
+            intr[0:4:2] *= w1 / w0
+            intr[1:4:2] *= h1 / h0
+            out.intrinsics = intr
+        return out
+
+    def crop(self, top: int, bottom: int, left: int, right: int) -> "VideoFrame":
+        h, w = self.size()
+        sl = (slice(top, h - bottom), slice(left, w - right))
+        out = dataclasses.replace(self, rgb=self.rgb[sl])
+        for name in ("mask", "instance", "metric_depth"):
+            v = getattr(self, name)
+            if v is not None:
+                setattr(out, name, v[sl])
+        if self.intrinsics is not None:
+            intr = self.intrinsics.copy()
+            intr[2] -= left
+            intr[3] -= top
+            out.intrinsics = intr
+        return out
+
+
+class VideoStream:
+    """Sized, re-iterable stream of VideoFrames (reference base.py:266-291)."""
+
+    def __iter__(self) -> Iterator[VideoFrame]:
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def frame_size(self) -> tuple:
+        raise NotImplementedError
+
+    def fps(self) -> float:
+        return 30.0
+
+    def attributes(self) -> set:
+        return {FrameAttribute.RGB}
+
+    def name(self) -> str:
+        return getattr(self, "_name", "stream")
+
+    def cache(self, desc: str = "cache", online: bool = False) -> "CachedVideoStream":
+        return CachedVideoStream(self, online=online)
+
+
+class StreamProcessor:
+    """Per-frame transform protocol (reference base.py:402-420)."""
+
+    def __call__(self, frame_idx: int, frame: VideoFrame) -> VideoFrame:
+        raise NotImplementedError
+
+    def update_frame_size(self, previous: tuple) -> tuple:
+        return previous
+
+    def update_attributes(self, previous: set) -> set:
+        return previous
+
+    def update_iterator(self, it: Iterator[VideoFrame]) -> Iterator[VideoFrame]:
+        """Optional whole-stream hook (used by video-level processors)."""
+        for idx, frame in enumerate(it):
+            yield self(idx, frame)
+
+
+class ProcessedVideoStream(VideoStream):
+    """Composed lazy stream (reference base.py:436-483)."""
+
+    def __init__(self, stream: VideoStream, processors: Sequence[StreamProcessor]):
+        self.stream = stream
+        self.processors = list(processors)
+        self._name = stream.name()
+
+    def __len__(self):
+        return len(self.stream)
+
+    def fps(self):
+        return self.stream.fps()
+
+    def frame_size(self):
+        size = self.stream.frame_size()
+        for p in self.processors:
+            size = p.update_frame_size(size)
+        return size
+
+    def attributes(self):
+        attrs = self.stream.attributes()
+        for p in self.processors:
+            attrs = p.update_attributes(attrs)
+        return attrs
+
+    def __iter__(self):
+        it = iter(self.stream)
+        for p in self.processors:
+            it = p.update_iterator(it)
+        return it
+
+
+class CachedVideoStream(VideoStream):
+    """Decode-once memory cache (reference base.py:330-399).  ``online=True``
+    fills lazily as consumed; otherwise eagerly on construction."""
+
+    def __init__(self, stream: VideoStream, online: bool = False):
+        self.stream = stream
+        self._name = stream.name()
+        self._frames: List[Optional[VideoFrame]] = [None] * len(stream)
+        self._iter = None
+        self._filled = 0
+        if not online:
+            for i, f in enumerate(stream):
+                self._frames[i] = f
+            self._filled = len(self._frames)
+
+    def __len__(self):
+        return len(self._frames)
+
+    def fps(self):
+        return self.stream.fps()
+
+    def frame_size(self):
+        return self.stream.frame_size()
+
+    def attributes(self):
+        return self.stream.attributes()
+
+    def __iter__(self):
+        if self._filled >= len(self._frames):
+            yield from self._frames  # type: ignore[misc]
+            return
+        src = iter(self.stream)
+        for i in range(len(self._frames)):
+            if self._frames[i] is None:
+                try:
+                    self._frames[i] = next(src)
+                except StopIteration:
+                    self._frames = self._frames[:i]
+                    return
+                self._filled = i + 1
+            yield self._frames[i]
+
+
+class AssignAttributesProcessor(StreamProcessor):
+    """Write precomputed per-frame attributes into the stream
+    (reference base.py:423-434)."""
+
+    def __init__(self, poses=None, intrinsics=None, metric_depths=None):
+        self.poses = poses
+        self.intrinsics = intrinsics
+        self.metric_depths = metric_depths
+
+    def update_attributes(self, previous):
+        attrs = set(previous)
+        if self.poses is not None:
+            attrs.add(FrameAttribute.POSE)
+        if self.intrinsics is not None:
+            attrs.add(FrameAttribute.INTRINSICS)
+        if self.metric_depths is not None:
+            attrs.add(FrameAttribute.METRIC_DEPTH)
+        return attrs
+
+    def __call__(self, frame_idx: int, frame: VideoFrame) -> VideoFrame:
+        if self.poses is not None:
+            frame.pose = np.asarray(self.poses[frame_idx])
+        if self.intrinsics is not None:
+            intr = self.intrinsics
+            frame.intrinsics = np.asarray(
+                intr[frame_idx] if np.ndim(intr) > 1 else intr
+            )
+        if self.metric_depths is not None:
+            frame.metric_depth = np.asarray(self.metric_depths[frame_idx])
+        return frame
+
+
+class StreamList:
+    """Multi-video collection + factory (reference base.py:486-503)."""
+
+    def __init__(self, streams: Sequence[VideoStream]):
+        self.streams = list(streams)
+
+    def __len__(self):
+        return len(self.streams)
+
+    def __iter__(self):
+        return iter(self.streams)
+
+    @staticmethod
+    def make(config: dict) -> "StreamList":
+        """Instantiate from a dotted ``instance:`` config string, mirroring the
+        reference importlib factory."""
+        path = config["instance"]
+        module, cls = path.rsplit(".", 1)
+        klass = getattr(importlib.import_module(module), cls)
+        kwargs = {k: v for k, v in config.items() if k != "instance"}
+        return klass(**kwargs)

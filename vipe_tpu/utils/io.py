@@ -1,0 +1,230 @@
+"""Artifact I/O — on-disk layout parity with the reference
+(/root/reference/vipe/utils/io.py:41-378).
+
+Layout under an output root, per video ``<name>``:
+  rgb/<name>.mp4                processed RGB video (mp4v here; h264 there)
+  pose/<name>.npz               {"data": (T, 4, 4) c2w matrices, "inds": (T,)}
+  intrinsics/<name>.npz         {"data": (T, D)} + intrinsics/<name>_camera.txt
+  depth/<name>.zip              per-frame float16 depth, entries "%05d.npy"
+                                (the reference writes EXR "Z" channels —
+                                OpenEXR is unavailable in this image, so we
+                                store .npy float16 with identical zip naming;
+                                the readers accept both)
+  mask/<name>.zip               per-frame PNG instance masks + mask/<name>.txt
+  vipe/<name>_info.pkl          misc info (ba_residual, …)
+  vipe/<name>_vis.mp4           visualization video
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io as _io
+import pathlib
+import pickle
+import zipfile
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ArtifactPath:
+    root: pathlib.Path
+    name: str
+
+    def __post_init__(self):
+        self.root = pathlib.Path(self.root)
+
+    @property
+    def rgb_path(self):
+        return self.root / "rgb" / f"{self.name}.mp4"
+
+    @property
+    def pose_path(self):
+        return self.root / "pose" / f"{self.name}.npz"
+
+    @property
+    def intrinsics_path(self):
+        return self.root / "intrinsics" / f"{self.name}.npz"
+
+    @property
+    def camera_type_path(self):
+        return self.root / "intrinsics" / f"{self.name}_camera.txt"
+
+    @property
+    def depth_path(self):
+        return self.root / "depth" / f"{self.name}.zip"
+
+    @property
+    def mask_path(self):
+        return self.root / "mask" / f"{self.name}.zip"
+
+    @property
+    def mask_phrase_path(self):
+        return self.root / "mask" / f"{self.name}.txt"
+
+    @property
+    def info_path(self):
+        return self.root / "vipe" / f"{self.name}_info.pkl"
+
+    @property
+    def vis_path(self):
+        return self.root / "vipe" / f"{self.name}_vis.mp4"
+
+    def exists(self) -> bool:
+        return self.pose_path.exists()
+
+    @staticmethod
+    def glob(root) -> List["ArtifactPath"]:
+        root = pathlib.Path(root)
+        out = []
+        for p in sorted((root / "pose").glob("*.npz")):
+            out.append(ArtifactPath(root, p.stem))
+        return out
+
+
+# ------------------------------------------------------------------ writers
+
+
+def save_poses(path: ArtifactPath, trajectory_c2w: np.ndarray, inds=None):
+    """trajectory: (T, 7) SE3 or (T, 4, 4) matrices."""
+    from .geometry import se3_to_matrix
+
+    path.pose_path.parent.mkdir(parents=True, exist_ok=True)
+    mats = (
+        trajectory_c2w
+        if trajectory_c2w.ndim == 3
+        else se3_to_matrix(trajectory_c2w)
+    )
+    if inds is None:
+        inds = np.arange(len(mats))
+    np.savez(path.pose_path, data=mats.astype(np.float32), inds=np.asarray(inds))
+
+
+def save_intrinsics(path: ArtifactPath, intrinsics: np.ndarray, camera_type: str,
+                    n_frames: Optional[int] = None):
+    path.intrinsics_path.parent.mkdir(parents=True, exist_ok=True)
+    intr = np.asarray(intrinsics, np.float32)
+    if intr.ndim == 1 and n_frames is not None:
+        intr = np.broadcast_to(intr, (n_frames,) + intr.shape)
+    np.savez(path.intrinsics_path, data=intr)
+    path.camera_type_path.write_text(str(camera_type))
+
+
+def save_depth_zip(path: ArtifactPath, depths: Iterator[np.ndarray]):
+    path.depth_path.parent.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(path.depth_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for i, d in enumerate(depths):
+            buf = _io.BytesIO()
+            np.save(buf, np.asarray(d, np.float16))
+            zf.writestr(f"{i:05d}.npy", buf.getvalue())
+
+
+def save_mask_zip(path: ArtifactPath, masks: Iterator[np.ndarray],
+                  phrases: Optional[List[str]] = None):
+    import cv2
+
+    path.mask_path.parent.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(path.mask_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for i, m in enumerate(masks):
+            ok, png = cv2.imencode(".png", np.asarray(m, np.uint8))
+            assert ok
+            zf.writestr(f"{i:05d}.png", png.tobytes())
+    if phrases is not None:
+        path.mask_phrase_path.write_text("\n".join(phrases))
+
+
+def save_rgb_video(path: ArtifactPath, frames: Iterator[np.ndarray], fps: float = 30.0):
+    """frames: (H, W, 3) float [0,1] or uint8 RGB."""
+    import cv2
+
+    path.rgb_path.parent.mkdir(parents=True, exist_ok=True)
+    writer = None
+    for f in frames:
+        f = np.asarray(f)
+        if f.dtype != np.uint8:
+            f = (np.clip(f, 0, 1) * 255).astype(np.uint8)
+        if writer is None:
+            h, w = f.shape[:2]
+            writer = cv2.VideoWriter(
+                str(path.rgb_path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+            )
+        writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    if writer is not None:
+        writer.release()
+
+
+def save_info(path: ArtifactPath, info: dict):
+    path.info_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path.info_path, "wb") as f:
+        pickle.dump(info, f)
+
+
+# ------------------------------------------------------------------ readers
+
+
+def read_pose_artifacts(path: ArtifactPath):
+    """Returns (mats (T,4,4), inds (T,))."""
+    z = np.load(path.pose_path)
+    return z["data"], z.get("inds", np.arange(len(z["data"])))
+
+
+def read_intrinsics_artifacts(path: ArtifactPath):
+    z = np.load(path.intrinsics_path)
+    camera_type = (
+        path.camera_type_path.read_text().strip()
+        if path.camera_type_path.exists() else "pinhole"
+    )
+    return z["data"], camera_type
+
+
+def read_depth_artifacts(path: ArtifactPath) -> Iterator[np.ndarray]:
+    with zipfile.ZipFile(path.depth_path) as zf:
+        for name in sorted(zf.namelist()):
+            data = zf.read(name)
+            if name.endswith(".npy"):
+                yield np.load(_io.BytesIO(data)).astype(np.float32)
+            elif name.endswith(".exr"):  # reference-written archives
+                import cv2
+
+                arr = cv2.imdecode(
+                    np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED
+                )
+                if arr is None:
+                    yield np.full((1, 1), np.nan, np.float32)
+                else:
+                    yield np.asarray(arr, np.float32)
+
+
+def read_mask_artifacts(path: ArtifactPath) -> Iterator[np.ndarray]:
+    import cv2
+
+    with zipfile.ZipFile(path.mask_path) as zf:
+        for name in sorted(zf.namelist()):
+            arr = cv2.imdecode(
+                np.frombuffer(zf.read(name), np.uint8), cv2.IMREAD_UNCHANGED
+            )
+            yield np.asarray(arr)
+
+
+def read_info(path: ArtifactPath) -> dict:
+    with open(path.info_path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_artifacts(path: ArtifactPath, output) -> None:
+    """Save a full AnnotationPipelineOutput (see vipe_tpu.pipeline)."""
+    if output.trajectory is not None:
+        save_poses(path, output.trajectory, output.frame_inds)
+    if output.intrinsics is not None:
+        save_intrinsics(
+            path, output.intrinsics, output.camera_type,
+            n_frames=(len(output.trajectory) if output.trajectory is not None else None),
+        )
+    if output.depths is not None:
+        save_depth_zip(path, output.depths)
+    if output.instance_masks is not None:
+        save_mask_zip(path, output.instance_masks, output.mask_phrases)
+    if output.rgb_frames is not None:
+        save_rgb_video(path, output.rgb_frames, output.fps)
+    save_info(path, {"ba_residual": output.ba_residual})
