@@ -104,3 +104,118 @@ def load_droidnet_checkpoint(path: str) -> dict | None:
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return convert_droidnet(sd)
+
+
+# ---------------------------------------------------------------------------
+# DINOv2 ViT + DPT (DepthAnythingV2 family)
+# ---------------------------------------------------------------------------
+
+
+def _lin(sd, key):
+    return {"kernel": np.asarray(sd[f"{key}.weight"], np.float32).T,
+            "bias": np.asarray(sd[f"{key}.bias"], np.float32)}
+
+
+def _ln(sd, key):
+    return {"scale": np.asarray(sd[f"{key}.weight"], np.float32),
+            "bias": np.asarray(sd[f"{key}.bias"], np.float32)}
+
+
+def _convt(sd, key):
+    """torch ConvTranspose2d (I, O, kh, kw) → flax (kh, kw, O, I)→ but flax
+    ConvTranspose kernel layout is (kh, kw, in, out)."""
+    w = np.asarray(sd[f"{key}.weight"], np.float32)
+    out = {"kernel": np.transpose(w, (2, 3, 0, 1))}
+    if f"{key}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{key}.bias"], np.float32)
+    return out
+
+
+def convert_dinov2_vit(sd: Mapping, prefix: str = "pretrained") -> dict:
+    """torch DINOv2 state_dict → flax DinoViT params (models/vit.py)."""
+    sd = {k.removeprefix("module."): _to_np(v) for k, v in sd.items()}
+    p: dict = {}
+    p["patch_embed"] = _conv_entry(sd, f"{prefix}.patch_embed.proj")
+    p["cls_token"] = np.asarray(sd[f"{prefix}.cls_token"], np.float32)
+    p["pos_embed"] = np.asarray(sd[f"{prefix}.pos_embed"], np.float32)
+    p["norm"] = _ln(sd, f"{prefix}.norm")
+    i = 0
+    while f"{prefix}.blocks.{i}.norm1.weight" in sd:
+        b = f"{prefix}.blocks.{i}"
+        p[f"block{i}"] = {
+            "norm1": _ln(sd, f"{b}.norm1"),
+            "attn": {"qkv": _lin(sd, f"{b}.attn.qkv"),
+                     "proj": _lin(sd, f"{b}.attn.proj")},
+            "ls1": {"gamma": np.asarray(sd[f"{b}.ls1.gamma"], np.float32)},
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "mlp": {"fc1": _lin(sd, f"{b}.mlp.fc1"),
+                    "fc2": _lin(sd, f"{b}.mlp.fc2")},
+            "ls2": {"gamma": np.asarray(sd[f"{b}.ls2.gamma"], np.float32)},
+        }
+        i += 1
+    return {"params": p}
+
+
+def _conv_entry(sd, key, slice_out=None):
+    w = sd[f"{key}.weight"]
+    if slice_out is not None:
+        w = w[:slice_out]
+    out = {"kernel": _conv(w)}
+    if f"{key}.bias" in sd:
+        b = sd[f"{key}.bias"]
+        if slice_out is not None:
+            b = b[:slice_out]
+        out["bias"] = np.asarray(b, np.float32)
+    return out
+
+
+def convert_dpt_head(sd: Mapping, prefix: str = "depth_head") -> dict:
+    """torch DAv2 DPTHead state_dict → flax DPTHead params (models/dpt.py)."""
+    sd = {k.removeprefix("module."): _to_np(v) for k, v in sd.items()}
+    p: dict = {}
+    for i in range(4):
+        p[f"project{i}"] = _conv_entry(sd, f"{prefix}.projects.{i}")
+        p[f"layer{i + 1}_rn"] = _conv_entry(sd, f"{prefix}.scratch.layer{i + 1}_rn")
+    p["resize0"] = _convt(sd, f"{prefix}.resize_layers.0")
+    p["resize1"] = _convt(sd, f"{prefix}.resize_layers.1")
+    p["resize3"] = _conv_entry(sd, f"{prefix}.resize_layers.3")
+    for r in range(1, 5):
+        rn = f"{prefix}.scratch.refinenet{r}"
+        entry = {
+            "rcu2": {"conv1": _conv_entry(sd, f"{rn}.resConfUnit2.conv1"),
+                     "conv2": _conv_entry(sd, f"{rn}.resConfUnit2.conv2")},
+            "out_conv": _conv_entry(sd, f"{rn}.out_conv"),
+        }
+        if r != 4:
+            # refinenet4 has no skip input; its (never-used) torch
+            # resConfUnit1 weights have no flax counterpart
+            entry["rcu1"] = {
+                "conv1": _conv_entry(sd, f"{rn}.resConfUnit1.conv1"),
+                "conv2": _conv_entry(sd, f"{rn}.resConfUnit1.conv2"),
+            }
+        p[f"refinenet{r}"] = entry
+    p["output_conv1"] = _conv_entry(sd, f"{prefix}.scratch.output_conv1")
+    p["output_conv2_0"] = _conv_entry(sd, f"{prefix}.scratch.output_conv2.0")
+    p["output_conv2_2"] = _conv_entry(sd, f"{prefix}.scratch.output_conv2.2")
+    return {"params": p}
+
+
+def convert_dav2(state_dict: Mapping) -> dict:
+    """Full DepthAnythingV2 checkpoint → {"vit": ..., "head": ...}."""
+    return {
+        "vit": convert_dinov2_vit(state_dict, "pretrained"),
+        "head": convert_dpt_head(state_dict, "depth_head"),
+    }
+
+
+def load_dav2_checkpoint(path: str, variant: str):
+    import os
+
+    if not os.path.exists(path):
+        return None
+    if path.endswith(".npz"):
+        return convert_dav2(dict(np.load(path)))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return convert_dav2(sd)

@@ -167,12 +167,18 @@ class DroidNet(nn.Module):
         self.update = UpdateModule()
 
     def encode_features(self, images):
-        """images: (B, H, W, 3) RGB in [0, 1] → (B, H/8, W/8, 128)."""
+        """images: (B, H, W, 3) RGB — uint8 or float in [0, 1] →
+        (B, H/8, W/8, 128).  uint8 input keeps the host→device transfer 4×
+        smaller; normalization happens on device."""
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         x = (images - IMAGENET_MEAN) / IMAGENET_STD
         return self.fnet(x)
 
     def encode_context(self, images):
         """→ (net tanh, inp relu), each (B, H/8, W/8, 128)."""
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
         x = (images - IMAGENET_MEAN) / IMAGENET_STD
         out = self.cnet(x)
         net, inp = jnp.split(out, 2, axis=-1)

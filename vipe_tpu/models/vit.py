@@ -1,0 +1,145 @@
+"""DINOv2 Vision Transformer in flax (NHWC, SDPA attention).
+
+Shared backbone for the depth-prior zoo: DepthAnythingV2 / PriorDA /
+VideoDepthAnything (reference vendored copies at
+/root/reference/vipe/priors/depth/dav2/dinov2.py, priorda/dav2/,
+videodepthanything/) and later UniDepth / Metric3D.
+
+Architecture facts mirrored from the reference (dinov2.py:59-440):
+  * patch 14, img_size 518 → 37×37 base pos-embed grid, cls token;
+  * pre-norm blocks with LayerScale (init_values=1.0) on both branches;
+  * MemEffAttention → plain scaled-dot-product attention here
+    (the reference's xformers shim is already SDPA, vipe/ext/xformers.py:33);
+  * runtime positional-embedding interpolation for arbitrary input sizes
+    (bicubic; the reference adds a +0.1 scale offset quirk — we resize
+    directly to the target grid, which differs by <1e-3 in embed space);
+  * ``get_intermediate_layers`` applies the final norm to each tapped output
+    and splits (patch tokens, cls token) (dinov2.py:311-335).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+VIT_CONFIGS = {
+    "vits": dict(embed_dim=384, depth=12, num_heads=6),
+    "vitb": dict(embed_dim=768, depth=12, num_heads=12),
+    "vitl": dict(embed_dim=1024, depth=24, num_heads=16),
+    "vitg": dict(embed_dim=1536, depth=40, num_heads=24),
+}
+
+
+class Mlp(nn.Module):
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, name="fc2")(x)
+
+
+class Attention(nn.Module):
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, D = x.shape
+        qkv = nn.Dense(3 * self.dim, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, D // self.num_heads)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = jax.nn.dot_product_attention(q, k, v)
+        out = out.reshape(B, N, D)
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class LayerScale(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+        return x * gamma
+
+
+class Block(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        y = Attention(self.dim, self.num_heads, name="attn")(y)
+        x = x + LayerScale(self.dim, name="ls1")(y)
+        y = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(y)
+        return x + LayerScale(self.dim, name="ls2")(y)
+
+
+class DinoViT(nn.Module):
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    patch_size: int = 14
+    img_size: int = 518
+
+    @nn.compact
+    def __call__(self, x, tap_layers: Sequence[int] = ()):
+        """x: (B, H, W, 3) normalized image, H/W multiples of patch_size.
+
+        Returns list of (patch_tokens (B, N, D), cls (B, D)) per tap layer
+        (final norm applied), plus the final-layer pair appended if not
+        already tapped.
+        """
+        B, H, W, _ = x.shape
+        ph, pw = H // self.patch_size, W // self.patch_size
+
+        x = nn.Conv(
+            self.embed_dim, (self.patch_size, self.patch_size),
+            strides=self.patch_size, name="patch_embed",
+        )(x)
+        x = x.reshape(B, ph * pw, self.embed_dim)
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, self.embed_dim)
+        )
+        base = self.img_size // self.patch_size
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, base * base + 1, self.embed_dim),
+        )
+        pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
+        if (ph, pw) != (base, base):
+            grid = pos_patch.reshape(1, base, base, self.embed_dim)
+            grid = jax.image.resize(
+                grid, (1, ph, pw, self.embed_dim), method="bicubic"
+            )
+            pos_patch = grid.reshape(1, ph * pw, self.embed_dim)
+
+        x = x + pos_patch
+        cls_tok = jnp.broadcast_to(cls + pos_cls, (B, 1, self.embed_dim))
+        x = jnp.concatenate([cls_tok, x], axis=1)
+
+        taps = {}
+        norm = nn.LayerNorm(epsilon=1e-6, name="norm")
+        for i in range(self.depth):
+            x = Block(self.embed_dim, self.num_heads, name=f"block{i}")(x)
+            if i in tap_layers:
+                taps[i] = x
+
+        outs = []
+        for i in tap_layers:
+            t = norm(taps[i])
+            outs.append((t[:, 1:], t[:, 0]))
+        return outs
+
+
+def make_vit(variant: str, **kwargs) -> DinoViT:
+    return DinoViT(**{**VIT_CONFIGS[variant], **kwargs})

@@ -106,6 +106,13 @@ class AdaptiveDepthProcessor(StreamProcessor):
         self.metric_name = parts[1]
         self.vda_kind = parts[2] if len(parts) > 2 else None
         self.metric_model = make_depth_model(self.metric_name)
+        self.vda = None
+        if self.vda_kind in ("vda", "svda"):
+            from ..priors.depth.videodepthanything import VideoDepthAnythingModel
+
+            self.vda = VideoDepthAnythingModel(
+                "vitl" if self.vda_kind == "vda" else "vits"
+            )
         self._ema_scale: Optional[float] = None
         self._ema_bias: Optional[float] = None
 
@@ -134,7 +141,12 @@ class AdaptiveDepthProcessor(StreamProcessor):
         score = self._coverage_score()
         use_metric = score < self.coverage_thresh
 
-        for frame_idx, frame in enumerate(it):
+        frames = list(it) if self.vda is not None else it
+        vda_disps = None
+        if self.vda is not None:
+            vda_disps = self.vda.infer_video_depth([f.rgb for f in frames])
+
+        for frame_idx, frame in enumerate(frames if self.vda is not None else it):
             if use_metric or True:  # PriorDA branch pending port
                 focal = (
                     float(frame.intrinsics[0])
@@ -142,6 +154,23 @@ class AdaptiveDepthProcessor(StreamProcessor):
                 )
                 depth = np.asarray(
                     self.metric_model.estimate_depth(frame.rgb, focal)
+                )
+            if vda_disps is not None:
+                # per-frame affine alignment of the temporally-stable VDA
+                # disparity to the prompt depth, 0.99-momentum EMA on
+                # (scale, bias) (reference processors.py:271-296)
+                try:
+                    s_, b_ = align_inv_depth_to_depth(vda_disps[frame_idx], depth)
+                except Exception:
+                    s_ = self._ema_scale if self._ema_scale is not None else 1.0
+                    b_ = self._ema_bias if self._ema_bias is not None else 0.0
+                if self._ema_scale is None:
+                    self._ema_scale, self._ema_bias = s_, b_
+                else:
+                    self._ema_scale = 0.99 * self._ema_scale + 0.01 * s_
+                    self._ema_bias = 0.99 * self._ema_bias + 0.01 * b_
+                depth = apply_inv_depth_alignment(
+                    vda_disps[frame_idx], self._ema_scale, self._ema_bias
                 )
             frame.metric_depth = depth.astype(np.float32)
             yield frame

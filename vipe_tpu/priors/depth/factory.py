@@ -14,19 +14,28 @@ def make_depth_model(name: str) -> DepthEstimationModel:
     family, _, variant = name.partition("-")
     if family == "constant":
         return ConstantDepthModel(float(variant) if variant else 2.0)
-    if family == "unidepth":
-        from .unidepth import UniDepthModel
-
-        return UniDepthModel(variant or "l")
-    if family == "metric3d":
-        from .metric3d import Metric3DModel
-
-        return Metric3DModel(variant or "small")
     if family == "dav2":
         from .dav2 import DepthAnythingV2Model
 
         return DepthAnythingV2Model(variant or "vitl")
+    if family in ("vda", "videodepthanything"):
+        from .videodepthanything import VideoDepthAnythingModel
+
+        return VideoDepthAnythingModel(variant or "vitl")
+    if family in ("unidepth", "metric3d", "priorda"):
+        try:
+            if family == "unidepth":
+                from .unidepth import UniDepthModel as _M
+            elif family == "metric3d":
+                from .metric3d import Metric3DModel as _M
+            else:
+                from .priorda import PriorDAModel as _M
+        except ImportError as e:
+            raise NotImplementedError(
+                f"depth model family {family!r} is not ported yet "
+                f"(planned; see SURVEY.md §2.4)"
+            ) from e
+        return _M(variant) if variant else _M()
     raise ValueError(
-        f"Unknown or not-yet-ported depth model family: {family!r} "
-        f"(from {name!r})"
+        f"Unknown depth model family: {family!r} (from {name!r})"
     )

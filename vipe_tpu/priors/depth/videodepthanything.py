@@ -1,0 +1,236 @@
+"""VideoDepthAnything: temporally-consistent relative depth over video.
+
+Reference: /root/reference/vipe/priors/depth/videodepthanything/ — DINOv2
+encoder per frame + ``DPTHeadTemporal`` (DPT with TemporalModules inserted at
+layer3/layer4/path4/path3, dpt_temporal.py:36-104) + 32-frame sliding-window
+inference with scale/shift overlap stitching (video_depth.py:80-184).
+
+Constants (video_depth.py:34-37): INFER_LEN=32, OVERLAP=10,
+KEYFRAMES=[0,12,24..31], INTERP_LEN=8.  "svda" = vits variant, "vda" = vitl
+(reference processors.py:168-174).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import flax.linen as nn
+
+from ...models.dpt import DPTHead, FeatureFusionBlock, _resize_bilinear
+from ...models.temporal import TemporalModule
+from ...models.vit import make_vit
+from .base import DepthEstimationInput, DepthEstimationModel, DepthEstimationResult, DepthType
+from .dav2 import DAV2_CONFIGS, IMAGENET_MEAN, IMAGENET_STD, preprocess
+
+INFER_LEN = 32
+OVERLAP = 10
+KEYFRAMES = [0, 12, 24, 25, 26, 27, 28, 29, 30, 31]
+INTERP_LEN = 8
+
+
+class DPTHeadTemporal(nn.Module):
+    """DPT head with temporal mixing (reference dpt_temporal.py)."""
+
+    features: int = 256
+    out_channels: tuple = (256, 512, 1024, 1024)
+    patch_size: int = 14
+    num_frames: int = INFER_LEN
+
+    @nn.compact
+    def __call__(self, taps, ph: int, pw: int, T: int):
+        feats = []
+        for i, (tokens, _cls) in enumerate(taps):
+            B, N, D = tokens.shape
+            f = tokens.reshape(B, ph, pw, D)
+            f = nn.Conv(self.out_channels[i], (1, 1), name=f"project{i}")(f)
+            if i == 0:
+                f = nn.ConvTranspose(self.out_channels[i], (4, 4), strides=(4, 4),
+                                     name="resize0")(f)
+            elif i == 1:
+                f = nn.ConvTranspose(self.out_channels[i], (2, 2), strides=(2, 2),
+                                     name="resize1")(f)
+            elif i == 3:
+                f = nn.Conv(self.out_channels[i], (3, 3), strides=2,
+                            name="resize3")(f)
+            feats.append(f)
+
+        l1, l2, l3, l4 = feats
+        l3 = TemporalModule(self.out_channels[2], max_len=self.num_frames,
+                            name="motion0")(l3, T)
+        l4 = TemporalModule(self.out_channels[3], max_len=self.num_frames,
+                            name="motion1")(l4, T)
+
+        rn = []
+        for i, f in enumerate([l1, l2, l3, l4]):
+            rn.append(nn.Conv(self.features, (3, 3), use_bias=False,
+                              name=f"layer{i + 1}_rn")(f))
+        l1, l2, l3, l4 = rn
+
+        p4 = FeatureFusionBlock(self.features, name="refinenet4")(
+            l4, out_hw=l3.shape[1:3])
+        p4 = TemporalModule(self.features, max_len=self.num_frames,
+                            name="motion2")(p4, T)
+        p3 = FeatureFusionBlock(self.features, name="refinenet3")(
+            p4, l3, out_hw=l2.shape[1:3])
+        p3 = TemporalModule(self.features, max_len=self.num_frames,
+                            name="motion3")(p3, T)
+        p2 = FeatureFusionBlock(self.features, name="refinenet2")(
+            p3, l2, out_hw=l1.shape[1:3])
+        p1 = FeatureFusionBlock(self.features, name="refinenet1")(p2, l1)
+
+        out = nn.Conv(self.features // 2, (3, 3), name="output_conv1")(p1)
+        out = _resize_bilinear(out, (ph * self.patch_size, pw * self.patch_size))
+        out = nn.Conv(32, (3, 3), name="output_conv2_0")(out)
+        out = nn.relu(out)
+        out = nn.Conv(1, (1, 1), name="output_conv2_2")(out)
+        return nn.relu(out)[..., 0]
+
+
+class VideoDepthAnythingNet:
+    def __init__(self, variant: str = "vitl", params=None, rng_seed: int = 0,
+                 num_frames: int = INFER_LEN):
+        cfg = DAV2_CONFIGS[variant]
+        self.variant = variant
+        self.taps = cfg["taps"]
+        self.num_frames = num_frames
+        self.vit = make_vit(variant)
+        self.head = DPTHeadTemporal(
+            features=cfg["features"], out_channels=cfg["out_channels"],
+            num_frames=num_frames,
+        )
+        if params is None:
+            params = self.init_params(jax.random.PRNGKey(rng_seed))
+        self.params = params
+
+        @jax.jit
+        def _forward(params, clip):
+            """clip: (T, H, W, 3) normalized → (T, H, W) disparity."""
+            T = clip.shape[0]
+            taps = self.vit.apply(params["vit"], clip, tap_layers=self.taps)
+            ph, pw = clip.shape[1] // 14, clip.shape[2] // 14
+            return self.head.apply(params["head"], taps, ph, pw, T)
+
+        self._forward = _forward
+
+    def init_params(self, key, h: int = 70, w: int = 70, T: int = 2):
+        k1, k2 = jax.random.split(key)
+        x = jnp.zeros((T, h, w, 3))
+        vit_params = self.vit.init(k1, x, tap_layers=self.taps)
+        taps = self.vit.apply(vit_params, x, tap_layers=self.taps)
+        head_params = self.head.init(k2, taps, h // 14, w // 14, T)
+        return {"vit": vit_params, "head": head_params}
+
+    def __call__(self, clip):
+        return self._forward(self.params, clip)
+
+
+# ---------------------------------------------------------------- stitching
+
+
+def compute_scale_and_shift(pred, target, mask=None):
+    """Closed-form LSQ scale/shift (reference util.py:42-64)."""
+    pred = np.asarray(pred, np.float32)
+    target = np.asarray(target, np.float32)
+    m = np.ones_like(pred) if mask is None else np.asarray(mask, np.float32)
+    a00 = np.sum(m * pred * pred)
+    a01 = np.sum(m * pred)
+    a11 = np.sum(m)
+    b0 = np.sum(m * pred * target)
+    b1 = np.sum(m * target)
+    det = a00 * a11 - a01 * a01
+    if det == 0:
+        return 1.0, 0.0
+    return float((a11 * b0 - a01 * b1) / det), float((-a01 * b0 + a00 * b1) / det)
+
+
+def get_interpolate_frames(pre: List[np.ndarray], post: List[np.ndarray]):
+    """Linear cross-fade between overlapping window outputs (util.py:67-81)."""
+    assert len(pre) == len(post)
+    n = len(pre)
+    ws = [0.0] + [i / (n - 1) for i in range(1, n - 1)] + [1.0]
+    return [p * (1 - w) + q * w for p, q, w in zip(pre, post, ws)]
+
+
+def stitch_depth_windows(depth_list: List[np.ndarray], org_len: int):
+    """Align consecutive INFER_LEN windows by scale/shift on the keyframe
+    overlap, cross-fading the INTERP_LEN seam (reference video_depth.py:143-182)."""
+    aligned: List[np.ndarray] = []
+    ref_align: List[np.ndarray] = []
+    align_len = OVERLAP - INTERP_LEN
+    kf_align = KEYFRAMES[:align_len]
+
+    for f0 in range(0, len(depth_list), INFER_LEN):
+        if not aligned:
+            aligned += depth_list[:INFER_LEN]
+            for kf in kf_align:
+                ref_align.append(depth_list[f0 + kf])
+            continue
+        curr_align = [depth_list[f0 + i] for i in range(len(kf_align))]
+        scale, shift = compute_scale_and_shift(
+            np.concatenate(curr_align), np.concatenate(ref_align)
+        )
+        pre = aligned[-INTERP_LEN:]
+        post = [
+            np.maximum(depth_list[f0 + i] * scale + shift, 0)
+            for i in range(align_len, OVERLAP)
+        ]
+        aligned[-INTERP_LEN:] = get_interpolate_frames(pre, post)
+        for i in range(OVERLAP, INFER_LEN):
+            aligned.append(np.maximum(depth_list[f0 + i] * scale + shift, 0))
+        ref_align = ref_align[:1]
+        for kf in kf_align[1:]:
+            ref_align.append(np.maximum(depth_list[f0 + kf] * scale + shift, 0))
+
+    return np.stack(aligned[:org_len], axis=0)
+
+
+class VideoDepthAnythingModel(DepthEstimationModel):
+    """Whole-video inference adapter (reference VdieoDepthAnythingDepthModel
+    [sic], videodepthanything/__init__.py:24-73)."""
+
+    depth_type = DepthType.AFFINE_DISP
+
+    def __init__(self, variant: str = "vitl", input_size: int = 518,
+                 params=None):
+        self.net = VideoDepthAnythingNet(variant, params)
+        self.input_size = input_size
+
+    def infer_video_depth(self, frames: List[np.ndarray]) -> np.ndarray:
+        """frames: list of (H, W, 3) float RGB in [0,1] → (T, H, W) disparity."""
+        h, w = frames[0].shape[:2]
+        ratio = max(h, w) / min(h, w)
+        input_size = self.input_size
+        if ratio > 1.78:
+            input_size = round(input_size * 1.777 / ratio / 14) * 14
+
+        step = INFER_LEN - OVERLAP
+        org_len = len(frames)
+        pad = (step - (org_len % step)) % step + OVERLAP
+        frames = list(frames) + [frames[-1]] * pad
+
+        depth_list: List[np.ndarray] = []
+        pre_input: Optional[np.ndarray] = None
+        for f0 in range(0, org_len, step):
+            clip = np.stack([
+                preprocess(frames[f0 + i], input_size)[0]
+                for i in range(INFER_LEN)
+            ])
+            if pre_input is not None:
+                clip[:OVERLAP] = pre_input[KEYFRAMES]
+            depth = np.asarray(self.net(jnp.asarray(clip)))
+            depth = np.stack([
+                np.asarray(jax.image.resize(jnp.asarray(d), (h, w), "bilinear"))
+                for d in depth
+            ])
+            depth_list += list(depth)
+            pre_input = clip
+
+        return stitch_depth_windows(depth_list, org_len)
+
+    def estimate(self, inp: DepthEstimationInput) -> DepthEstimationResult:
+        out = self.infer_video_depth([np.asarray(inp.rgb)])
+        return DepthEstimationResult(depth=jnp.asarray(out[0]))

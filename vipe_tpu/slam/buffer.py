@@ -24,6 +24,7 @@ import numpy as np
 
 from ..ops import cameras as cam
 from ..ops import geom, lie
+from ..utils import jaxutil
 
 
 def bucket_size(n: int, minimum: int = 16) -> int:
@@ -43,7 +44,7 @@ class GraphBuffer:
         init_disp: float = 1.0,
         camera_type: cam.CameraType = cam.CameraType.PINHOLE,
         dense_disp_alpha: float = 0.001,
-        feat_dtype=jnp.float32,
+        feat_dtype=jnp.bfloat16,
     ):
         assert height % 8 == 0 and width % 8 == 0
         self.height = height
@@ -59,7 +60,9 @@ class GraphBuffer:
         self.tstamp = np.zeros(buffer_size, np.int64)
 
         B, ht, wd = buffer_size, self.ht, self.wd
-        self.images = jnp.zeros((B, height, width, 3), feat_dtype)
+        # images stored uint8 (604 MB at 1024×384×512 vs 2.4 GB f32); consumers
+        # convert on device.  The reference stores fp16 (buffer.py:81-89).
+        self.images = jnp.zeros((B, height, width, 3), jnp.uint8)
         self.poses = jnp.broadcast_to(
             lie.se3_identity(), (B, 7)
         ).astype(jnp.float32)
@@ -98,24 +101,31 @@ class GraphBuffer:
     ):
         """Fill the next buffer slot (reference SLAMSystem._add_keyframe,
         system.py:131-163).  ``metric_depth`` is full-res depth; sampled at
-        [3::8, 3::8] and inverted into disps_sens."""
+        [3::8, 3::8] and inverted into disps_sens.  All writes are donated
+        (in-place on device) — an eager .at[].set would copy the whole
+        multi-GB buffer per keyframe."""
         k = self.n_frames
         assert k < self.buffer_size, "keyframe buffer exhausted"
         self.tstamp[k] = frame_idx
-        self.images = self.images.at[k].set(image.astype(self.images.dtype))
-        self.fmaps = self.fmaps.at[k].set(fmap.astype(self.fmaps.dtype))
-        self.nets = self.nets.at[k].set(net.astype(self.nets.dtype))
-        self.inps = self.inps.at[k].set(inp.astype(self.inps.dtype))
+        img = jnp.asarray(image)
+        if img.dtype != jnp.uint8:
+            img = jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8)
+        self.images = jaxutil.set_row(self.images, k, img)
+        self.fmaps = jaxutil.set_row(self.fmaps, k, fmap)
+        self.nets = jaxutil.set_row(self.nets, k, net)
+        self.inps = jaxutil.set_row(self.inps, k, inp)
         if mask is not None:
-            self.masks = self.masks.at[k].set(mask)
+            self.masks = jaxutil.set_row(self.masks, k, mask)
         if intrinsics is not None and k == 0:
             self.intrinsics = jnp.asarray(intrinsics, jnp.float32)
         if metric_depth is not None:
             d = jnp.asarray(metric_depth)[3::8, 3::8]
             sens = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-8), d)
-            self.disps_sens = self.disps_sens.at[k].set(sens)
+            self.disps_sens = jaxutil.set_row(self.disps_sens, k, sens)
         if pose is not None:
-            self.poses = self.poses.at[k].set(jnp.asarray(pose, jnp.float32))
+            self.poses = jaxutil.set_row(
+                self.poses, k, jnp.asarray(pose, jnp.float32)
+            )
         self.n_frames += 1
 
     def remove_second_newest(self):
@@ -124,7 +134,7 @@ class GraphBuffer:
         for name in ("images", "poses", "disps", "disps_sens", "masks",
                      "fmaps", "nets", "inps"):
             arr = getattr(self, name)
-            setattr(self, name, arr.at[ix].set(arr[ix + 1]))
+            setattr(self, name, jaxutil.set_row(arr, ix, arr[ix + 1]))
         self.tstamp[ix] = self.tstamp[ix + 1]
         self.n_frames -= 1
 
@@ -170,7 +180,10 @@ class GraphBuffer:
                 and self.last_depth_intrinsics is not None
             ):
                 ratio = float(self.last_depth_intrinsics[0]) / float(self.intrinsics[0])
-                self.disps_sens = self.disps_sens.at[: self.n_frames].multiply(ratio)
+                self.disps_sens = jaxutil.set_prefix(
+                    self.disps_sens,
+                    self.disps_sens[: self.n_frames] * ratio,
+                )
                 self.last_depth_intrinsics = self.intrinsics
                 return
             frames = range(self.n_frames)
@@ -179,12 +192,12 @@ class GraphBuffer:
 
         for k in frames:
             out = depth_model.estimate_depth(
-                self.images[k].astype(jnp.float32),
+                self.images[k].astype(jnp.float32) / 255.0,
                 focal_length=float(self.intrinsics[0]),
             )
             d = out[3::8, 3::8]
             sens = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-8), d)
-            self.disps_sens = self.disps_sens.at[k].set(sens)
+            self.disps_sens = jaxutil.set_row(self.disps_sens, k, sens)
         self.last_depth_intrinsics = self.intrinsics
 
     # ---------------------------------------------------------------- mapping
@@ -220,7 +233,7 @@ class GraphBuffer:
             & (disps > 0.5 * per_frame_mean)
             & (~self.masks[:n])
         )
-        colors = self.images[:n, 3::8, 3::8, :].astype(jnp.float32)
+        colors = self.images[:n, 3::8, 3::8, :].astype(jnp.float32) / 255.0
         return SLAMMap(
             xyz=np.asarray(xyz),
             rgb=np.asarray(colors),

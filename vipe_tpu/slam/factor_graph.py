@@ -25,6 +25,7 @@ import numpy as np
 
 from ..ops import corr as corr_ops
 from ..ops import geom
+from ..utils import jaxutil
 from . import ba
 from .buffer import GraphBuffer, bucket_size
 
@@ -130,17 +131,22 @@ class FactorGraph:
         ii_d = jnp.asarray(ii, jnp.int32)
         jj_d = jnp.asarray(jj, jnp.int32)
         coords, _ = self.buffer.reproject(ii_d, jj_d)
-        self.target = self.target.at[sl].set(coords)
-        self.weight = self.weight.at[sl].set(0.0)
-        self.f_net = self.f_net.at[sl].set(
-            self.buffer.nets[ii_d].astype(jnp.float32)
+        start = self.n_edges
+        self.target = jaxutil.set_rows(self.target, start, coords)
+        self.weight = jaxutil.set_rows(
+            self.weight, start, jnp.zeros_like(coords)
+        )
+        self.f_net = jaxutil.set_rows(
+            self.f_net, start, self.buffer.nets[ii_d].astype(jnp.float32)
         )
         if self.incremental:
             f1 = self.buffer.fmaps[ii_d].astype(jnp.float32)
             f2 = self.buffer.fmaps[jj_d].astype(jnp.float32)
             pyr = corr_ops.corr_pyramid(f1, f2, self.corr_levels)
             for l in range(self.corr_levels):
-                self.corr_pyr[l] = self.corr_pyr[l].at[sl].set(pyr[l])
+                self.corr_pyr[l] = jaxutil.set_rows(
+                    self.corr_pyr[l], start, pyr[l]
+                )
         self.n_edges += len(ii)
 
     def rm_factors(self, mask, store: bool = False):
@@ -170,13 +176,12 @@ class FactorGraph:
         self.ii[: len(keep)] = self.ii[keep]
         self.jj[: len(keep)] = self.jj[keep]
         self.age[: len(keep)] = self.age[keep]
-        perm_d = jnp.asarray(perm, jnp.int32)
-        self.target = self.target[perm_d]
-        self.weight = self.weight[perm_d]
-        self.f_net = self.f_net[perm_d]
+        self.target = jaxutil.permute_rows(self.target, perm)
+        self.weight = jaxutil.permute_rows(self.weight, perm)
+        self.f_net = jaxutil.permute_rows(self.f_net, perm)
         if self.incremental:
             for l in range(self.corr_levels):
-                self.corr_pyr[l] = self.corr_pyr[l][perm_d]
+                self.corr_pyr[l] = jaxutil.permute_rows(self.corr_pyr[l], perm)
         self.n_edges = len(keep)
 
     def rm_second_newest_keyframe(self, ix: int):
@@ -356,7 +361,7 @@ class FactorGraph:
         # overwrite damping rows for source frames present in the graph
         src = np.unique(act_ii)
         src_d = jnp.asarray(src, jnp.int32)
-        self.damping = self.damping.at[src_d].set(eta[src_d])
+        self.damping = jaxutil.set_rows_at(self.damping, src_d, eta[src_d])
 
         self._bundle_adjustment(
             t0, t1, itrs,
@@ -415,12 +420,12 @@ class FactorGraph:
                     self.f_net[sl], coords1[sl], self.target[sl],
                     ii_d[sl], jj_d[sl], ev[sl] & cv, corr_feat, Nb,
                 )
-                self.f_net = self.f_net.at[sl].set(net)
-                self.target = self.target.at[sl].set(target)
-                self.weight = self.weight.at[sl].set(weight)
+                self.f_net = jaxutil.set_rows_at(self.f_net, sl, net)
+                self.target = jaxutil.set_rows_at(self.target, sl, target)
+                self.weight = jaxutil.set_rows_at(self.weight, sl, weight)
                 src = np.unique(act_ii[sel])
                 src_d = jnp.asarray(src, jnp.int32)
-                self.damping = self.damping.at[src_d].set(eta[src_d])
+                self.damping = jaxutil.set_rows_at(self.damping, src_d, eta[src_d])
 
             self._bundle_adjustment(
                 1, t, itrs,
@@ -538,7 +543,9 @@ class FactorGraph:
             jnp.float32(pose_damping),
             jnp.float32(pose_ep),
         )
-        buf.poses = buf.poses.at[:Nb].set(poses)
-        buf.disps = buf.disps.at[:Nb].set(disps.reshape(Nb, self.ht, self.wd))
+        buf.poses = jaxutil.set_prefix(buf.poses, poses)
+        buf.disps = jaxutil.set_prefix(
+            buf.disps, disps.reshape(Nb, self.ht, self.wd)
+        )
         if optimize_intrinsics:
             buf.intrinsics = intr

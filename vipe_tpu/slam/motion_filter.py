@@ -4,15 +4,31 @@
 Runs the feature encoder on EVERY frame, then one ConvGRU update against the
 last keyframe's features; the mean masked flow-delta magnitude gates keyframe
 creation (threshold ``filter_thresh`` = 2.4, configs/slam/default.yaml:5).
+
+TPU-specific design: the score is *submitted* asynchronously and *resolved* a
+frame later, so the ~25 ms device→host readback of the decision scalar
+overlaps the next frame's upload + compute instead of serializing the loop.
+Semantics stay exact: a token whose keyframe reference went stale (the
+previous frame became a keyframe after submission) is recomputed on resolve.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Optional
 
 import jax.numpy as jnp
 
 from ..ops import corr as corr_ops
+
+
+@dataclasses.dataclass
+class _Token:
+    image: object           # device image handle
+    fmap: object            # (h, w, 128) device
+    score: object           # () device scalar, or None for the init frame
+    mask: object
+    kf_version: int
 
 
 class MotionFilter:
@@ -25,26 +41,16 @@ class MotionFilter:
         self.params = params
         self.thresh = thresh
         self.initialized = False
+        self.kf_version = 0
         self.f_fmap = None
         self.f_net = None
         self.f_inp = None
         self.f_mask = None
-        self.count = 0  # frames skipped since last keyframe (reference :143)
 
-    def check(self, image, buffer_mask=None) -> bool:
-        """image: (H, W, 3) RGB in [0, 1]; buffer_mask: (h, w) bool 1=invalid.
+    # ------------------------------------------------------------- internals
 
-        Returns True iff this frame becomes a keyframe.
-        """
-        fmap = self.encode_features(self.params, image[None])[0]
-
-        if not self.initialized:
-            net, inp = self.encode_context(self.params, image[None])
-            self.f_fmap, self.f_net, self.f_inp = fmap, net[0], inp[0]
-            self.f_mask = buffer_mask
-            self.initialized = True
-            return True
-
+    def _score(self, fmap):
+        """One GRU iteration against the stored keyframe → flow-mag score."""
         ht, wd = fmap.shape[0], fmap.shape[1]
         u, v = jnp.meshgrid(
             jnp.arange(wd, dtype=jnp.float32),
@@ -52,7 +58,6 @@ class MotionFilter:
             indexing="xy",
         )
         coords0 = jnp.stack([u, v], axis=-1)[None]
-
         pyr = corr_ops.corr_pyramid(
             self.f_fmap[None].astype(jnp.float32),
             fmap[None].astype(jnp.float32),
@@ -65,14 +70,51 @@ class MotionFilter:
         )
         flow_mag = jnp.linalg.norm(delta[0], axis=-1)
         if self.f_mask is not None:
-            wgt = (~self.f_mask).astype(jnp.float32)
-            score = float(jnp.mean(flow_mag * wgt) / (jnp.mean(wgt) + 1e-6))
-        else:
-            score = float(jnp.mean(flow_mag))
+            w = (~self.f_mask).astype(jnp.float32)
+            return jnp.mean(flow_mag * w) / (jnp.mean(w) + 1e-6)
+        return jnp.mean(flow_mag)
 
-        if score > self.thresh:
-            net, inp = self.encode_context(self.params, image[None])
-            self.f_fmap, self.f_net, self.f_inp = fmap, net[0], inp[0]
-            self.f_mask = buffer_mask
+    def _promote(self, token: _Token):
+        """Make the token's frame the new keyframe reference."""
+        net, inp = self.encode_context(self.params, token.image[None])
+        self.f_fmap = token.fmap
+        self.f_net, self.f_inp = net[0], inp[0]
+        self.f_mask = token.mask
+        self.kf_version += 1
+
+    # ------------------------------------------------------------------- API
+
+    def submit(self, image, buffer_mask=None) -> _Token:
+        """Enqueue the score computation for one frame (non-blocking)."""
+        fmap = self.encode_features(self.params, image[None])[0]
+        if not self.initialized:
+            self.initialized = True
+            tok = _Token(image, fmap, None, buffer_mask, self.kf_version)
+            # the first frame is always a keyframe: promote NOW so the next
+            # submit (which may precede our resolve in the pipeline) has a
+            # reference to score against
+            self._promote(tok)
+            return tok
+        score = self._score(fmap)
+        return _Token(image, fmap, score, buffer_mask, self.kf_version)
+
+    def resolve(self, token: _Token) -> bool:
+        """Blockingly decide whether the submitted frame is a keyframe."""
+        if token.score is None:  # first frame, already promoted at submit
+            return True
+        if token.kf_version != self.kf_version:
+            # keyframe reference changed after submission → recompute
+            token.score = self._score(token.fmap)
+            token.kf_version = self.kf_version
+        if float(token.score) > self.thresh:
+            self._promote(token)
             return True
         return False
+
+    def check(self, image, buffer_mask=None) -> bool:
+        """Synchronous submit+resolve (reference-equivalent API)."""
+        return self.resolve(self.submit(image, buffer_mask))
+
+    @property
+    def last_keyframe_features(self):
+        return self.f_fmap, self.f_net, self.f_inp

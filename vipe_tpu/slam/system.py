@@ -151,28 +151,31 @@ class SLAMSystem:
 
         fbi = c.get("frontend_backend_iters", [16, 64, 256])
 
-        # ----------------------------------------------------------- pass 1
-        for frame_idx, frame in enumerate(stream):
-            rgb = jnp.asarray(frame.rgb)
-            bmask = (
-                self._mask_to_buffer(frame.mask, buffer.ht, buffer.wd)
-                if frame.mask is not None else None
-            )
-            is_kf = motion_filter.check(rgb, bmask) or frame_idx == total - 1
+        def _upload(frame):
+            """Host float RGB → device uint8 (4× smaller transfer)."""
+            rgb8 = (np.clip(frame.rgb, 0.0, 1.0) * 255).astype(np.uint8)
+            return jnp.asarray(rgb8)
+
+        def _process(entry, force_kf: bool):
+            """Resolve a pipelined keyframe decision, add + track."""
+            frame_idx, frame, rgb_dev, bmask, token = entry
+            is_kf = motion_filter.resolve(token)
             if is_kf:
-                # re-encode at add time (reference _add_keyframe re-runs both
-                # encoders, system.py:143-144) — also covers the forced final
-                # keyframe where the motion filter said no
-                fmap = self.encode_features(self.params, rgb[None])[0]
-                net, inp = self.encode_context(self.params, rgb[None])
+                # the motion filter already encoded this frame on promotion
+                fmap, net, inp = motion_filter.last_keyframe_features
+            elif force_kf:
+                is_kf = True
+                fmap = self.encode_features(self.params, rgb_dev[None])[0]
+                net, inp = self.encode_context(self.params, rgb_dev[None])
                 net, inp = net[0], inp[0]
+            if is_kf:
                 pose = None
                 if frame.pose is not None:
                     pose = np.asarray(
                         lie.se3_inv(jnp.asarray(frame.pose, jnp.float32))
                     )
                 buffer.append_keyframe(
-                    frame_idx, rgb, fmap, net, inp,
+                    frame_idx, rgb_dev, fmap, net, inp,
                     mask=bmask,
                     metric_depth=frame.metric_depth,
                     intrinsics=frame.intrinsics,
@@ -186,6 +189,23 @@ class SLAMSystem:
             if buffer.n_frames in fbi and is_kf:
                 backend.run_if_necessary(5)
 
+        # ----------------------------------------------------------- pass 1
+        # one-frame software pipeline: frame k's decision readback overlaps
+        # frame k+1's upload + encoder
+        pending = None
+        for frame_idx, frame in enumerate(stream):
+            rgb_dev = _upload(frame)
+            bmask = (
+                self._mask_to_buffer(frame.mask, buffer.ht, buffer.wd)
+                if frame.mask is not None else None
+            )
+            token = motion_filter.submit(rgb_dev, bmask)
+            if pending is not None:
+                _process(pending, force_kf=False)
+            pending = (frame_idx, frame, rgb_dev, bmask, token)
+        if pending is not None:
+            _process(pending, force_kf=True)
+
         # ------------------------------------------------------- global BA
         backend.run(7)
         backend.run(c.get("backend_iters", 24), update_depth=False)
@@ -193,15 +213,15 @@ class SLAMSystem:
         # ----------------------------------------------------------- pass 2
         filler.set_start_idx(buffer.n_frames)
         for frame_idx, frame in enumerate(stream):
-            rgb = jnp.asarray(frame.rgb)
+            rgb_dev = _upload(frame)
             bmask = (
                 self._mask_to_buffer(frame.mask, buffer.ht, buffer.wd)
                 if frame.mask is not None else None
             )
-            fmap = self.encode_features(self.params, rgb[None])[0]
-            net, inp = self.encode_context(self.params, rgb[None])
+            fmap = self.encode_features(self.params, rgb_dev[None])[0]
+            net, inp = self.encode_context(self.params, rgb_dev[None])
             buffer.append_keyframe(
-                frame_idx, rgb, fmap, net[0], inp[0],
+                frame_idx, rgb_dev, fmap, net[0], inp[0],
                 mask=bmask, metric_depth=frame.metric_depth,
             )
             if filler.check() or frame_idx == total - 1:

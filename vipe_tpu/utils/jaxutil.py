@@ -1,0 +1,69 @@
+"""JAX helpers for in-place device-buffer mutation.
+
+Eager ``arr.at[i].set(v)`` cannot donate its input, so every call copies the
+WHOLE array — 1.6 GB per keyframe append for the feature buffers.  These
+jitted helpers donate the destination so XLA updates in place (the jit cache
+keys on shape/dtype, so each buffer layout compiles once).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _set_row_dyn(arr, val, idx):
+    return jax.lax.dynamic_update_slice(
+        arr, val[None], (idx,) + (0,) * (arr.ndim - 1)
+    )
+
+
+def set_row(arr, idx, val):
+    """In-place ``arr[idx] = val`` (idx dynamic — one trace per shape)."""
+    return _set_row_dyn(arr, val.astype(arr.dtype), jnp.int32(idx))
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _set_prefix(arr, val):
+    return jax.lax.dynamic_update_slice(arr, val.astype(arr.dtype),
+                                        (0,) * arr.ndim)
+
+
+def set_prefix(arr, val):
+    """In-place ``arr[:len(val), ...] = val``."""
+    return _set_prefix(arr, val)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _set_slice_dyn(arr, val, start):
+    return jax.lax.dynamic_update_slice(
+        arr, val, (start,) + (0,) * (arr.ndim - 1)
+    )
+
+
+def set_rows(arr, start: int, val):
+    """In-place ``arr[start:start+len(val)] = val`` (contiguous rows)."""
+    return _set_slice_dyn(arr, val.astype(arr.dtype), jnp.int32(start))
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _scatter_rows(arr, idx, val):
+    return arr.at[idx].set(val)
+
+
+def set_rows_at(arr, idx, val):
+    """In-place scatter ``arr[idx] = val`` for an index array."""
+    return _scatter_rows(arr, jnp.asarray(idx, jnp.int32), val.astype(arr.dtype))
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _permute_rows(arr, perm):
+    return arr[perm]
+
+
+def permute_rows(arr, perm):
+    """``arr = arr[perm]`` without a second persistent allocation."""
+    return _permute_rows(arr, jnp.asarray(perm, jnp.int32))
