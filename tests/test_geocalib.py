@@ -1,0 +1,101 @@
+"""GeoCalib perspective fields + LM optimizer tests (synthetic recovery)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vipe_tpu.priors.geocalib import (
+    calibrate_from_fields,
+    gravity_from_rp,
+    latitude_field,
+    rp_from_gravity,
+    up_field,
+)
+
+
+class TestFields:
+    def test_gravity_roundtrip(self, rng):
+        roll = rng.uniform(-0.5, 0.5, 8).astype(np.float32)
+        pitch = rng.uniform(-0.5, 0.5, 8).astype(np.float32)
+        g = gravity_from_rp(jnp.asarray(roll), jnp.asarray(pitch))
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(g), axis=-1), 1.0,
+                                   atol=1e-6)
+        r2, p2 = rp_from_gravity(g)
+        np.testing.assert_allclose(r2, roll, atol=1e-5)
+        np.testing.assert_allclose(p2, pitch, atol=1e-5)
+
+    def test_upright_camera_up_field(self):
+        """Zero roll/pitch → up field points straight up (−y in image)."""
+        up = up_field(16, 20, 20.0, 0.0, 0.0)
+        np.testing.assert_allclose(np.asarray(up[..., 1]), -1.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(up[..., 0]), 0.0, atol=1e-5)
+
+    def test_rolled_camera_up_field(self):
+        """Pure roll rotates the up field by the roll angle at the center."""
+        roll = 0.3
+        up = up_field(17, 21, 20.0, roll, 0.0)
+        c = np.asarray(up[8, 10])  # principal point: pure rotation
+        # reference roll sign convention: x component = −sin(roll)
+        expected = np.array([-np.sin(roll), -np.cos(roll)])
+        np.testing.assert_allclose(c, expected, atol=1e-4)
+
+    def test_latitude_center_equals_pitch(self):
+        """At the principal point the latitude equals the pitch angle."""
+        for pitch in (0.0, 0.2, -0.35):
+            lat = latitude_field(17, 21, 25.0, 0.1, pitch)
+            np.testing.assert_allclose(float(lat[8, 10]), pitch, atol=1e-4)
+
+    def test_latitude_range(self):
+        lat = latitude_field(16, 20, 10.0, 0.0, 0.0)
+        assert float(jnp.max(jnp.abs(lat))) < np.pi / 2
+
+
+class TestLMOptimizer:
+    def test_recovers_focal_and_gravity(self, rng):
+        h, w = 24, 32
+        focal_gt, roll_gt, pitch_gt = 40.0, 0.25, -0.15
+        up_gt = up_field(h, w, focal_gt, roll_gt, pitch_gt)
+        lat_gt = latitude_field(h, w, focal_gt, roll_gt, pitch_gt)
+        res = calibrate_from_fields(up_gt, lat_gt, focal_init=float(w))
+        assert abs(float(res.focal) - focal_gt) / focal_gt < 0.02, res
+        assert abs(float(res.roll[0]) - roll_gt) < 0.01
+        assert abs(float(res.pitch[0]) - pitch_gt) < 0.01
+
+    def test_robust_to_noise_and_confidence(self, rng):
+        h, w = 24, 32
+        focal_gt, roll_gt, pitch_gt = 36.0, -0.1, 0.2
+        up_gt = np.asarray(up_field(h, w, focal_gt, roll_gt, pitch_gt))
+        lat_gt = np.asarray(latitude_field(h, w, focal_gt, roll_gt, pitch_gt))
+        # corrupt a corner region, mark it low-confidence
+        up_noisy = up_gt.copy()
+        up_noisy[:8, :8] = rng.normal(size=(8, 8, 2))
+        lat_noisy = lat_gt.copy()
+        lat_noisy[:8, :8] = rng.normal(size=(8, 8))
+        conf = np.ones((h, w), np.float32)
+        conf[:8, :8] = 0.0
+        res = calibrate_from_fields(
+            up_noisy, lat_noisy, up_conf=conf[None], lat_conf=conf[None],
+            focal_init=float(w),
+        )
+        assert abs(float(res.focal) - focal_gt) / focal_gt < 0.05
+        assert abs(float(res.roll[0]) - roll_gt) < 0.02
+
+    def test_shared_intrinsics_multi_frame(self, rng):
+        """3 frames, one focal, three gravities (the pipeline's setup)."""
+        h, w = 20, 24
+        focal_gt = 30.0
+        rolls = [0.1, -0.2, 0.3]
+        pitches = [-0.1, 0.15, 0.05]
+        ups = np.stack([
+            np.asarray(up_field(h, w, focal_gt, r, p))
+            for r, p in zip(rolls, pitches)
+        ])
+        lats = np.stack([
+            np.asarray(latitude_field(h, w, focal_gt, r, p))
+            for r, p in zip(rolls, pitches)
+        ])
+        res = calibrate_from_fields(ups, lats, focal_init=float(w))
+        assert abs(float(res.focal) - focal_gt) / focal_gt < 0.02
+        for b in range(3):
+            assert abs(float(res.roll[b]) - rolls[b]) < 0.01
+            assert abs(float(res.pitch[b]) - pitches[b]) < 0.01

@@ -118,6 +118,7 @@ def make_oracle(buffer_ref, poses_w2c_gt, disps_gt, intr_full):
         eta = jnp.full((num_frames, ht, wd), 0.01, jnp.float32)
         return net, delta, weight, eta
 
+    update_fn.host_only = True  # closes over host state — cannot be traced
     return update_fn
 
 

@@ -32,6 +32,67 @@ from .buffer import GraphBuffer, bucket_size
 CORR_LEVELS = 4
 CORR_RADIUS = 3
 BACKEND_CHUNK = 32  # edges per alt-corr chunk in update_batch
+ADD_CHUNK = 16      # edges per corr-volume build (bounds transient HBM)
+CORR_DTYPE = jnp.bfloat16  # stored volumes (reference keeps fp16 via autocast)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _jitted_edge_corr(levels, fmaps, ii, jj):
+    """Per-edge correlation pyramid (one compiled program per batch bucket)."""
+    f1 = fmaps[ii].astype(jnp.float32)
+    f2 = fmaps[jj].astype(jnp.float32)
+    pyr = corr_ops.corr_pyramid(f1, f2, levels)
+    return [p.astype(CORR_DTYPE) for p in pyr]
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_gru_step(update_fn, camera_type):
+    """Fused frontend GRU step: reproject + corr lookup + motion features +
+    update network + weight masking, one compiled program per (E, Nb) shape.
+    Eagerly this is ~300 small remote ops per call (~0.2 s over the TPU
+    tunnel); fused it is one dispatch."""
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def step(params, num_frames, poses, disps, intr_grid, corr_pyr, target,
+             f_net, inps, masks, ii, jj, edge_valid):
+        coords1, _ = geom.reproject(poses, disps, intr_grid, camera_type, ii, jj)
+        corr_feat = corr_ops.corr_lookup_pyramid(
+            [p.astype(jnp.float32) for p in corr_pyr], coords1, CORR_RADIUS
+        )
+        ht, wd = disps.shape[-2:]
+        u, v = jnp.meshgrid(
+            jnp.arange(wd, dtype=jnp.float32),
+            jnp.arange(ht, dtype=jnp.float32), indexing="xy",
+        )
+        grid = jnp.stack([u, v], axis=-1)
+        motn = jnp.concatenate(
+            [coords1 - grid, target - coords1], axis=-1
+        ).clip(-64.0, 64.0)
+        inp = inps[ii].astype(jnp.float32)
+        ix = jnp.where(edge_valid, ii, num_frames).astype(jnp.int32)
+        net, delta, weight, eta = update_fn(
+            params, f_net, inp, corr_feat, motn, ix, jj, num_frames + 1
+        )
+        bad = masks[ii][..., None] | (~edge_valid)[:, None, None, None]
+        weight = jnp.where(bad, 0.0, weight)
+        new_target = coords1 + delta
+        return net, new_target, weight, eta[:num_frames]
+
+    return step
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _jitted_distance_matrix(n, poses, disps, intrinsics, beta):
+    """Full n×n frame-distance matrix with the kernel's (ii, jj, disp=ii)
+    semantics — ONE compile per frame bucket instead of one per unique
+    pair-count (the reference computes exactly the pairs it needs, which on
+    TPU would retrace every keyframe)."""
+    ii, jj = jnp.meshgrid(jnp.arange(n), jnp.arange(n), indexing="ij")
+    d = geom.frame_distance(
+        poses, disps, intrinsics, ii.reshape(-1), jj.reshape(-1),
+        di=ii.reshape(-1), beta=beta,
+    )
+    return d.reshape(n, n)
 
 
 class FactorGraph:
@@ -60,14 +121,17 @@ class FactorGraph:
         self.jj = np.zeros(E, np.int64)
         self.age = np.zeros(E, np.int64)
 
-        self.target = jnp.zeros((E, ht, wd, 2), jnp.float32)
-        self.weight = jnp.zeros((E, ht, wd, 2), jnp.float32)
-        self.f_net = jnp.zeros((E, ht, wd, 128), jnp.float32)
+        # E+1 rows: row E is a scratch slot — add_factors pads its batches to
+        # power-of-two buckets (constant shapes → no recompile per batch size)
+        # and routes the padding writes there
+        self.target = jnp.zeros((E + 1, ht, wd, 2), jnp.float32)
+        self.weight = jnp.zeros((E + 1, ht, wd, 2), jnp.float32)
+        self.f_net = jnp.zeros((E + 1, ht, wd, 128), jnp.float32)
 
         if incremental:
             self.corr_pyr = [
                 jnp.zeros(
-                    (E, ht, wd) + corr_ops.level_dims(ht, wd, l), jnp.float32
+                    (E + 1, ht, wd) + corr_ops.level_dims(ht, wd, l), CORR_DTYPE
                 )
                 for l in range(self.corr_levels)
             ]
@@ -123,31 +187,45 @@ class FactorGraph:
         if len(ii) == 0:
             return
 
-        sl = slice(self.n_edges, self.n_edges + len(ii))
-        self.ii[sl] = ii
-        self.jj[sl] = jj
-        self.age[sl] = 0
-
-        ii_d = jnp.asarray(ii, jnp.int32)
-        jj_d = jnp.asarray(jj, jnp.int32)
-        coords, _ = self.buffer.reproject(ii_d, jj_d)
+        k = len(ii)
         start = self.n_edges
-        self.target = jaxutil.set_rows(self.target, start, coords)
-        self.weight = jaxutil.set_rows(
-            self.weight, start, jnp.zeros_like(coords)
-        )
-        self.f_net = jaxutil.set_rows(
-            self.f_net, start, self.buffer.nets[ii_d].astype(jnp.float32)
-        )
-        if self.incremental:
-            f1 = self.buffer.fmaps[ii_d].astype(jnp.float32)
-            f2 = self.buffer.fmaps[jj_d].astype(jnp.float32)
-            pyr = corr_ops.corr_pyramid(f1, f2, self.corr_levels)
-            for l in range(self.corr_levels):
-                self.corr_pyr[l] = jaxutil.set_rows(
-                    self.corr_pyr[l], start, pyr[l]
+        self.ii[start: start + k] = ii
+        self.jj[start: start + k] = jj
+        self.age[start: start + k] = 0
+
+        # pad each batch to a power-of-two bucket (≤ ADD_CHUNK) so compute +
+        # scatter shapes repeat across calls; padding rows land in the scratch
+        # slot E.  Chunking bounds the transient HBM of the volume build.
+        for c0 in range(0, k, ADD_CHUNK):
+            ci = ii[c0: c0 + ADD_CHUNK]
+            cj = jj[c0: c0 + ADD_CHUNK]
+            kc = len(ci)
+            kb = bucket_size(kc, minimum=4)
+            ii_pad = np.concatenate([ci, np.full(kb - kc, ci[-1])])
+            jj_pad = np.concatenate([cj, np.full(kb - kc, cj[-1])])
+            rows = np.full(kb, self.max_factors, np.int32)
+            rows[:kc] = np.arange(start + c0, start + c0 + kc)
+
+            ii_d = jnp.asarray(ii_pad, jnp.int32)
+            jj_d = jnp.asarray(jj_pad, jnp.int32)
+            rows_d = jnp.asarray(rows, jnp.int32)
+            coords, _ = self.buffer.reproject(ii_d, jj_d)
+            self.target = jaxutil.set_rows_at(self.target, rows_d, coords)
+            self.weight = jaxutil.set_rows_at(
+                self.weight, rows_d, jnp.zeros_like(coords)
+            )
+            self.f_net = jaxutil.set_rows_at(
+                self.f_net, rows_d, self.buffer.nets[ii_d].astype(jnp.float32)
+            )
+            if self.incremental:
+                pyr = _jitted_edge_corr(
+                    self.corr_levels, self.buffer.fmaps, ii_d, jj_d
                 )
-        self.n_edges += len(ii)
+                for l in range(self.corr_levels):
+                    self.corr_pyr[l] = jaxutil.set_rows_at(
+                        self.corr_pyr[l], rows_d, pyr[l]
+                    )
+        self.n_edges += k
 
     def rm_factors(self, mask, store: bool = False):
         """Drop edges, optionally storing them as inactive (reference :176-204)."""
@@ -172,7 +250,9 @@ class FactorGraph:
                 [self.weight_inac, np.asarray(self.weight[jnp.asarray(drop)])]
             )
 
-        perm = np.concatenate([keep, drop, np.arange(self.n_edges, self.max_factors)])
+        perm = np.concatenate([
+            keep, drop, np.arange(self.n_edges, self.max_factors + 1)
+        ])
         self.ii[: len(keep)] = self.ii[keep]
         self.jj[: len(keep)] = self.jj[keep]
         self.age[: len(keep)] = self.age[keep]
@@ -231,20 +311,19 @@ class FactorGraph:
         t = self.buffer.n_frames
         if t - max(t0, t1) <= 0:
             return
+        buf = self.buffer
+        Nb = bucket_size(t)
+        d_full = np.asarray(_jitted_distance_matrix(
+            Nb, buf.poses[:Nb], buf.disps[:Nb],
+            jnp.broadcast_to(buf.pinhole_grid_intrinsics, (Nb, 4)),
+            jnp.float32(beta),
+        )).astype(np.float64)
         ix = np.arange(t0, t)
         jx = np.arange(t1, t)
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
         ii, jj = ii.reshape(-1), jj.reshape(-1)
-
-        d = np.asarray(
-            self.buffer.frame_distance(
-                jnp.asarray(ii, jnp.int32), jnp.asarray(jj, jnp.int32),
-                beta=beta, bidirectional=False,
-            )
-        ).astype(np.float64)
-
+        d = d_full[t0:t, t1:t].copy()
         n_i, n_j = t - t0, t - t1
-        d = d.reshape(n_i, n_j)
 
         def _suppress(i, j):
             if t0 <= i < t and t1 <= j < t:
@@ -347,17 +426,31 @@ class FactorGraph:
         if t1 is None:
             t1 = int(max(act_ii.max(), act_jj.max()) + 1)
 
+        E = self.max_factors
         ii_d, jj_d, ev = self._active_arrays()
-        coords1, valid1 = self.buffer.reproject(ii_d, jj_d)
-        corr_feat = corr_ops.corr_lookup_pyramid(self.corr_pyr, coords1, CORR_RADIUS)
-
         Nb = bucket_size(self.buffer.n_frames)
-        net, target, weight, eta = self._run_update_fn(
-            self.f_net, coords1, self.target, ii_d, jj_d, ev, corr_feat, Nb
-        )
-        self.f_net = net
-        self.target = target
-        self.weight = weight
+        buf = self.buffer
+        if getattr(self.update_fn, "host_only", False):
+            coords1, _ = buf.reproject(ii_d, jj_d)
+            corr_feat = corr_ops.corr_lookup_pyramid(
+                [p[:E].astype(jnp.float32) for p in self.corr_pyr],
+                coords1, CORR_RADIUS,
+            )
+            net, target, weight, eta = self._run_update_fn(
+                self.f_net[:E], coords1, self.target[:E], ii_d, jj_d, ev,
+                corr_feat, Nb,
+            )
+        else:
+            step = _jitted_gru_step(self.update_fn, buf.camera_type)
+            net, target, weight, eta = step(
+                self.params, Nb, buf.poses[:Nb], buf.disps[:Nb],
+                buf.scaled_intrinsics, [p[:E] for p in self.corr_pyr],
+                self.target[:E], self.f_net[:E], buf.inps[:Nb],
+                buf.masks[:Nb], ii_d, jj_d, ev,
+            )
+        self.f_net = jaxutil.set_prefix(self.f_net, net)
+        self.target = jaxutil.set_prefix(self.target, target)
+        self.weight = jaxutil.set_prefix(self.weight, weight)
         # overwrite damping rows for source frames present in the graph
         src = np.unique(act_ii)
         src_d = jnp.asarray(src, jnp.int32)
@@ -477,11 +570,11 @@ class FactorGraph:
         ev = np.arange(Eb) < Etot
 
         if tgt_extra is not None:
-            target = jnp.concatenate([tgt_extra, self.target], 0)[:Eb]
-            weight = jnp.concatenate([wgt_extra, self.weight], 0)[:Eb]
+            target = jnp.concatenate([tgt_extra, self.target[: self.max_factors]], 0)[:Eb]
+            weight = jnp.concatenate([wgt_extra, self.weight[: self.max_factors]], 0)[:Eb]
         else:
-            target = self.target
-            weight = self.weight
+            target = self.target[: self.max_factors]
+            weight = self.weight[: self.max_factors]
         # pad or trim to Eb
         cur = target.shape[0]
         if cur < Eb:

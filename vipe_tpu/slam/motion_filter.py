@@ -15,11 +15,48 @@ previous frame became a keyframe after submission) is recomputed on resolve.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import corr as corr_ops
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_score(update_fn, masked: bool):
+    """One fused program per update_fn: corr volume+pyramid+lookup + one GRU
+    iteration + masked mean — eager execution of the all-pairs einsum lowers
+    to a pathologically slow kernel on TPU (~8 s/frame); jitted it's ~ms."""
+
+    def score(params, f_fmap, f_net, f_inp, f_mask, fmap):
+        ht, wd = fmap.shape[0], fmap.shape[1]
+        u, v = jnp.meshgrid(
+            jnp.arange(wd, dtype=jnp.float32),
+            jnp.arange(ht, dtype=jnp.float32),
+            indexing="xy",
+        )
+        coords0 = jnp.stack([u, v], axis=-1)[None]
+        pyr = corr_ops.corr_pyramid(
+            f_fmap[None].astype(jnp.float32), fmap[None].astype(jnp.float32)
+        )
+        corr = corr_ops.corr_lookup_pyramid(pyr, coords0)
+        motn = jnp.zeros((1, ht, wd, 4), jnp.float32)
+        _, delta, _, _ = update_fn(
+            params, f_net[None], f_inp[None], corr, motn,
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32), 1,
+        )
+        flow_mag = jnp.linalg.norm(delta[0], axis=-1)
+        if masked:
+            w = (~f_mask).astype(jnp.float32)
+            return jnp.mean(flow_mag * w) / (jnp.mean(w) + 1e-6)
+        return jnp.mean(flow_mag)
+
+    if masked:
+        return jax.jit(score)
+    return jax.jit(lambda params, f_fmap, f_net, f_inp, fmap: score(
+        params, f_fmap, f_net, f_inp, None, fmap))
 
 
 @dataclasses.dataclass
@@ -50,7 +87,20 @@ class MotionFilter:
     # ------------------------------------------------------------- internals
 
     def _score(self, fmap):
-        """One GRU iteration against the stored keyframe → flow-mag score."""
+        """One GRU iteration against the stored keyframe → flow-mag score.
+
+        update_fns marked ``host_only`` (e.g. the test oracle, which closes
+        over host state) take an eager path; real networks run fused."""
+        if getattr(self.update_fn, "host_only", False):
+            return self._score_eager(fmap)
+        if self.f_mask is not None:
+            fn = _jitted_score(self.update_fn, True)
+            return fn(self.params, self.f_fmap, self.f_net, self.f_inp,
+                      self.f_mask, fmap)
+        fn = _jitted_score(self.update_fn, False)
+        return fn(self.params, self.f_fmap, self.f_net, self.f_inp, fmap)
+
+    def _score_eager(self, fmap):
         ht, wd = fmap.shape[0], fmap.shape[1]
         u, v = jnp.meshgrid(
             jnp.arange(wd, dtype=jnp.float32),
@@ -59,8 +109,7 @@ class MotionFilter:
         )
         coords0 = jnp.stack([u, v], axis=-1)[None]
         pyr = corr_ops.corr_pyramid(
-            self.f_fmap[None].astype(jnp.float32),
-            fmap[None].astype(jnp.float32),
+            self.f_fmap[None].astype(jnp.float32), fmap[None].astype(jnp.float32)
         )
         corr = corr_ops.corr_lookup_pyramid(pyr, coords0)
         motn = jnp.zeros((1, ht, wd, 4), jnp.float32)

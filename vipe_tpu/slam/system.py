@@ -66,6 +66,19 @@ class StandardResizeStreamProcessor(StreamProcessor):
         return out
 
 
+@functools.lru_cache(maxsize=1)
+def default_droidnet():
+    """Process-level singleton: one DroidNet + params + jitted closures.
+
+    A fresh model per SLAMSystem would mint new jit closures and recompile
+    the whole hot path for every video (run.py processes many)."""
+    from ..models.droidnet import init_droidnet
+
+    model, params = init_droidnet(jax.random.PRNGKey(0))
+    ef, ec, uf = make_droidnet_fns(model)
+    return model, params, ef, ec, uf
+
+
 def make_droidnet_fns(model):
     """Jitted (encode_features, encode_context, update_fn) closures over a
     flax DroidNet; ``update_fn`` matches the FactorGraph injection protocol."""
@@ -97,11 +110,10 @@ class SLAMSystem:
                  encode_features=None, encode_context=None, metric_depth=None):
         self.config = dict(config or {})
         if update_fn is None:
-            from ..models.droidnet import DroidNet, init_droidnet
-
-            model, params_init = init_droidnet(jax.random.PRNGKey(0))
+            _, params_init, encode_features, encode_context, update_fn = (
+                default_droidnet()
+            )
             params = params if params is not None else params_init
-            encode_features, encode_context, update_fn = make_droidnet_fns(model)
         self.update_fn = update_fn
         self.params = params
         self.encode_features = encode_features
