@@ -106,6 +106,7 @@ class AdaptiveDepthProcessor(StreamProcessor):
         self.metric_name = parts[1]
         self.vda_kind = parts[2] if len(parts) > 2 else None
         self.metric_model = make_depth_model(self.metric_name)
+        self.priorda = None  # created lazily when coverage warrants it
         self.vda = None
         if self.vda_kind in ("vda", "svda"):
             from ..priors.depth.videodepthanything import VideoDepthAnythingModel
@@ -137,9 +138,27 @@ class AdaptiveDepthProcessor(StreamProcessor):
             )
         return float(min(scores)) if scores else 0.0
 
+    def _project_prompt(self, frame, frame_idx):
+        """Projected SLAM-map metric depth for PriorDA (processors.py:252-268)."""
+        import jax.numpy as jnp
+
+        from ..ops import lie
+
+        out = self.slam_output
+        h, w = frame.size()
+        w2c = np.asarray(lie.se3_inv(
+            jnp.asarray(out.trajectory[frame_idx], np.float32)))
+        return out.slam_map.project_map(
+            w2c, out.intrinsics, out.camera_type, (h, w), frame_idx=frame_idx,
+        )
+
     def update_iterator(self, it: Iterator[VideoFrame]) -> Iterator[VideoFrame]:
         score = self._coverage_score()
         use_metric = score < self.coverage_thresh
+        if not use_metric and self.priorda is None:
+            from ..priors.depth.priorda import PriorDAModel
+
+            self.priorda = PriorDAModel()
 
         frames = list(it) if self.vda is not None else it
         vda_disps = None
@@ -147,7 +166,7 @@ class AdaptiveDepthProcessor(StreamProcessor):
             vda_disps = self.vda.infer_video_depth([f.rgb for f in frames])
 
         for frame_idx, frame in enumerate(frames if self.vda is not None else it):
-            if use_metric or True:  # PriorDA branch pending port
+            if use_metric:
                 focal = (
                     float(frame.intrinsics[0])
                     if frame.intrinsics is not None else None
@@ -155,6 +174,17 @@ class AdaptiveDepthProcessor(StreamProcessor):
                 depth = np.asarray(
                     self.metric_model.estimate_depth(frame.rgb, focal)
                 )
+            else:
+                prompt = self._project_prompt(frame, frame_idx)
+                depth = self.priorda.complete(frame.rgb, prompt)
+                if not np.isfinite(depth).all():
+                    focal = (
+                        float(frame.intrinsics[0])
+                        if frame.intrinsics is not None else None
+                    )
+                    depth = np.asarray(
+                        self.metric_model.estimate_depth(frame.rgb, focal)
+                    )
             if vda_disps is not None:
                 # per-frame affine alignment of the temporally-stable VDA
                 # disparity to the prompt depth, 0.99-momentum EMA on

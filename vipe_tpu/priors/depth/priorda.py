@@ -1,0 +1,134 @@
+"""PriorDA: prompted depth completion (reference
+/root/reference/vipe/priors/depth/priorda/).
+
+Pipeline role (reference pipeline/processors.py:252-269): the projected SLAM
+map provides a sparse metric prompt; a DAv2-style network predicts relative
+disparities; a coarse alignment stage fits them to the prompt — a global
+scale/shift plus per-pixel K=5 inverse-distance-weighted KNN scale/shift
+(depth_completion.py:292-427).  The fine conditioned-refinement network
+(priorda.py:100-161) needs its released checkpoint and slots in behind the
+same interface; with random weights the coarse path alone is exercised.
+
+TPU design: the KNN runs as chunked distance matmuls + top_k
+(vipe_tpu.ops.knn) instead of the reference's CUDA kd-tree, and the per-pixel
+weighted 2×2 LSQ solves are a closed form evaluated in one vmap.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.knn import knn
+from .base import DepthEstimationInput, DepthEstimationModel, DepthEstimationResult, DepthType
+from .dav2 import DepthAnythingV2Net, preprocess
+
+
+def global_scale_shift(pred, sparse, mask):
+    """LSQ (scale, shift) with scale·pred + shift ≈ sparse on masked points
+    (reference ss_completer / global_aligns, depth_completion.py:381-427)."""
+    m = np.asarray(mask, bool)
+    x = np.asarray(pred, np.float64)[m]
+    y = np.asarray(sparse, np.float64)[m]
+    if len(x) < 2:
+        return 1.0, 0.0
+    A = np.stack([x, np.ones_like(x)], -1)
+    sol, *_ = np.linalg.lstsq(A, y, rcond=None)
+    return float(sol[0]), float(sol[1])
+
+
+def knn_scale_shift_completion(pred_disp, sparse_disp, sparse_mask, K: int = 5):
+    """Per-pixel KNN-weighted scale/shift (reference kss_completer,
+    depth_completion.py:341-379).
+
+    For every pixel, find the K nearest valid sparse pixels (image-plane
+    L2), solve the inverse-distance-weighted 2-point LSQ
+    ``scale·pred(neighbor) + shift ≈ sparse(neighbor)`` in closed form, and
+    apply it to that pixel's prediction.  Sparse pixels keep their prompt
+    value exactly.
+    """
+    pred = jnp.asarray(pred_disp, jnp.float32)
+    sparse = jnp.asarray(sparse_disp, jnp.float32)
+    mask = np.asarray(sparse_mask, bool)
+    H, W = pred.shape
+
+    vy, vx = np.nonzero(mask)
+    if len(vy) < K:
+        s, b = global_scale_shift(pred_disp, sparse_disp, sparse_mask)
+        out = pred * s + b
+        return jnp.where(jnp.asarray(mask), sparse, out)
+
+    pts = jnp.asarray(np.stack([vx, vy], -1), jnp.float32)
+    qy, qx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    queries = jnp.asarray(
+        np.stack([qx.reshape(-1), qy.reshape(-1)], -1), jnp.float32
+    )
+    d2, idx = knn(queries, pts, K)  # (HW, K)
+
+    sp_vals = jnp.asarray(sparse[vy, vx])[idx]   # (HW, K)
+    pr_vals = jnp.asarray(pred[vy, vx])[idx]     # (HW, K)
+    # tiny jitter avoids a singular system when neighbors share one value
+    pr_vals = pr_vals + 1e-5 * jnp.arange(1, K + 1)[None, :]
+
+    w = 1.0 / jnp.sqrt(jnp.maximum(d2, 1e-8))
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+
+    # weighted 2×2 normal equations per pixel
+    a00 = jnp.sum(w * pr_vals * pr_vals, 1)
+    a01 = jnp.sum(w * pr_vals, 1)
+    a11 = jnp.sum(w, 1)
+    b0 = jnp.sum(w * pr_vals * sp_vals, 1)
+    b1 = jnp.sum(w * sp_vals, 1)
+    det = a00 * a11 - a01 * a01
+    safe = jnp.abs(det) > 1e-10
+    scale = jnp.where(safe, (a11 * b0 - a01 * b1) / jnp.where(safe, det, 1.0), 1.0)
+    shift = jnp.where(safe, (-a01 * b0 + a00 * b1) / jnp.where(safe, det, 1.0), 0.0)
+
+    out = (pred.reshape(-1) * scale + shift).reshape(H, W)
+    return jnp.where(jnp.asarray(mask), sparse, out)
+
+
+class PriorDAModel(DepthEstimationModel):
+    """Prompted completion adapter (reference priorda/__init__.py:31-50)."""
+
+    depth_type = DepthType.METRIC_DEPTH
+
+    def __init__(self, variant: str = "vitb", input_size: int = 518,
+                 K: int = 5, params=None):
+        self.net = DepthAnythingV2Net(variant or "vitb", max_depth=None,
+                                      params=params)
+        self.input_size = input_size
+        self.K = K
+
+    def complete(self, rgb: np.ndarray, prompt_depth: np.ndarray) -> np.ndarray:
+        """rgb (H, W, 3) in [0,1]; prompt_depth (H, W) metric with 0 = empty.
+        Returns completed metric depth (H, W)."""
+        img, (h, w) = preprocess(rgb, self.input_size)
+        pred_disp = np.asarray(
+            jax.image.resize(self.net(jnp.asarray(img)[None])[0], (h, w),
+                             "bilinear")
+        )
+        prompt = np.asarray(prompt_depth, np.float32)
+        sparse_mask = prompt > 0
+        sparse_disp = np.where(sparse_mask, 1.0 / np.maximum(prompt, 1e-6), 0.0)
+
+        if sparse_mask.sum() < 2:
+            return np.full((h, w), np.nan, np.float32)
+
+        # coarse: global then KNN scale/shift alignment
+        s, b = global_scale_shift(pred_disp, sparse_disp, sparse_mask)
+        coarse = pred_disp * s + b
+        completed = np.asarray(
+            knn_scale_shift_completion(coarse, sparse_disp, sparse_mask, self.K)
+        )
+        completed = np.maximum(completed, 1e-4)
+        return (1.0 / completed).astype(np.float32)
+
+    def estimate(self, inp: DepthEstimationInput) -> DepthEstimationResult:
+        raise RuntimeError(
+            "PriorDA is a prompted completion model; call .complete(rgb, "
+            "prompt_depth) with a projected SLAM-map prompt"
+        )
