@@ -1,0 +1,313 @@
+"""UniDepth v2: camera-aware metric monocular depth (flax).
+
+Reference: /root/reference/vipe/priors/depth/unidepth/ — DINOv2 encoder
+tapped at 4 depths (features + cls tokens), a camera head that predicts
+pinhole intrinsics from the cls tokens, and a ray-conditioned depth head
+(decoder.py:53-529, unidepthv2.py:122-360).  ViPE uses it as the keyframe
+metric anchor with the GT/estimated focal passed in (depth/__init__.py:26-69),
+which takes the ``rays_gt`` path: predicted intrinsics are bypassed and the
+depth head is conditioned on rays from the provided camera.
+
+Output semantics: the decoder predicts log-radius; ``points = rays · radius``
+and the returned depth is the z component (unidepthv2.py:349 + postprocess).
+Depth type MODEL_METRIC_DEPTH: metric, but requires a re-run if intrinsics
+change (reference base.py:28-34).
+
+Decoder dims default to the published v2 architecture family and are
+overridden from checkpoint shapes at conversion time (the HF config is not
+vendored in the reference either — it ships via ``from_pretrained``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...models.unidepth_layers import (
+    MLP,
+    AttentionBlock,
+    AttentionLayer,
+    ResUpsampleBil,
+    fourier_features,
+    orthonormal_init,
+    position_embedding_sine,
+)
+from ...models.vit import make_vit
+from .base import DepthEstimationInput, DepthEstimationModel, DepthEstimationResult, DepthType
+from .dav2 import IMAGENET_MEAN, IMAGENET_STD
+
+UNIDEPTH_TAPS = {
+    "vits": (2, 5, 8, 11),
+    "vitb": (2, 5, 8, 11),
+    "vitl": (5, 11, 17, 23),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class UniDepthConfig:
+    variant: str = "vitl"
+    hidden_dim: int = 512
+    num_heads: int = 8
+    expansion: int = 4
+    depths: Sequence[int] = (2, 2, 2, 2)   # ResUpsample layers per stage
+    out_dim: int = 32
+    kernel_size: int = 7
+    layer_scale: float = 1.0
+
+
+class CameraHead(nn.Module):
+    """4 learned camera tokens → pinhole params (decoder.py:53-120)."""
+
+    cfg: UniDepthConfig
+
+    @nn.compact
+    def __call__(self, cls_tokens, image_hw):
+        d = self.cfg.hidden_dim
+        latents_pos = self.param(
+            "latents_pos", nn.initializers.normal(1.0), (1, 4, d)
+        )
+        tokens = MLP(d, expansion=1, output_dim=d, name="project")(cls_tokens)
+        lp = jnp.broadcast_to(latents_pos, (tokens.shape[0], 4, d))
+        tokens = AttentionBlock(
+            d, self.cfg.num_heads, self.cfg.expansion,
+            self.cfg.layer_scale, use_bias=False, name="aggregate1",
+        )(tokens[:, :4], context=tokens, pos_embed=lp)
+        tokens = AttentionBlock(
+            d, self.cfg.num_heads, self.cfg.expansion,
+            self.cfg.layer_scale, use_bias=False, name="aggregate2",
+        )(tokens, pos_embed=lp)
+        x = MLP(d, expansion=1, output_dim=1, name="out_pinhole")(tokens)[..., 0]
+        fx, fy, cx, cy = x[:, 0], x[:, 1], x[:, 2], x[:, 3]
+        H, W = image_hw
+        diag = float(np.sqrt(H * H + W * W))
+        return jnp.stack(
+            [jnp.exp(fx) * 0.7 * diag, jnp.exp(fy) * 0.7 * diag,
+             jax.nn.sigmoid(cx) * W, jax.nn.sigmoid(cy) * H], axis=1,
+        )
+
+
+class DepthHead(nn.Module):
+    """Ray-conditioned pyramid decoder (decoder.py:122-340)."""
+
+    cfg: UniDepthConfig
+
+    @nn.compact
+    def __call__(self, features, rays_embedding, grid_hw, image_hw):
+        cfg = self.cfg
+        d = cfg.hidden_dim
+        h, w = grid_hw
+
+        conditioned = []
+        for i, f in enumerate(features):
+            c = AttentionLayer(
+                1, d, cfg.num_heads, cfg.expansion, layer_scale=-1.0,
+                use_bias=False, name=f"prompt_camera{i}",
+            )(f, context=rays_embedding)
+            conditioned.append(c)
+
+        latents = nn.Dense(d, name="to_latents")(conditioned[0])
+        latents = latents.reshape(-1, h, w, d)
+
+        mult = 2
+        out_feats = []
+        for i in range(4):
+            current = min(d, mult * d // (2 ** i))
+            next_dim = mult * d // (2 ** (i + 1))
+            output_dim = max(next_dim, cfg.out_dim)
+            k = max(1, 2 * i)
+            feat_i = conditioned[min(i + 1, len(conditioned) - 1)].reshape(-1, h, w, d)
+            proc = nn.ConvTranspose(
+                current, (k, k), strides=(k, k), name=f"process_features{i}"
+            )(feat_i)
+            latents = latents + proc if latents.shape == proc.shape else (
+                jax.image.resize(latents, proc.shape, "bilinear") + proc
+            )
+            latents = ResUpsampleBil(
+                current, output_dim, cfg.depths[i], cfg.kernel_size,
+                cfg.layer_scale, name=f"ups{i}",
+            )(latents)
+            out_feats.append(latents)
+
+        last = out_feats[-1]
+        nd = last.shape[-1]
+        y = nn.LayerNorm(name="depth_mlp_norm")(last)
+        logdepth = nn.Dense(nd, name="depth_mlp_lin")(y)
+        conf = nn.LayerNorm(name="confidence_mlp_norm")(last)
+        conf = nn.Dense(nd, name="confidence_mlp_lin")(conf)
+
+        logdepth = nn.Conv(nd // 2, (3, 3), name="to_depth_lr")(logdepth)
+        B = logdepth.shape[0]
+        logdepth = jax.image.resize(
+            logdepth, (B,) + tuple(image_hw) + (logdepth.shape[-1],), "bilinear"
+        )
+        logdepth = nn.Conv(32, (3, 3), name="to_depth_hr0")(logdepth)
+        logdepth = nn.leaky_relu(logdepth, 0.01)
+        logdepth = nn.Conv(1, (1, 1), name="to_depth_hr2")(logdepth)
+
+        conf = nn.Conv(nd // 2, (3, 3), name="to_confidence_lr")(conf)
+        conf = jax.image.resize(
+            conf, (B,) + tuple(image_hw) + (conf.shape[-1],), "bilinear"
+        )
+        conf = nn.Conv(32, (3, 3), name="to_confidence_hr0")(conf)
+        conf = nn.leaky_relu(conf, 0.01)
+        conf = nn.Conv(1, (1, 1), name="to_confidence_hr2")(conf)
+        return logdepth[..., 0], conf[..., 0]
+
+
+class UniDepthDecoder(nn.Module):
+    """Adapters + camera head + depth head (decoder.py:341-529)."""
+
+    cfg: UniDepthConfig
+    input_dim: int
+
+    @nn.compact
+    def __call__(self, feats, cls_tokens, image_hw, rays=None):
+        cfg = self.cfg
+        d = cfg.hidden_dim
+        B, N, _ = feats[0].shape
+        h = image_hw[0] // 14
+        w = image_hw[1] // 14
+
+        features = [
+            nn.Dense(d, name=f"input_adapter{i}")(f) for i, f in enumerate(feats)
+        ]
+        camera_tokens = jnp.stack(
+            [nn.Dense(d, name=f"camera_token_adapter{i}")(c)
+             for i, c in enumerate(cls_tokens)], axis=1,
+        )  # (B, 4, d)
+
+        intrinsics = CameraHead(cfg, name="camera_layer")(
+            camera_tokens, image_hw
+        )
+
+        if rays is None:
+            H, W = image_hw
+            u, v = jnp.meshgrid(
+                jnp.arange(W, dtype=jnp.float32) + 0.5,
+                jnp.arange(H, dtype=jnp.float32) + 0.5, indexing="xy",
+            )
+            fx, fy, cx, cy = (intrinsics[:, k] for k in range(4))
+            rx = (u[None] - cx[:, None, None]) / fx[:, None, None]
+            ry = (v[None] - cy[:, None, None]) / fy[:, None, None]
+            rays = jnp.stack([rx, ry, jnp.ones_like(rx)], axis=-1)
+            rays = rays / jnp.linalg.norm(rays, axis=-1, keepdims=True)
+
+        # ray embedding at the latent grid (decoder.embed_rays)
+        rays_lr = jax.image.resize(
+            rays, (rays.shape[0], h, w, 3), "bilinear"
+        )
+        rays_lr = rays_lr / jnp.maximum(
+            jnp.linalg.norm(rays_lr, axis=-1, keepdims=True), 1e-4
+        )
+        polar = jnp.arccos(jnp.clip(rays_lr[..., 2], -1 + 1e-6, 1 - 1e-6))
+        xs = rays_lr[..., 0]
+        xs = jnp.where(jnp.abs(xs) < 1e-3, jnp.sign(xs) * 1e-3 + (xs == 0) * 1e-3, xs)
+        azimuth = jnp.arctan2(rays_lr[..., 1], xs)
+        angles = jnp.stack([polar, azimuth], -1).reshape(rays.shape[0], h * w, 2)
+        rays_embedding = fourier_features(angles, d, max_freq=max(h, w) // 2)
+
+        logdepth, logconf = DepthHead(cfg, name="depth_layer")(
+            features, rays_embedding, (h, w), image_hw
+        )
+        radius = jnp.exp(jnp.clip(logdepth, -8.0, 8.0) + 2.0)
+        confidence = jnp.exp(jnp.clip(logconf, -8.0, 8.0))
+        points = rays * radius[..., None]
+        return dict(
+            depth=points[..., 2], points=points, confidence=confidence,
+            intrinsics=intrinsics, rays=rays,
+        )
+
+
+class UniDepthNet:
+    def __init__(self, variant: str = "vitl", params=None, rng_seed: int = 0,
+                 cfg: Optional[UniDepthConfig] = None):
+        self.cfg = cfg or UniDepthConfig(variant=variant)
+        self.variant = variant
+        self.taps = UNIDEPTH_TAPS[variant]
+        self.vit = make_vit(variant)
+        from ...models.vit import VIT_CONFIGS
+
+        self.decoder = UniDepthDecoder(
+            self.cfg, VIT_CONFIGS[variant]["embed_dim"]
+        )
+        if params is None:
+            params = self.init_params(jax.random.PRNGKey(rng_seed))
+        self.params = params
+
+        @jax.jit
+        def _forward(params, x, rays):
+            taps = self.vit.apply(params["vit"], x, tap_layers=self.taps)
+            feats = [t for t, _ in taps]
+            cls = [c for _, c in taps]
+            return self.decoder.apply(
+                params["decoder"], feats, cls, x.shape[1:3], rays
+            )
+
+        @jax.jit
+        def _forward_nocam(params, x):
+            taps = self.vit.apply(params["vit"], x, tap_layers=self.taps)
+            feats = [t for t, _ in taps]
+            cls = [c for _, c in taps]
+            return self.decoder.apply(
+                params["decoder"], feats, cls, x.shape[1:3], None
+            )
+
+        self._forward = _forward
+        self._forward_nocam = _forward_nocam
+
+    def init_params(self, key, h: int = 70, w: int = 70):
+        k1, k2 = jax.random.split(key)
+        x = jnp.zeros((1, h, w, 3))
+        vit_params = self.vit.init(k1, x, tap_layers=self.taps)
+        taps = self.vit.apply(vit_params, x, tap_layers=self.taps)
+        feats = [t for t, _ in taps]
+        cls = [c for _, c in taps]
+        dec_params = self.decoder.init(k2, feats, cls, (h, w), None)
+        return {"vit": vit_params, "decoder": dec_params}
+
+    def __call__(self, x, rays=None):
+        if rays is None:
+            return self._forward_nocam(self.params, x)
+        return self._forward(self.params, x, rays)
+
+
+class UniDepthModel(DepthEstimationModel):
+    """Adapter (reference UniDepth2Model, unidepth/__init__.py:26-69)."""
+
+    depth_type = DepthType.MODEL_METRIC_DEPTH
+
+    def __init__(self, variant: str = "l", input_size: int = 518, params=None):
+        vit_variant = {"s": "vits", "b": "vitb", "l": "vitl"}.get(variant, variant)
+        self.net = UniDepthNet(vit_variant, params)
+        self.input_size = input_size
+
+    def estimate(self, inp: DepthEstimationInput) -> DepthEstimationResult:
+        import cv2
+
+        rgb = np.asarray(inp.rgb, np.float32)
+        h, w = rgb.shape[:2]
+        scale = self.input_size / min(h, w)
+        nh = max(round(h * scale / 14) * 14, 14)
+        nw = max(round(w * scale / 14) * 14, 14)
+        img = cv2.resize(rgb, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        img = (img - IMAGENET_MEAN) / IMAGENET_STD
+
+        rays = None
+        if inp.focal_length is not None:
+            f = float(inp.focal_length) * (nw / w)
+            u, v = np.meshgrid(np.arange(nw) + 0.5, np.arange(nh) + 0.5)
+            rx = (u - nw / 2) / f
+            ry = (v - nh / 2) / f
+            rays = np.stack([rx, ry, np.ones_like(rx)], -1)
+            rays = rays / np.linalg.norm(rays, axis=-1, keepdims=True)
+            rays = jnp.asarray(rays, jnp.float32)[None]
+
+        out = self.net(jnp.asarray(img, jnp.float32)[None], rays)
+        depth = jax.image.resize(out["depth"][0], (h, w), "bilinear")
+        conf = jax.image.resize(out["confidence"][0], (h, w), "bilinear")
+        return DepthEstimationResult(depth=depth, confidence=conf)

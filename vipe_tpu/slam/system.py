@@ -11,6 +11,8 @@ map.
 from __future__ import annotations
 
 import functools
+import os
+import time
 from typing import Callable, Optional
 
 import jax
@@ -162,6 +164,12 @@ class SLAMSystem:
         filler = InnerFiller(buffer, self.update_fn, self.params, c)
 
         fbi = c.get("frontend_backend_iters", [16, 64, 256])
+        profile = os.environ.get("VIPE_PROFILE") == "1"
+        tmarks = {}
+
+        def mark(name, t0):
+            if profile:
+                tmarks[name] = tmarks.get(name, 0.0) + (time.perf_counter() - t0)
 
         def _upload(frame):
             """Host float RGB → device uint8 (4× smaller transfer)."""
@@ -205,24 +213,35 @@ class SLAMSystem:
         # one-frame software pipeline: frame k's decision readback overlaps
         # frame k+1's upload + encoder
         pending = None
+        t_pass1 = time.perf_counter()
         for frame_idx, frame in enumerate(stream):
+            t0 = time.perf_counter()
             rgb_dev = _upload(frame)
+            mark("upload", t0)
             bmask = (
                 self._mask_to_buffer(frame.mask, buffer.ht, buffer.wd)
                 if frame.mask is not None else None
             )
+            t0 = time.perf_counter()
             token = motion_filter.submit(rgb_dev, bmask)
+            mark("mf_submit", t0)
             if pending is not None:
+                t0 = time.perf_counter()
                 _process(pending, force_kf=False)
+                mark("process", t0)
             pending = (frame_idx, frame, rgb_dev, bmask, token)
         if pending is not None:
             _process(pending, force_kf=True)
+        mark("pass1_total", t_pass1)
 
         # ------------------------------------------------------- global BA
+        t0 = time.perf_counter()
         backend.run(7)
         backend.run(c.get("backend_iters", 24), update_depth=False)
+        mark("backend", t0)
 
         # ----------------------------------------------------------- pass 2
+        t_pass2 = time.perf_counter()
         filler.set_start_idx(buffer.n_frames)
         for frame_idx, frame in enumerate(stream):
             rgb_dev = _upload(frame)
@@ -239,7 +258,12 @@ class SLAMSystem:
             if filler.check() or frame_idx == total - 1:
                 filler.compute()
 
+        mark("pass2", t_pass2) if profile else None
         filled = filler.get_result()
+        if profile:
+            n_kf = len(filler.filled_poses)
+            print({k: round(v, 2) for k, v in tmarks.items()},
+                  "keyframes:", frontend.t1, flush=True)
         if filled.poses.shape[0] != total:
             raise ValueError(
                 "Video exhausted early — possibly malformed; "
