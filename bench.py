@@ -51,17 +51,43 @@ def synth_stream(n_frames: int, h: int = 720, w: int = 1280, seed: int = 0):
     return _S()
 
 
+def calibrate_filter_thresh(n: int = 12) -> float:
+    """With random (untrained) DroidNet weights the flow-delta scores are
+    arbitrary in scale; pick the threshold as the 60th percentile of observed
+    scores so the bench exercises a realistic ~1-in-3 keyframe rate (what
+    trained weights produce on normal footage)."""
+    import jax.numpy as jnp
+
+    from vipe_tpu.slam.motion_filter import MotionFilter
+    from vipe_tpu.slam.system import default_droidnet
+
+    _, params, ef, ec, uf = default_droidnet()
+    mf = MotionFilter(ef, ec, uf, params, thresh=float("inf"))
+    scores = []
+    for frame in synth_stream(n, seed=7):
+        rgb8 = (np.clip(frame.rgb, 0, 1) * 255).astype(np.uint8)
+        import jax
+
+        tok = mf.submit(jax.numpy.asarray(rgb8))
+        if tok.score is not None:
+            scores.append(float(tok.score))
+    return float(np.quantile(scores, 0.6))
+
+
 def main():
     import jax
 
     from vipe_tpu.slam.system import SLAMSystem
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "48"))
-    warm_frames = 12
+    warm_frames = 16
+
+    thresh = calibrate_filter_thresh()
 
     def run(n):
         sys_ = SLAMSystem(config=dict(
             warmup=8, buffer=256, infill_chunk_size=16, backend_iters=4,
+            filter_thresh=thresh,
         ))
         stream = synth_stream(n)
         return sys_.run(stream)

@@ -1,0 +1,114 @@
+"""TrackAnything: open-vocabulary instance segmentation + tracking.
+
+Reference: /root/reference/vipe/priors/track_anything/ — frame 0 (and every
+``sam_gap`` frames) runs GroundingDINO text-prompt detection + SAM box
+segmentation, merging newly found objects; DeAOT propagates masks in between
+(__init__.py:82-123, seg_tracker.py:83-111).
+
+Port status: SAM is fully ported (vipe_tpu.priors.track_anything.sam);
+GroundingDINO (Swin-T + BERT + deformable DETR) and DeAOT (LSTT memory
+transformer) are pending — the pipeline gates on a detector/tracker being
+available and raises a clear error otherwise.  Until then the annotation
+pipeline runs with ``init.instance: null`` (the reference ships the
+``static_vda`` variant without masking too, configs/pipeline/static_vda.yaml).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from .sam import SamPredictor  # noqa: F401
+
+
+class SegTracker:
+    """Detection + segmentation + propagation state machine
+    (reference seg_tracker.py:83-111)."""
+
+    def __init__(self, detector, segmentor: SamPredictor, tracker,
+                 sam_gap: int = 20, max_obj_num: int = 255,
+                 min_area: int = 200):
+        self.detector = detector
+        self.segmentor = segmentor
+        self.tracker = tracker
+        self.sam_gap = sam_gap
+        self.max_obj_num = max_obj_num
+        self.min_area = min_area
+        self.curr_idx = 0  # next object id
+
+    def detect_and_seg(self, rgb: np.ndarray, phrases: List[str]) -> np.ndarray:
+        """Detect phrase boxes, segment each, compose an instance map."""
+        boxes = self.detector.run_grounding(rgb, phrases)
+        h, w = rgb.shape[:2]
+        instance = np.zeros((h, w), np.int32)
+        self.segmentor.set_image(rgb)
+        for box in boxes:
+            mask = self.segmentor.segment_with_box(box)
+            if mask.sum() < self.min_area:
+                continue
+            self.curr_idx += 1
+            instance[mask & (instance == 0)] = self.curr_idx
+        return instance
+
+    def merge_new_objects(self, instance: np.ndarray, tracked: np.ndarray,
+                          iou_thresh: float = 0.4) -> np.ndarray:
+        """Keep tracked ids; add detections that don't overlap an existing
+        object (reference seg_tracker merging)."""
+        out = tracked.copy()
+        for oid in np.unique(instance):
+            if oid == 0:
+                continue
+            m = instance == oid
+            overlap = tracked[m]
+            covered = (overlap > 0).mean() if m.any() else 1.0
+            if covered < iou_thresh:
+                out[m & (tracked == 0)] = oid
+        return out
+
+
+class TrackAnythingPipeline:
+    """Per-frame instance masks for a phrase list (reference __init__.py:16-123)."""
+
+    def __init__(self, phrases: List[str], sam_gap: int = 20,
+                 detector=None, tracker=None, sam_variant: str = "vit_b",
+                 sam_params=None):
+        if detector is None:
+            raise NotImplementedError(
+                "GroundingDINO is not ported yet (Swin-T + BERT + deformable "
+                "DETR); pass a detector implementing run_grounding(rgb, "
+                "phrases) -> boxes, or run the pipeline with instance: null"
+            )
+        self.phrases = [p for p in phrases if p != "sky"]
+        self.keep_sky = "sky" in phrases
+        segmentor = SamPredictor(sam_variant, params=sam_params)
+        self.seg_tracker = SegTracker(detector, segmentor, tracker, sam_gap)
+        self.sam_gap = sam_gap
+        self.tracker = tracker
+        self._frame_count = 0
+        self._last_instance: Optional[np.ndarray] = None
+
+    def track(self, frame_idx: int, rgb: np.ndarray) -> np.ndarray:
+        """(H, W) int32 instance ids (0 = background / static scene)."""
+        rgb = np.asarray(rgb)
+        if self._frame_count % self.sam_gap == 0:
+            detected = self.seg_tracker.detect_and_seg(rgb, self.phrases)
+            if self._last_instance is None or self.tracker is None:
+                instance = detected
+            else:
+                tracked = self.tracker.propagate(rgb)
+                instance = self.seg_tracker.merge_new_objects(detected, tracked)
+            if self.tracker is not None:
+                self.tracker.add_reference(rgb, instance)
+        else:
+            if self.tracker is None:
+                instance = (
+                    self._last_instance
+                    if self._last_instance is not None
+                    else np.zeros(rgb.shape[:2], np.int32)
+                )
+            else:
+                instance = self.tracker.propagate(rgb)
+        self._last_instance = instance
+        self._frame_count += 1
+        return instance

@@ -241,22 +241,42 @@ class SLAMSystem:
         mark("backend", t0)
 
         # ----------------------------------------------------------- pass 2
+        # batch the per-frame encoders (8 frames per dispatch) — pass 2 runs
+        # them on EVERY frame, so per-call overhead dominates otherwise
         t_pass2 = time.perf_counter()
         filler.set_start_idx(buffer.n_frames)
+        ENC_BATCH = 8
+        batch = []
+
+        def _flush_batch():
+            if not batch:
+                return
+            idxs = [b[0] for b in batch]
+            rgbs = jnp.stack([b[2] for b in batch])
+            pad = ENC_BATCH - len(batch)
+            if pad:
+                rgbs = jnp.concatenate([rgbs, jnp.repeat(rgbs[-1:], pad, 0)])
+            fmaps = self.encode_features(self.params, rgbs)
+            nets, inps = self.encode_context(self.params, rgbs)
+            for k, (frame_idx, frame, rgb_dev, bmask) in enumerate(batch):
+                buffer.append_keyframe(
+                    frame_idx, rgb_dev, fmaps[k], nets[k], inps[k],
+                    mask=bmask, metric_depth=frame.metric_depth,
+                )
+                if filler.check() or frame_idx == total - 1:
+                    filler.compute()
+            batch.clear()
+
         for frame_idx, frame in enumerate(stream):
             rgb_dev = _upload(frame)
             bmask = (
                 self._mask_to_buffer(frame.mask, buffer.ht, buffer.wd)
                 if frame.mask is not None else None
             )
-            fmap = self.encode_features(self.params, rgb_dev[None])[0]
-            net, inp = self.encode_context(self.params, rgb_dev[None])
-            buffer.append_keyframe(
-                frame_idx, rgb_dev, fmap, net[0], inp[0],
-                mask=bmask, metric_depth=frame.metric_depth,
-            )
-            if filler.check() or frame_idx == total - 1:
-                filler.compute()
+            batch.append((frame_idx, frame, rgb_dev, bmask))
+            if len(batch) == ENC_BATCH:
+                _flush_batch()
+        _flush_batch()
 
         mark("pass2", t_pass2) if profile else None
         filled = filler.get_result()
