@@ -61,17 +61,21 @@ def calibrate_filter_thresh(n: int = 12) -> float:
     from vipe_tpu.slam.motion_filter import MotionFilter
     from vipe_tpu.slam.system import default_droidnet
 
+    import jax.numpy as jnp2
+
     _, params, ef, ec, uf = default_droidnet()
-    mf = MotionFilter(ef, ec, uf, params, thresh=float("inf"))
+    # promote EVERY frame so each score measures consecutive-frame motion
+    # (the live filter compares against the LAST KEYFRAME, so consecutive
+    # scores are the relevant distribution)
+    mf = MotionFilter(ef, ec, uf, params, thresh=-1.0)
     scores = []
     for frame in synth_stream(n, seed=7):
         rgb8 = (np.clip(frame.rgb, 0, 1) * 255).astype(np.uint8)
-        import jax
-
-        tok = mf.submit(jax.numpy.asarray(rgb8))
+        tok = mf.submit(jnp2.asarray(rgb8))
         if tok.score is not None:
             scores.append(float(tok.score))
-    return float(np.quantile(scores, 0.6))
+        mf.resolve(tok)
+    return float(np.quantile(scores, 0.66))
 
 
 def main():

@@ -99,3 +99,27 @@ class TestLMOptimizer:
         for b in range(3):
             assert abs(float(res.roll[b]) - rolls[b]) < 0.01
             assert abs(float(res.pitch[b]) - pitches[b]) < 0.01
+
+
+class TestGeoCalibNet:
+    def test_forward_shapes(self, rng):
+        from vipe_tpu.priors.geocalib import GeoCalib
+
+        g = GeoCalib(infer_size=64)
+        fields = g.predict_fields(rng.random((48, 72, 3)).astype(np.float32))
+        assert fields["up_field"].shape == (64, 64, 2)
+        assert fields["latitude_field"].shape == (64, 64)
+        np.testing.assert_allclose(
+            np.linalg.norm(fields["up_field"], axis=-1), 1.0, atol=1e-4)
+        assert np.abs(fields["latitude_field"]).max() <= np.pi / 2 + 1e-5
+        assert 0 <= fields["up_confidence"].min() <= fields["up_confidence"].max() <= 1
+
+    def test_calibrate_api(self, rng):
+        from vipe_tpu.priors.geocalib import GeoCalib
+
+        g = GeoCalib(infer_size=64)
+        frames = [rng.random((48, 72, 3)).astype(np.float32) for _ in range(3)]
+        intr = g.calibrate(frames)
+        assert intr.shape == (4,)
+        assert intr[2] == 36.0 and intr[3] == 24.0
+        assert np.isfinite(intr).all() and intr[0] > 0

@@ -204,3 +204,96 @@ class TestSLAMSystemOracle:
     def test_intrinsics_passthrough(self, slam_result):
         out, _, _ = slam_result
         np.testing.assert_allclose(out.intrinsics[:2], W * 1.2, rtol=1e-5)
+
+
+# --------------------------------------------------------------------- MEI
+
+
+@pytest.fixture(scope="module")
+def slam_result_mei():
+    """Same oracle setup through the MEI (unified/distorted) camera model:
+    exercises mei iproj/proj along the whole reprojection + BA chain."""
+    rng = np.random.default_rng(5)
+    poses_w2c, disps, _ = make_gt(rng)
+    intr_full = jnp.asarray([W * 1.2, W * 1.2, W / 2.0, H / 2.0, 0.6])
+
+    stream = SyntheticStream(rng, disps, intr_full)
+
+    buffer_ref = [None]
+    oracle = make_oracle_mei(buffer_ref, poses_w2c, disps, intr_full)
+
+    def encode_features(params, images):
+        return jnp.zeros((images.shape[0], HT, WD, 128), jnp.float32)
+
+    def encode_context(params, images):
+        z = jnp.zeros((images.shape[0], HT, WD, 128), jnp.float32)
+        return z, z
+
+    system = SLAMSystem(
+        config=dict(
+            resize_area=H * W,
+            filter_thresh=-1.0,
+            keyframe_thresh=0.0,
+            warmup=4,
+            buffer=64,
+            infill_chunk_size=6,
+            backend_iters=8,
+        ),
+        update_fn=oracle,
+        params=None,
+        encode_features=encode_features,
+        encode_context=encode_context,
+    )
+
+    import vipe_tpu.slam.system as sysmod
+
+    orig_buffer_cls = sysmod.GraphBuffer
+
+    class SpyBuffer(orig_buffer_cls):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            buffer_ref[0] = self
+
+    sysmod.GraphBuffer = SpyBuffer
+    try:
+        out = system.run(stream, camera_type=cam.CameraType.MEI)
+    finally:
+        sysmod.GraphBuffer = orig_buffer_cls
+    return out, np.asarray(lie.se3_inv(poses_w2c))
+
+
+def make_oracle_mei(buffer_ref, poses_w2c_gt, disps_gt, intr_full):
+    intr_grid = cam.scaled_intrinsics(cam.CameraType.MEI, intr_full, 1 / 8.0)
+
+    def update_fn(params, net, inp, corr, motn, ii, jj, num_frames):
+        del params, inp, corr
+        E, ht, wd, _ = motn.shape
+        u, v = geom.pixel_grid(ht, wd)
+        grid = jnp.stack([u, v], -1)
+        coords1 = motn[..., 0:2] + grid
+        buf = buffer_ref[0]
+        np_ii = np.clip(np.asarray(ii), 0, buf.buffer_size - 1)
+        np_jj = np.clip(np.asarray(jj), 0, buf.buffer_size - 1)
+        fi = buf.tstamp[np_ii]
+        fj = buf.tstamp[np_jj]
+        gt_coords, gt_valid = geom.reproject(
+            poses_w2c_gt, disps_gt, intr_grid, cam.CameraType.MEI,
+            jnp.asarray(fi, jnp.int32), jnp.asarray(fj, jnp.int32),
+        )
+        delta = gt_coords - coords1
+        weight = jnp.broadcast_to(
+            gt_valid[..., None].astype(jnp.float32), delta.shape)
+        eta = jnp.full((num_frames, ht, wd), 0.01, jnp.float32)
+        return net, delta, weight, eta
+
+    update_fn.host_only = True
+    return update_fn
+
+
+class TestSLAMSystemMEI:
+    def test_trajectory_recovered_mei(self, slam_result_mei):
+        out, gt_c2w = slam_result_mei
+        assert out.camera_type == cam.CameraType.MEI
+        assert out.intrinsics.shape == (5,)
+        err = ate_rmse(out.trajectory, gt_c2w, align=True)
+        assert err < 0.03, f"MEI ATE {err}"

@@ -42,14 +42,15 @@ class DefaultAnnotationPipeline(Pipeline):
             return False
         return io_utils.ArtifactPath(root, stream_name).exists()
 
-    def _init_processors(self):
+    def _init_processors(self, video_stream=None):
         procs = []
         intr_mode = self.init_cfg.get("intrinsics", "fov")
         if intr_mode == "geocalib":
             from .processors import GeoCalibIntrinsicsProcessor
 
             procs.append(GeoCalibIntrinsicsProcessor(
-                camera_type=self.init_cfg.get("camera_type", "pinhole")
+                camera_type=self.init_cfg.get("camera_type", "pinhole"),
+                sample_stream=video_stream,
             ))
         elif intr_mode in ("fov", None):
             procs.append(HeuristicIntrinsicsProcessor(
@@ -65,7 +66,7 @@ class DefaultAnnotationPipeline(Pipeline):
     def run(self, video_stream: VideoStream) -> AnnotationPipelineOutput:
         camera_type = CameraType(self.slam_cfg.get("camera_type", "pinhole"))
 
-        init_procs = self._init_processors()
+        init_procs = self._init_processors(video_stream)
         stream = ProcessedVideoStream(video_stream, init_procs).cache(
             "process", online=True
         )

@@ -36,22 +36,35 @@ class HeuristicIntrinsicsProcessor(StreamProcessor):
 
 
 class GeoCalibIntrinsicsProcessor(StreamProcessor):
-    """Learned single-image calibration (reference processors.py:67-104).
+    """Learned single-image calibration (reference processors.py:67-104):
+    calibrate once from 3 sampled frames with shared intrinsics (the
+    reference runs this EAGERLY at processor construction), then stamp the
+    result onto every frame."""
 
-    Calibrates from 3 sampled frames with shared intrinsics (or 1 frame for
-    MEI distortion).  Requires the GeoCalib port (vipe_tpu.priors.geocalib).
-    """
-
-    def __init__(self, camera_type: str = "pinhole", shared_intrinsics: bool = True):
-        from ..priors.geocalib import GeoCalib  # noqa: F401 — raises if absent
+    def __init__(self, camera_type: str = "pinhole", shared_intrinsics: bool = True,
+                 sample_stream=None):
+        from ..priors.geocalib import GeoCalib
 
         self.model = GeoCalib(camera_type)
         self.camera_type = camera_type
         self.shared = shared_intrinsics
         self._intr = None
+        if sample_stream is not None:
+            self.calibrate_from_stream(sample_stream)
+
+    def calibrate_from_stream(self, stream, n_samples: int = 3):
+        n = len(stream)
+        want = sorted({0, n // 2, n - 1})[:n_samples]
+        frames = [f.rgb for k, f in enumerate(stream) if k in want]
+        self.calibrate(frames)
 
     def calibrate(self, frames: List[np.ndarray]):
         self._intr = self.model.calibrate(frames)
+
+    def update_attributes(self, previous):
+        from ..streams.base import FrameAttribute
+
+        return set(previous) | {FrameAttribute.INTRINSICS}
 
     def __call__(self, frame_idx: int, frame: VideoFrame) -> VideoFrame:
         if self._intr is not None:

@@ -2,16 +2,16 @@
 /root/reference/vipe/priors/geocalib/).
 
 Pipeline: MSCAN backbone + LightHamHead decoders predict an up-vector field,
-a latitude field and per-pixel confidences; a differentiable LM optimizer
-recovers (gravity, focal[, k1]) from them (extractor.py:80-135).
-
-Ported so far: the perspective fields and the fully-jitted LM optimizer
-(the mathematically load-bearing half).  The MSCAN/LightHam network port is
-pending — ``GeoCalib`` raises until it lands, and the pipeline's intrinsics
-init falls back to the FOV heuristic (pipeline/processors.py).
+a latitude field and per-pixel confidences; a fully-jitted LM optimizer
+recovers (gravity, focal) from them (extractor.py:80-135).  Checkpoints come
+from the GeoCalib GitHub release in the reference (extractor.py:33-40); in
+this environment the net runs with random init, so accuracy requires weights
+— the pipeline keeps the FOV-heuristic default until they are supplied.
 """
 
 from __future__ import annotations
+
+from typing import List, Optional
 
 import numpy as np
 
@@ -20,12 +20,54 @@ from .optimizer import calibrate_from_fields, lm_calibrate  # noqa: F401
 
 
 class GeoCalib:
-    """Extractor API matching the reference (extractor.py:20-135)."""
+    """Extractor API matching the reference (extractor.py:20-135):
+    ``calibrate(frames) -> intrinsics`` with shared focal across samples."""
 
-    def __init__(self, camera_type: str = "pinhole"):
-        raise NotImplementedError(
-            "GeoCalib's MSCAN+LightHamHead network is not ported yet; the "
-            "perspective-field LM optimizer is available as "
-            "vipe_tpu.priors.geocalib.calibrate_from_fields. Use "
-            "init.intrinsics=fov (heuristic) or =gt meanwhile."
+    def __init__(self, camera_type: str = "pinhole", params=None,
+                 rng_seed: int = 0, infer_size: int = 320):
+        import jax
+        import jax.numpy as jnp
+
+        from .network import GeoCalibNet
+
+        assert camera_type in ("pinhole",), (
+            "distorted GeoCalib variants pending (reference supports "
+            "simple_radial/simple_divisional/mei heads)"
         )
+        self.net = GeoCalibNet()
+        self.infer_size = infer_size
+        if params is None:
+            params = self.net.init(
+                jax.random.PRNGKey(rng_seed),
+                jnp.zeros((1, infer_size, infer_size, 3)),
+            )
+        self.params = params
+        self._forward = jax.jit(lambda p, x: self.net.apply(p, x))
+
+    def predict_fields(self, rgb: np.ndarray):
+        """(H, W, 3) float [0,1] → dict of up/latitude fields + confidences."""
+        import cv2
+        import jax.numpy as jnp
+
+        h = self.infer_size
+        img = cv2.resize(np.asarray(rgb, np.float32), (h, h))
+        out = self._forward(self.params, jnp.asarray(img)[None])
+        return {k: np.asarray(v[0]) for k, v in out.items()}
+
+    def calibrate(self, frames: List[np.ndarray], shared_intrinsics: bool = True):
+        """Calibrate from ≤3 sampled frames (reference processors.py:83-104).
+
+        Returns full-res (4,) pinhole intrinsics [fx, fy, cx, cy] with
+        fx = fy from the recovered FOV, principal point at the center.
+        """
+        fields = [self.predict_fields(f) for f in frames]
+        ups = np.stack([f["up_field"] for f in fields])
+        lats = np.stack([f["latitude_field"] for f in fields])
+        ucs = np.stack([f["up_confidence"] for f in fields])
+        lcs = np.stack([f["latitude_confidence"] for f in fields])
+        res = calibrate_from_fields(ups, lats, ucs, lcs)
+
+        h0, w0 = frames[0].shape[:2]
+        # focal recovered at infer resolution; rescale to the original width
+        f_full = float(res.focal) * (w0 / self.infer_size)
+        return np.asarray([f_full, f_full, w0 / 2.0, h0 / 2.0], np.float32)

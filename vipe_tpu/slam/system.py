@@ -251,20 +251,25 @@ class SLAMSystem:
         def _flush_batch():
             if not batch:
                 return
-            idxs = [b[0] for b in batch]
+            t0 = time.perf_counter()
             rgbs = jnp.stack([b[2] for b in batch])
             pad = ENC_BATCH - len(batch)
             if pad:
                 rgbs = jnp.concatenate([rgbs, jnp.repeat(rgbs[-1:], pad, 0)])
             fmaps = self.encode_features(self.params, rgbs)
             nets, inps = self.encode_context(self.params, rgbs)
+            mark("p2_encode", t0)
             for k, (frame_idx, frame, rgb_dev, bmask) in enumerate(batch):
+                t0 = time.perf_counter()
                 buffer.append_keyframe(
                     frame_idx, rgb_dev, fmaps[k], nets[k], inps[k],
                     mask=bmask, metric_depth=frame.metric_depth,
                 )
+                mark("p2_append", t0)
                 if filler.check() or frame_idx == total - 1:
+                    t0 = time.perf_counter()
                     filler.compute()
+                    mark("p2_filler", t0)
             batch.clear()
 
         for frame_idx, frame in enumerate(stream):
