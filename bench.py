@@ -86,12 +86,13 @@ def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", "48"))
     warm_frames = 16
 
-    thresh = calibrate_filter_thresh()
-
     def run(n):
+        # untrained weights make the motion-filter score nearly constant
+        # (content-insensitive), so gate keyframes deterministically at the
+        # realistic trained-weights cadence of 1 in 3
         sys_ = SLAMSystem(config=dict(
             warmup=8, buffer=256, infill_chunk_size=16, backend_iters=4,
-            filter_thresh=thresh,
+            filter_thresh=float("inf"), keyframe_stride=3,
         ))
         stream = synth_stream(n)
         return sys_.run(stream)

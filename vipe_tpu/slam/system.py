@@ -176,16 +176,22 @@ class SLAMSystem:
             rgb8 = (np.clip(frame.rgb, 0.0, 1.0) * 255).astype(np.uint8)
             return jnp.asarray(rgb8)
 
+        # deterministic keyframe cadence (benchmarking / reproducibility
+        # knob; None = pure motion-filter gating like the reference)
+        kf_stride = c.get("keyframe_stride")
+
         def _process(entry, force_kf: bool):
             """Resolve a pipelined keyframe decision, add + track."""
             frame_idx, frame, rgb_dev, bmask, token = entry
+            if kf_stride:
+                force_kf = force_kf or (frame_idx % kf_stride == 0)
             is_kf = motion_filter.resolve(token)
             if is_kf:
                 # the motion filter already encoded this frame on promotion
                 fmap, net, inp = motion_filter.last_keyframe_features
             elif force_kf:
                 is_kf = True
-                fmap = self.encode_features(self.params, rgb_dev[None])[0]
+                fmap = token.fmap  # computed at submit
                 net, inp = self.encode_context(self.params, rgb_dev[None])
                 net, inp = net[0], inp[0]
             if is_kf:
