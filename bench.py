@@ -84,7 +84,6 @@ def main():
     from vipe_tpu.slam.system import SLAMSystem
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "48"))
-    warm_frames = 16
 
     def run(n):
         # untrained weights make the motion-filter score nearly constant
@@ -97,8 +96,10 @@ def main():
         stream = synth_stream(n)
         return sys_.run(stream)
 
-    # warmup: populates jit caches (persistent across runs too)
-    run(warm_frames)
+    # warmup with the IDENTICAL workload: jit programs are cached in-process
+    # per shape bucket, and the remote-compile path has no persistent cache,
+    # so the warm run must traverse exactly the shapes the measured run will
+    run(n_frames)
 
     t0 = time.perf_counter()
     out = run(n_frames)

@@ -484,21 +484,24 @@ class FactorGraph:
 
         # chunk edges by SOURCE FRAME ranges of 8 like the reference
         # (factor_graph.py:350-372) so each frame's damping comes from exactly
-        # one chunk; chunks are padded to a power-of-two edge bucket.
+        # one chunk; additionally cap chunks at BACKEND_CHUNK edges (the corr
+        # volume transient is chunk_edges × h·w × h·w — unbounded chunks OOM)
         act_ii = self.ii[: self.n_edges]
         act_jj = self.jj[: self.n_edges]
         frame_chunks = []
         for i0 in range(0, t, 8):
             sel = np.where((act_ii >= i0) & (act_ii < i0 + 8))[0]
-            if len(sel):
-                frame_chunks.append(sel)
+            for c0 in range(0, len(sel), BACKEND_CHUNK):
+                sub = sel[c0: c0 + BACKEND_CHUNK]
+                if len(sub):
+                    frame_chunks.append(sub)
 
         for _ in range(steps):
             ii_d, jj_d, ev = self._active_arrays()
             coords1, valid1 = self.buffer.reproject(ii_d, jj_d)
 
             for sel in frame_chunks:
-                Cb = bucket_size(len(sel), minimum=BACKEND_CHUNK)
+                Cb = bucket_size(len(sel), minimum=min(BACKEND_CHUNK, 16))
                 sel_pad = np.zeros(Cb, np.int64)
                 sel_pad[: len(sel)] = sel
                 sl = jnp.asarray(sel_pad, jnp.int32)
