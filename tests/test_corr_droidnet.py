@@ -55,7 +55,7 @@ class TestCorr:
         f2 = jnp.asarray(rng.random((E, h, w, c)), jnp.float32)
         vol = corr.corr_volume(f1, f2)
         want = np.einsum("eyxc,ezwc->eyxzw", np.asarray(f1), np.asarray(f2)) / 16.0
-        np.testing.assert_allclose(vol, want, atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(vol, want, atol=2e-3, rtol=1e-3)  # bf16 volume
 
     def test_alt_corr_matches_volume_path(self, rng):
         """altcorr at level 0 == materialized volume lookup."""
@@ -66,7 +66,7 @@ class TestCorr:
         vol = corr.corr_volume(f1, f2)
         want = corr.corr_lookup(vol, coords, radius=3)
         got = corr.alt_corr_lookup_level(f1 / 4.0, f2 / 4.0, coords, radius=3)
-        np.testing.assert_allclose(got, want, atol=1e-4)
+        np.testing.assert_allclose(got, want, atol=2e-3)  # bf16 volume path
 
     def test_pyramid_levels_shapes(self, rng):
         E, h, w, c = 1, 8, 16, 4

@@ -53,21 +53,36 @@ def avg_pool2_nhwc(x):
 
 
 def corr_volume(fmap1, fmap2):
-    """All-pairs correlation: (E,H,W,C) x2 → (E, H, W, H, W), scaled 1/16."""
-    f1 = fmap1.astype(jnp.float32) / 4.0
-    f2 = fmap2.astype(jnp.float32) / 4.0
-    return jnp.einsum("eyxc,ezwc->eyxzw", f1, f2)
+    """All-pairs correlation: (E,H,W,C) x2 → (E, H, W, H, W), scaled 1/16.
+
+    Written as an explicit batched matmul (E, P, C) @ (E, C, P) with bf16
+    inputs and f32 accumulation — the naive 6-axis einsum lowers to a
+    non-MXU path on TPU (measured 270 ms vs ~ms for 48 edges)."""
+    E, H, W, C = fmap1.shape
+    f1 = (fmap1.astype(jnp.float32) / 4.0).astype(jnp.bfloat16).reshape(E, H * W, C)
+    f2 = (fmap2.astype(jnp.float32) / 4.0).astype(jnp.bfloat16).reshape(E, H * W, C)
+    vol = jax.lax.dot_general(
+        f1, f2, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    return vol.reshape(E, H, W, H, W)
 
 
 def corr_pyramid(fmap1, fmap2, num_levels: int = 4):
-    """Pyramid over the TARGET dims only (reference droid_net.py:67-69)."""
-    vol = corr_volume(fmap1, fmap2)
+    """Pyramid over the TARGET dims only (reference droid_net.py:67-69).
+
+    optimization_barrier between levels: without it XLA fuses the all-pairs
+    matmul producer into every pooling consumer and RECOMPUTES it per level
+    (measured 4× slowdown on the 48-edge frontend build)."""
+    vol = jax.lax.optimization_barrier(corr_volume(fmap1, fmap2))
     pyramid = [vol]
     for _ in range(num_levels - 1):
         e, h1, w1, h2, w2 = vol.shape
         v = vol.reshape(e * h1 * w1, h2, w2)
         v = avg_pool2(v)
-        vol = v.reshape(e, h1, w1, v.shape[-2], v.shape[-1])
+        vol = jax.lax.optimization_barrier(
+            v.reshape(e, h1, w1, v.shape[-2], v.shape[-1])
+        )
         pyramid.append(vol)
     return pyramid
 
@@ -91,37 +106,53 @@ def _gather_patch(vol, coords, radius):
     return xi, yi, du, dv
 
 
+def _selection_matrix(centers, frac, size: int, radius: int):
+    """Bilinear selection rows: (..., 2r+1, size) with
+    row k = (1-frac)·onehot(center+k-r) + frac·onehot(center+k-r+1).
+
+    Out-of-range taps get zero weight (CUDA kernels bound-check and skip).
+    """
+    k = 2 * radius + 1
+    offs = jnp.arange(k) - radius
+    base = centers[..., None] + offs  # (..., k) integer tap starts
+    grid = jnp.arange(size)
+    onehot0 = (base[..., None] == grid).astype(jnp.float32)
+    onehot1 = ((base + 1)[..., None] == grid).astype(jnp.float32)
+    f = frac[..., None, None]
+    return (1.0 - f) * onehot0 + f * onehot1  # (..., k, size)
+
+
 def corr_lookup(vol, coords, radius: int = 3):
     """Sample a (2r+1)² window bilinearly from a materialized volume.
 
     vol: (E, h1, w1, h2, w2); coords: (E, h1, w1, 2) at this level's scale.
     Returns (E, h1, w1, (2r+1)²); parity with corr_index_forward.
+
+    TPU-native formulation: the separable bilinear window lookup is two
+    batched matmuls with sparse selection matrices,
+    ``out = Wy @ vol @ Wxᵀ`` — XLA's generic gather for this access pattern
+    measured ~680 ms for 48 edges; the matmul form rides the MXU.
     """
     E, h1, w1, h2, w2 = vol.shape
-    xi, yi, du, dv = _gather_patch(vol, coords, radius)
-    okx = (xi >= 0) & (xi < w2)
-    oky = (yi >= 0) & (yi < h2)
-    xic = jnp.clip(xi, 0, w2 - 1)
-    yic = jnp.clip(yi, 0, h2 - 1)
+    u = coords[..., 0]
+    v = coords[..., 1]
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    du = u - u0
+    dv = v - v0
+    Wy = _selection_matrix(v0.astype(jnp.int32), dv, h2, radius)  # (E,h1,w1,k,h2)
+    Wx = _selection_matrix(u0.astype(jnp.int32), du, w2, radius)  # (E,h1,w1,k,w2)
 
-    ei = jnp.arange(E)[:, None, None, None, None]
-    yi1 = jnp.arange(h1)[None, :, None, None, None]
-    xi1 = jnp.arange(w1)[None, None, :, None, None]
-    patch = vol[ei, yi1, xi1, yic[..., :, None], xic[..., None, :]]
-    mask = (oky[..., :, None] & okx[..., None, :]).astype(patch.dtype)
-    patch = patch * mask  # (E, h1, w1, S, S), S = 2r+2, [dv, du] order
-
-    w00 = ((1 - dv) * (1 - du))[..., None, None]
-    w01 = ((1 - dv) * du)[..., None, None]
-    w10 = (dv * (1 - du))[..., None, None]
-    w11 = (dv * du)[..., None, None]
-    out = (
-        w00 * patch[..., :-1, :-1]
-        + w01 * patch[..., :-1, 1:]
-        + w10 * patch[..., 1:, :-1]
-        + w11 * patch[..., 1:, 1:]
-    )
     k = 2 * radius + 1
+    P = h1 * w1
+    volf = vol.reshape(E, P, h2, w2).astype(jnp.float32)
+    Wyf = Wy.reshape(E, P, k, h2)
+    Wxf = Wx.reshape(E, P, k, w2)
+    # NOTE einsum, not explicit dot_general: with the (E, P) mega-batch of
+    # tiny matmuls XLA lowers einsum ~17x faster here (measured 18 ms vs
+    # 312 ms for the 48-edge frontend graph)
+    t = jnp.einsum("epkz,epzw->epkw", Wyf, volf)
+    out = jnp.einsum("epkw,eplw->epkl", t, Wxf)
     return out.reshape(E, h1, w1, k * k)
 
 
