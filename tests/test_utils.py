@@ -160,3 +160,32 @@ class TestKnn:
         out = knn_infill_depth(d, max_dist_px=3.0)
         assert out[2, 3] == 1.5 and out[3, 3] == 1.5
         assert out[7, 7] == 0.0  # beyond max dist
+
+
+class TestEvaluateCLI:
+    def test_evaluate_command(self, tmp_path, rng):
+        import json
+
+        from click.testing import CliRunner
+
+        from vipe_tpu.cli.main import vipe as vipe_cli
+        from vipe_tpu.utils import io as io_utils
+
+        for sub, noise in (("pred", 0.01), ("gt", 0.0)):
+            art = io_utils.ArtifactPath(tmp_path / sub, "clip")
+            traj = np.zeros((6, 7), np.float32)
+            traj[:, 0] = np.arange(6) * 0.1 + noise * rng.normal(size=6)
+            traj[:, 6] = 1.0
+            io_utils.save_poses(art, traj)
+            depths = [np.full((6, 8), 2.0 + noise, np.float32) for _ in range(3)]
+            io_utils.save_depth_zip(art, iter(depths))
+
+        r = CliRunner().invoke(
+            vipe_cli,
+            ["evaluate", str(tmp_path / "pred"), str(tmp_path / "gt")],
+        )
+        assert r.exit_code == 0, r.output
+        res = json.loads(r.output)
+        assert "clip" in res and res["clip"]["ate_rmse"] < 0.05
+        assert res["clip"]["depth_abs_rel"] < 0.01
+        assert res["clip"]["depth_delta1"] == 1.0

@@ -67,5 +67,66 @@ def visualize(artifact_dir, port):
     run_viser(artifact_dir, port=port)
 
 
+@vipe.command()
+@click.argument("artifact_dir", type=click.Path(exists=True))
+@click.argument("gt_dir", type=click.Path(exists=True))
+@click.option("--no-align", is_flag=True, help="skip Umeyama alignment")
+def evaluate(artifact_dir, gt_dir, no_align):
+    """Compare artifacts against ground-truth artifacts (ATE RMSE, depth
+    abs-rel / rmse-log / δ1).  The reference ships the metric functions but
+    leaves 'Add instructions for benchmarking' as a TODO (README.md:94);
+    this closes that loop over the same artifact layout."""
+    import json
+
+    import numpy as np
+
+    from ..utils import io as io_utils
+    from ..utils.geometry import (
+        ate_rmse,
+        depth_abs_relative_difference,
+        depth_delta1_accuracy,
+        depth_rmse_log,
+        matrix_to_se3,
+    )
+
+    results = {}
+    for art in io_utils.ArtifactPath.glob(artifact_dir):
+        gt = io_utils.ArtifactPath(gt_dir, art.name)
+        if not gt.pose_path.exists():
+            continue
+        mats, _ = io_utils.read_pose_artifacts(art)
+        gt_mats, _ = io_utils.read_pose_artifacts(gt)
+        n = min(len(mats), len(gt_mats))
+        entry = {
+            "ate_rmse": ate_rmse(
+                matrix_to_se3(mats[:n]), matrix_to_se3(gt_mats[:n]),
+                align=not no_align,
+            )
+        }
+        if art.depth_path.exists() and gt.depth_path.exists():
+            absrel, rmselog, d1, count = 0.0, 0.0, 0.0, 0
+            for pred, ref in zip(
+                io_utils.read_depth_artifacts(art),
+                io_utils.read_depth_artifacts(gt),
+            ):
+                if pred.shape != ref.shape:
+                    continue
+                mask = (ref > 0) & (pred > 0) & np.isfinite(ref) & np.isfinite(pred)
+                if mask.sum() < 16:
+                    continue
+                absrel += depth_abs_relative_difference(pred, ref, mask)
+                rmselog += depth_rmse_log(pred, ref, mask)
+                d1 += depth_delta1_accuracy(pred, ref, mask)
+                count += 1
+            if count:
+                entry |= {
+                    "depth_abs_rel": absrel / count,
+                    "depth_rmse_log": rmselog / count,
+                    "depth_delta1": d1 / count,
+                }
+        results[art.name] = entry
+    click.echo(json.dumps(results, indent=2, default=float))
+
+
 if __name__ == "__main__":
     vipe()
