@@ -496,21 +496,28 @@ class FactorGraph:
                 if len(sub):
                     frame_chunks.append(sub)
 
+        # volumes depend only on the (static) keyframe features — build the
+        # per-chunk pyramids ONCE and reuse across all steps (the reference's
+        # AltCorrBlock recomputes the dot products per query instead)
+        chunk_cache = {}
         for _ in range(steps):
             ii_d, jj_d, ev = self._active_arrays()
             coords1, valid1 = self.buffer.reproject(ii_d, jj_d)
 
-            for sel in frame_chunks:
+            for ci, sel in enumerate(frame_chunks):
                 Cb = bucket_size(len(sel), minimum=min(BACKEND_CHUNK, 16))
                 sel_pad = np.zeros(Cb, np.int64)
                 sel_pad[: len(sel)] = sel
                 sl = jnp.asarray(sel_pad, jnp.int32)
                 cv = jnp.asarray(np.arange(Cb) < len(sel))
-                f1 = self.buffer.fmaps[ii_d[sl]].astype(jnp.float32)
-                f2 = self.buffer.fmaps[jj_d[sl]].astype(jnp.float32)
-                pyr = corr_ops.corr_pyramid(f1, f2, self.corr_levels)
+                if ci not in chunk_cache:
+                    chunk_cache[ci] = _jitted_edge_corr(
+                        self.corr_levels, self.buffer.fmaps, ii_d[sl], jj_d[sl]
+                    )
+                pyr = chunk_cache[ci]
                 corr_feat = corr_ops.corr_lookup_pyramid(
-                    pyr, coords1[sl], CORR_RADIUS
+                    [p.astype(jnp.float32) for p in pyr], coords1[sl],
+                    CORR_RADIUS,
                 )
                 net, target, weight, eta = self._run_update_fn(
                     self.f_net[sl], coords1[sl], self.target[sl],
