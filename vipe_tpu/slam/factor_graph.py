@@ -143,11 +143,13 @@ class FactorGraph:
             (buffer.buffer_size, ht, wd), 1e-6, jnp.float32
         )
 
-        # inactive (stored) factors — host numpy (reference :89-94)
+        # inactive (stored) factors (reference :89-94): indices on the host,
+        # target/weight stay ON DEVICE — round-tripping them per BA call
+        # costs ~1 s/keyframe once a few hundred edges accumulate
         self.ii_inac = np.zeros((0,), np.int64)
         self.jj_inac = np.zeros((0,), np.int64)
-        self.target_inac = np.zeros((0, ht, wd, 2), np.float32)
-        self.weight_inac = np.zeros((0, ht, wd, 2), np.float32)
+        self.target_inac = jnp.zeros((0, ht, wd, 2), jnp.float32)
+        self.weight_inac = jnp.zeros((0, ht, wd, 2), jnp.float32)
 
     # ------------------------------------------------------------ edge admin
 
@@ -243,11 +245,12 @@ class FactorGraph:
         if store:
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[drop]])
             self.jj_inac = np.concatenate([self.jj_inac, self.jj[drop]])
-            self.target_inac = np.concatenate(
-                [self.target_inac, np.asarray(self.target[jnp.asarray(drop)])]
+            drop_d = jnp.asarray(drop, jnp.int32)
+            self.target_inac = jnp.concatenate(
+                [self.target_inac, self.target[drop_d]], axis=0
             )
-            self.weight_inac = np.concatenate(
-                [self.weight_inac, np.asarray(self.weight[jnp.asarray(drop)])]
+            self.weight_inac = jnp.concatenate(
+                [self.weight_inac, self.weight[drop_d]], axis=0
             )
 
         perm = np.concatenate([
@@ -273,10 +276,11 @@ class FactorGraph:
         self.ii_inac[self.ii_inac >= ix] -= 1
         self.jj_inac[self.jj_inac >= ix] -= 1
         if m.any():
+            keep_d = jnp.asarray(np.where(~m)[0], jnp.int32)
             self.ii_inac = self.ii_inac[~m]
             self.jj_inac = self.jj_inac[~m]
-            self.target_inac = self.target_inac[~m]
-            self.weight_inac = self.weight_inac[~m]
+            self.target_inac = self.target_inac[keep_d]
+            self.weight_inac = self.weight_inac[keep_d]
 
         m = (self.ii[: self.n_edges] == ix) | (self.jj[: self.n_edges] == ix)
         self.ii[self.ii >= ix] -= 1
@@ -562,8 +566,9 @@ class FactorGraph:
             m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
             all_ii = np.concatenate([self.ii_inac[m], act_ii])
             all_jj = np.concatenate([self.jj_inac[m], act_jj])
-            tgt_extra = jnp.asarray(self.target_inac[m])
-            wgt_extra = jnp.asarray(self.weight_inac[m])
+            sel_d = jnp.asarray(np.where(m)[0], jnp.int32)
+            tgt_extra = self.target_inac[sel_d]
+            wgt_extra = self.weight_inac[sel_d]
         else:
             all_ii, all_jj = act_ii, act_jj
             tgt_extra = None
