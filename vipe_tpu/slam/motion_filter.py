@@ -133,6 +133,16 @@ class MotionFilter:
 
     # ------------------------------------------------------------------- API
 
+    @property
+    def _decision_fixed(self):
+        """True/False when the threshold makes every decision constant
+        (±inf / negative): skip the score compute AND its ~25 ms readback."""
+        if self.thresh == float("inf"):
+            return False
+        if self.thresh < 0 or self.thresh == float("-inf"):
+            return True
+        return None
+
     def submit(self, image, buffer_mask=None) -> _Token:
         """Enqueue the score computation for one frame (non-blocking)."""
         fmap = self.encode_features(self.params, image[None])[0]
@@ -144,6 +154,8 @@ class MotionFilter:
             # reference to score against
             self._promote(tok)
             return tok
+        if self._decision_fixed is not None:
+            return _Token(image, fmap, "fixed", buffer_mask, self.kf_version)
         score = self._score(fmap)
         return _Token(image, fmap, score, buffer_mask, self.kf_version)
 
@@ -151,6 +163,11 @@ class MotionFilter:
         """Blockingly decide whether the submitted frame is a keyframe."""
         if token.score is None:  # first frame, already promoted at submit
             return True
+        fixed = self._decision_fixed
+        if fixed is not None:
+            if fixed:
+                self._promote(token)
+            return fixed
         if token.kf_version != self.kf_version:
             # keyframe reference changed after submission → recompute
             token.score = self._score(token.fmap)
