@@ -1,0 +1,144 @@
+"""Stream layer tests: mp4 decode, caching, processors, resize semantics."""
+
+import numpy as np
+import pytest
+
+from vipe_tpu.streams.base import (
+    AssignAttributesProcessor,
+    CachedVideoStream,
+    FrameAttribute,
+    ProcessedVideoStream,
+    StreamList,
+    VideoFrame,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_mp4(tmp_path_factory):
+    import cv2
+
+    path = tmp_path_factory.mktemp("vid") / "clip.mp4"
+    rng = np.random.default_rng(0)
+    base = (rng.random((48 + 16, 64 + 16, 3)) * 255).astype(np.uint8)
+    w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+    for k in range(10):
+        w.write(base[k: k + 48, k: k + 64])
+    w.release()
+    return str(path)
+
+
+class TestMp4Stream:
+    def test_decode_all(self, tiny_mp4):
+        from vipe_tpu.streams.raw_mp4_stream import RawMp4Stream
+
+        s = RawMp4Stream(tiny_mp4)
+        frames = list(s)
+        assert len(frames) == len(s) == 10
+        assert frames[0].rgb.shape == (48, 64, 3)
+        assert frames[0].rgb.dtype == np.float32
+        assert 0.0 <= frames[0].rgb.min() and frames[0].rgb.max() <= 1.0
+        assert s.frame_size() == (48, 64)
+
+    def test_seek_range(self, tiny_mp4):
+        from vipe_tpu.streams.raw_mp4_stream import RawMp4Stream
+
+        s = RawMp4Stream(tiny_mp4, seek_range=(2, 8, 2))
+        frames = list(s)
+        assert len(frames) == 3
+        assert [f.raw_frame_idx for f in frames] == [2, 4, 6]
+
+    def test_stream_list_glob(self, tiny_mp4):
+        import pathlib
+
+        from vipe_tpu.streams.raw_mp4_stream import RawMp4StreamList
+
+        sl = RawMp4StreamList(pathlib.Path(tiny_mp4).parent)
+        assert len(sl) == 1
+        assert next(iter(sl)).name() == "clip"
+
+
+class TestCaching:
+    def _stream(self, n=6):
+        class _S(__import__("vipe_tpu.streams.base", fromlist=["VideoStream"]).VideoStream):
+            def __init__(self):
+                self.decode_count = 0
+
+            def __len__(self):
+                return n
+
+            def frame_size(self):
+                return (8, 8)
+
+            def __iter__(self):
+                for k in range(n):
+                    self.decode_count += 1
+                    yield VideoFrame(k, np.full((8, 8, 3), k / 10, np.float32))
+
+        return _S()
+
+    def test_eager_cache_decodes_once(self):
+        src = self._stream()
+        c = CachedVideoStream(src)
+        assert src.decode_count == 6
+        list(c); list(c)
+        assert src.decode_count == 6  # no re-decode
+
+    def test_online_cache(self):
+        src = self._stream()
+        c = CachedVideoStream(src, online=True)
+        assert src.decode_count == 0
+        f = list(c)
+        assert len(f) == 6 and src.decode_count == 6
+
+
+class TestProcessors:
+    def test_assign_attributes(self):
+        poses = np.tile([0, 0, 0, 0, 0, 0, 1.0], (4, 1))
+        intr = np.asarray([10.0, 10, 4, 4])
+
+        class _S(__import__("vipe_tpu.streams.base", fromlist=["VideoStream"]).VideoStream):
+            def __len__(self):
+                return 4
+
+            def frame_size(self):
+                return (8, 8)
+
+            def __iter__(self):
+                for k in range(4):
+                    yield VideoFrame(k, np.zeros((8, 8, 3), np.float32))
+
+        p = AssignAttributesProcessor(poses=poses, intrinsics=intr)
+        ps = ProcessedVideoStream(_S(), [p])
+        assert FrameAttribute.POSE in ps.attributes()
+        f = list(ps)[2]
+        np.testing.assert_array_equal(f.pose, poses[2])
+        np.testing.assert_array_equal(f.intrinsics, intr)
+
+    def test_resize_processor_intrinsics(self):
+        from vipe_tpu.slam.system import StandardResizeStreamProcessor
+
+        proc = StandardResizeStreamProcessor(target_area=24 * 32)
+        frame = VideoFrame(
+            0, np.zeros((48, 64, 3), np.float32),
+            intrinsics=np.asarray([100.0, 100.0, 32.0, 24.0], np.float32),
+        )
+        out = proc(0, frame)
+        h, w = out.size()
+        assert h % 8 == 0 and w % 8 == 0
+        assert abs(h * w - 24 * 32) < 200
+        # recover_intrinsics inverts the transform
+        rec = proc.recover_intrinsics(out.intrinsics)
+        np.testing.assert_allclose(rec, [100.0, 100.0, 32.0, 24.0], rtol=0.05)
+
+    def test_frame_crop_resize(self):
+        frame = VideoFrame(
+            0, np.arange(48 * 64 * 3, dtype=np.float32).reshape(48, 64, 3) / 1e4,
+            mask=np.ones((48, 64), bool),
+            metric_depth=np.full((48, 64), 2.0, np.float32),
+            intrinsics=np.asarray([50.0, 50.0, 32.0, 24.0], np.float32),
+        )
+        f2 = frame.resize((24, 32)).crop(2, 2, 4, 4)
+        assert f2.size() == (20, 24)
+        assert f2.mask.shape == (20, 24)
+        assert f2.metric_depth.shape == (20, 24)
+        np.testing.assert_allclose(f2.intrinsics[2], 32.0 / 2 - 4)
