@@ -137,15 +137,25 @@ class TestGeom:
         np.testing.assert_allclose(float(d[0]), 20.0 * 0.1 * 0.5, atol=0.05)
 
     def test_frame_distance_saturates_when_behind(self):
-        """Looking opposite directions → <75% valid → 1000."""
+        """Direction whose points land behind the target → <75% valid → 1000.
+
+        frame_distance is single-direction (geom_kernels.cu:587 loops once);
+        here 0→1 stays in front (z' = 1 + 5·d > 0) while 1→0 pushes all
+        points behind the camera (z' = 1 − 5·d < 0) and must saturate."""
         ht, wd = 12, 16
         intr = jnp.asarray([20.0, 20.0, 8.0, 6.0])
         disps = jnp.full((2, ht, wd), 2.0)  # depth 0.5, easily behind
         p0 = lie.se3_identity()
         p1 = lie.se3_exp(jnp.asarray([0.0, 0, 5.0, 0, 0, 0.0]))  # push far forward
         poses = jnp.stack([p0, p1])
-        d = geom.frame_distance(poses, disps, intr, jnp.asarray([0]), jnp.asarray([1]))
-        assert float(d[0]) == 1000.0
+        d_fwd = geom.frame_distance(
+            poses, disps, intr, jnp.asarray([0]), jnp.asarray([1])
+        )
+        d_rev = geom.frame_distance(
+            poses, disps, intr, jnp.asarray([1]), jnp.asarray([0])
+        )
+        assert float(d_fwd[0]) < 1000.0
+        assert float(d_rev[0]) == 1000.0
 
     def test_depth_filter_consistent_scene(self, rng):
         """A geometrically consistent scene gets high counts; a corrupted frame's

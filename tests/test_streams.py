@@ -90,6 +90,25 @@ class TestCaching:
         f = list(c)
         assert len(f) == 6 and src.decode_count == 6
 
+    def test_online_cache_partial_reiteration(self):
+        """A fresh iteration after a PARTIAL fill must resume the source at
+        the first uncached index, not re-yield the source's frame 0 there."""
+        src = self._stream()
+        c = CachedVideoStream(src, online=True)
+        it = iter(c)
+        first3 = [next(it) for _ in range(3)]
+        assert [f.raw_frame_idx for f in first3] == [0, 1, 2]
+        # abandon `it`, start over
+        frames = list(c)
+        assert [f.raw_frame_idx for f in frames] == [0, 1, 2, 3, 4, 5]
+        assert [float(f.rgb[0, 0, 0]) for f in frames] == pytest.approx(
+            [k / 10 for k in range(6)]
+        )
+        # fully cached now: no further decodes on re-iteration
+        n = src.decode_count
+        list(c)
+        assert src.decode_count == n
+
 
 class TestProcessors:
     def test_assign_attributes(self):

@@ -122,10 +122,15 @@ def _ln(sd, key):
 
 
 def _convt(sd, key):
-    """torch ConvTranspose2d (I, O, kh, kw) → flax (kh, kw, O, I)→ but flax
-    ConvTranspose kernel layout is (kh, kw, in, out)."""
+    """torch ConvTranspose2d (I, O, kh, kw) → flax ConvTranspose (kh, kw, I, O).
+
+    torch's transposed conv scatters the kernel spatially FLIPPED relative to
+    flax's default (transpose_kernel=False) formulation, so the spatial axes
+    must be reversed before the layout transpose or outputs come out mirrored
+    within each stride block (verified numerically in
+    tests/test_convert_parity.py)."""
     w = np.asarray(sd[f"{key}.weight"], np.float32)
-    out = {"kernel": np.transpose(w, (2, 3, 0, 1))}
+    out = {"kernel": np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))}
     if f"{key}.bias" in sd:
         out["bias"] = np.asarray(sd[f"{key}.bias"], np.float32)
     return out

@@ -97,17 +97,19 @@ def frame_distance(
 ):
     """Mean induced optical flow between frame pairs.
 
-    Parity with ``frame_distance_kernel`` (geom_kernels.cu:521-660).  Per edge
-    the kernel makes TWO passes — (i→j) and, after swapping the poses, (j→i)
-    — but BOTH passes un-project with the disparity of frame ``di`` (default
-    ``ii``; geom_kernels.cu:655-658 swaps ix/jx while dix stays).  Each pass
-    accumulates the full-SE3 flow magnitude with weight ``beta`` and the
-    translation-only flow (rotation dropped) with weight ``1-beta``, counting
-    only pixels whose transformed depth exceeds MIN_DEPTH; if fewer than 75%
-    of pixels end up valid the distance saturates at 1000.
+    Parity with ``frame_distance_kernel`` (geom_kernels.cu:521-660).  Per
+    edge the kernel makes ONE pass, i→j un-projecting with the disparity of
+    frame ``di`` (default ``ii``) — the kernel's direction loop is
+    ``for (n = 0; n < 1)`` at geom_kernels.cu:587, so the ix/jx swap at
+    :655-658 is dead code.  The pass accumulates the full-SE3 flow magnitude
+    with weight ``beta`` and the translation-only flow (rotation dropped)
+    with weight ``1-beta``, counting only pixels whose transformed depth
+    exceeds MIN_DEPTH; if fewer than 75% of pixels end up valid the distance
+    saturates at 1000.
 
-    The caller-side bidirectional average over ``(jj, ii, dj)`` lives in
-    ``GraphBuffer.frame_distance`` (reference buffer.py:550-593).
+    Bidirectionality lives at the caller: ``GraphBuffer.frame_distance``
+    averages this with the ``(jj, ii, dj)`` call (reference
+    buffer.py:550-593), each direction saturating independently.
 
     ``intrinsics`` is the (4,) or (N, 4) *pinhole-equivalent* intrinsics (the
     reference converts non-pinhole models first, geom.py:335).
@@ -152,9 +154,9 @@ def frame_distance(
 
     def per_edge(i, j, d):
         disp = disps[d]
-        a1, v1, t1 = one_direction(poses[i], poses[j], disp, intr[i], intr[j])
-        a2, v2, t2 = one_direction(poses[j], poses[i], disp, intr[j], intr[i])
-        accum, valid, total = a1 + a2, v1 + v2, t1 + t2
+        accum, valid, total = one_direction(
+            poses[i], poses[j], disp, intr[i], intr[j]
+        )
         return jnp.where(
             valid / (total + 1e-8) < 0.75, 1000.0, accum / jnp.maximum(valid, 1e-8)
         )

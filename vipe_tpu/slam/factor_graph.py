@@ -83,16 +83,20 @@ def _jitted_gru_step(update_fn, camera_type):
 
 @functools.partial(jax.jit, static_argnums=0)
 def _jitted_distance_matrix(n, poses, disps, intrinsics, beta):
-    """Full n×n frame-distance matrix with the kernel's (ii, jj, disp=ii)
-    semantics — ONE compile per frame bucket instead of one per unique
-    pair-count (the reference computes exactly the pairs it needs, which on
-    TPU would retrace every keyframe)."""
+    """Full n×n BIDIRECTIONAL frame-distance matrix — ONE compile per frame
+    bucket instead of one per unique pair-count (the reference computes
+    exactly the pairs it needs, which on TPU would retrace every keyframe).
+
+    Entry (i, j) of the one-directional matrix D is d(i→j, disp_i); the
+    reference's bidirectional metric (buffer.py:577-591) is
+    0.5·(d(i→j, disp_i) + d(j→i, disp_j)) = 0.5·(D + Dᵀ), each direction
+    saturating to 1000 independently before the average."""
     ii, jj = jnp.meshgrid(jnp.arange(n), jnp.arange(n), indexing="ij")
     d = geom.frame_distance(
         poses, disps, intrinsics, ii.reshape(-1), jj.reshape(-1),
         di=ii.reshape(-1), beta=beta,
-    )
-    return d.reshape(n, n)
+    ).reshape(n, n)
+    return 0.5 * (d + d.T)
 
 
 class FactorGraph:
@@ -488,17 +492,28 @@ class FactorGraph:
 
         # chunk edges by SOURCE FRAME ranges of 8 like the reference
         # (factor_graph.py:350-372) so each frame's damping comes from exactly
-        # one chunk; additionally cap chunks at BACKEND_CHUNK edges (the corr
-        # volume transient is chunk_edges × h·w × h·w — unbounded chunks OOM)
+        # one chunk; additionally soft-cap chunks at BACKEND_CHUNK edges (the
+        # corr volume transient is chunk_edges × h·w × h·w — unbounded chunks
+        # OOM).  The cap splits ONLY at frame boundaries: a frame's damping
+        # eta is a mean over that frame's edges in its chunk, so splitting one
+        # frame across chunks would leave only the last chunk's partial mean.
+        # A single frame whose edge count alone exceeds the cap becomes its
+        # own (larger) chunk.
         act_ii = self.ii[: self.n_edges]
         act_jj = self.jj[: self.n_edges]
         frame_chunks = []
         for i0 in range(0, t, 8):
-            sel = np.where((act_ii >= i0) & (act_ii < i0 + 8))[0]
-            for c0 in range(0, len(sel), BACKEND_CHUNK):
-                sub = sel[c0: c0 + BACKEND_CHUNK]
-                if len(sub):
-                    frame_chunks.append(sub)
+            cur: list = []
+            for f in range(i0, min(i0 + 8, t)):
+                sel_f = np.where(act_ii == f)[0]
+                if not len(sel_f):
+                    continue
+                if cur and len(cur) + len(sel_f) > BACKEND_CHUNK:
+                    frame_chunks.append(np.asarray(cur))
+                    cur = []
+                cur.extend(sel_f.tolist())
+            if cur:
+                frame_chunks.append(np.asarray(cur))
 
         # volumes depend only on the (static) keyframe features — build the
         # per-chunk pyramids ONCE and reuse across all steps (the reference's
@@ -604,6 +619,11 @@ class FactorGraph:
         fill = np.bincount(all_ii, minlength=Nb).max() if Etot else 1
         M = bucket_size(int(fill), minimum=8)
         slot_edge = ba.build_edge_slots(ii_pad[:Etot], jj_pad[:Etot], Nb, M)
+        # build_edge_slots marks empty slots with its edge count (Etot); the
+        # jitted assembly tests slot validity against the PADDED count Eb —
+        # remap so empty-slot detection never depends on padded-edge blocks
+        # happening to be zero.
+        slot_edge[slot_edge == Etot] = Eb
 
         cfg = ba.BAConfig(
             camera_type=buf.camera_type,

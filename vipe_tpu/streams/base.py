@@ -179,6 +179,7 @@ class CachedVideoStream(VideoStream):
         self._name = stream.name()
         self._frames: List[Optional[VideoFrame]] = [None] * len(stream)
         self._iter = None
+        self._src_pos = 0
         self._filled = 0
         if not online:
             for i, f in enumerate(stream):
@@ -201,16 +202,31 @@ class CachedVideoStream(VideoStream):
         if self._filled >= len(self._frames):
             yield from self._frames  # type: ignore[misc]
             return
-        src = iter(self.stream)
         for i in range(len(self._frames)):
-            if self._frames[i] is None:
-                try:
-                    self._frames[i] = next(src)
-                except StopIteration:
-                    self._frames = self._frames[:i]
-                    return
-                self._filled = i + 1
-            yield self._frames[i]
+            if self._frames[i] is not None:
+                yield self._frames[i]
+                continue
+            # Uncached index: pull from ONE persistent source iterator whose
+            # position is tracked, so a re-iteration after a partial fill
+            # resumes where the cache ends instead of re-yielding the
+            # source's frame 0 into slot i (silent frame misassignment).
+            if self._iter is None:
+                self._iter = iter(self.stream)
+                self._src_pos = 0
+            try:
+                while self._src_pos < i:  # skip source frames already cached
+                    next(self._iter)
+                    self._src_pos += 1
+                frame = next(self._iter)
+                self._src_pos += 1
+            except StopIteration:
+                self._frames = self._frames[:i]
+                self._filled = i
+                self._iter = None
+                return
+            self._frames[i] = frame
+            self._filled = i + 1
+            yield frame
 
 
 class AssignAttributesProcessor(StreamProcessor):
