@@ -106,9 +106,10 @@ class TestGeoCalibNet:
         from vipe_tpu.priors.geocalib import GeoCalib
 
         g = GeoCalib(infer_size=64)
+        # aspect-preserving short-side resize: 48×72 → 64×96, /32 crop → 64×96
         fields = g.predict_fields(rng.random((48, 72, 3)).astype(np.float32))
-        assert fields["up_field"].shape == (64, 64, 2)
-        assert fields["latitude_field"].shape == (64, 64)
+        assert fields["up_field"].shape == (64, 96, 2)
+        assert fields["latitude_field"].shape == (64, 96)
         np.testing.assert_allclose(
             np.linalg.norm(fields["up_field"], axis=-1), 1.0, atol=1e-4)
         assert np.abs(fields["latitude_field"]).max() <= np.pi / 2 + 1e-5

@@ -67,8 +67,10 @@ class DefaultAnnotationPipeline(Pipeline):
         camera_type = CameraType(self.slam_cfg.get("camera_type", "pinhole"))
 
         init_procs = self._init_processors(video_stream)
+        # uint8-compressed cache: 4× smaller resident footprint for the three
+        # passes (SLAM pass 1/2 + post); exact round-trip for decoded video
         stream = ProcessedVideoStream(video_stream, init_procs).cache(
-            "process", online=True
+            "process", online=True, compress_rgb=True
         )
 
         metric_depth = None
@@ -92,45 +94,89 @@ class DefaultAnnotationPipeline(Pipeline):
         if depth_model_str:
             adp = AdaptiveDepthProcessor(depth_model_str, slam_output=slam_out)
             post_procs.append(adp)
-        out_stream = ProcessedVideoStream(stream, post_procs).cache(
-            "depth", online=True
-        )
+        # no cache: the output stream is consumed exactly once below, writing
+        # artifacts incrementally (bounded RSS on long videos)
+        out_stream = ProcessedVideoStream(stream, post_procs)
 
-        frames = list(out_stream)
+        # single streaming pass: every artifact writer is incremental, so the
+        # pipeline never holds more than one processed frame (+ its depth) in
+        # memory — the reference streams artifacts the same way (io.py:338-378)
+        fps = video_stream.fps()
+        root = self.output_cfg.get("path")
+        art = (
+            io_utils.ArtifactPath(pathlib.Path(root), stream.name())
+            if root is not None else None
+        )
+        save_viz = art is not None and self.output_cfg.get("save_viz", False)
+        viz_attrs = self.output_cfg.get("viz_attributes", ["rgb", "depth"])
+        phrases = self.init_cfg.get("phrases", [])
+
+        writer = (
+            io_utils.StreamingArtifactWriter(art, fps=fps)
+            if art is not None else None
+        )
+        viz_writer = None
+        if save_viz:
+            from ..utils.visualization import VideoWriter
+
+            viz_writer = VideoWriter(art.vis_path, fps)
+
+        # in-memory collection only when no artifact path was given (tests /
+        # programmatic callers that want the arrays back)
+        mem_depths: Optional[list] = [] if art is None else None
+        mem_masks: Optional[list] = [] if art is None else None
+        mem_rgbs: Optional[list] = [] if art is None else None
+
+        n_frames = 0
+        any_instance = False
+        for k, f in enumerate(out_stream):
+            inst = f.instance
+            if inst is not None:
+                any_instance = True
+            if writer is not None:
+                writer.add_frame(rgb=f.rgb, depth=f.metric_depth, instance=inst)
+            if viz_writer is not None:
+                from ..utils.visualization import render_projection_frame
+
+                viz_writer.write(
+                    render_projection_frame(f, k, slam_out, viz_attrs)
+                )
+            if mem_depths is not None:
+                mem_depths.append(f.metric_depth)
+                mem_masks.append(inst)
+                mem_rgbs.append(f.rgb)
+            n_frames += 1
+
         output = AnnotationPipelineOutput(
             trajectory=slam_out.trajectory,
             intrinsics=slam_out.intrinsics,
             camera_type=camera_type.value,
-            frame_inds=np.arange(len(frames)),
-            fps=video_stream.fps(),
+            frame_inds=np.arange(n_frames),
+            fps=fps,
             ba_residual=slam_out.ba_residual,
             slam_map=slam_out.slam_map,
         )
-        if depth_model_str:
-            output.depths = (f.metric_depth for f in frames)
-        if any(f.instance is not None for f in frames):
-            output.instance_masks = (
-                (f.instance if f.instance is not None else
-                 np.zeros(f.size(), np.uint8))
-                for f in frames
-            )
-            output.mask_phrases = self.init_cfg.get("phrases", [])
-        output.rgb_frames = (f.rgb for f in frames)
-
-        root = self.output_cfg.get("path")
-        if root is not None:
-            art = io_utils.ArtifactPath(pathlib.Path(root), stream.name())
-            io_utils.save_artifacts(art, output)
-            if self.output_cfg.get("save_viz", False):
-                from ..utils.visualization import save_projection_video
-
-                save_projection_video(
-                    art, frames, slam_out,
-                    attributes=self.output_cfg.get(
-                        "viz_attributes", ["rgb", "depth"]
-                    ),
-                    fps=video_stream.fps(),
+        if any_instance:
+            output.mask_phrases = phrases
+        if mem_depths is not None:
+            if depth_model_str:
+                output.depths = iter(mem_depths)
+            if any_instance:
+                output.instance_masks = iter(
+                    m if m is not None else np.zeros(r.shape[:2], np.uint8)
+                    for m, r in zip(mem_masks, mem_rgbs)
                 )
+            output.rgb_frames = iter(mem_rgbs)
+
+        if writer is not None:
+            writer.close(phrases=phrases if writer.wrote_mask else None)
+            io_utils.save_poses(art, output.trajectory, output.frame_inds)
+            io_utils.save_intrinsics(
+                art, output.intrinsics, output.camera_type, n_frames=n_frames
+            )
+            io_utils.save_info(art, {"ba_residual": output.ba_residual})
+        if viz_writer is not None:
+            viz_writer.close()
 
         if self.return_payload:
             output.payload = {"slam_output": slam_out}

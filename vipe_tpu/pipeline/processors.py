@@ -130,7 +130,10 @@ class AdaptiveDepthProcessor(StreamProcessor):
         self._ema_scale: Optional[float] = None
         self._ema_bias: Optional[float] = None
 
-    def _coverage_score(self) -> float:
+    def _coverage_score(self, image_size, intrinsics) -> float:
+        """Min UV coverage over every 10th pose, computed at the OPERATING
+        frame resolution with the frame's intrinsics (reference
+        processors.py:226-243 projects at frame.size())."""
         out = self.slam_output
         if out is None or out.slam_map is None:
             return 0.0
@@ -145,8 +148,8 @@ class AdaptiveDepthProcessor(StreamProcessor):
         for k in range(0, len(w2c), 10):
             scores.append(
                 out.slam_map.uv_coverage_score(
-                    w2c[k], out.intrinsics / 8.0, out.camera_type,
-                    image_size=(48, 64), frame_idx=k,
+                    w2c[k], np.asarray(intrinsics, np.float32),
+                    out.camera_type, image_size=tuple(image_size), frame_idx=k,
                 )
             )
         return float(min(scores)) if scores else 0.0
@@ -166,19 +169,22 @@ class AdaptiveDepthProcessor(StreamProcessor):
         )
 
     def update_iterator(self, it: Iterator[VideoFrame]) -> Iterator[VideoFrame]:
-        score = self._coverage_score()
-        use_metric = score < self.coverage_thresh
-        if not use_metric and self.priorda is None:
-            from ..priors.depth.priorda import PriorDAModel
-
-            self.priorda = PriorDAModel()
-
         frames = list(it) if self.vda is not None else it
         vda_disps = None
         if self.vda is not None:
             vda_disps = self.vda.infer_video_depth([f.rgb for f in frames])
 
+        use_metric = True
         for frame_idx, frame in enumerate(frames if self.vda is not None else it):
+            if frame_idx == 0:
+                # coverage at the operating resolution with this frame's
+                # intrinsics (reference processors.py:226-243)
+                score = self._coverage_score(frame.size(), frame.intrinsics)
+                use_metric = score < self.coverage_thresh
+                if not use_metric and self.priorda is None:
+                    from ..priors.depth.priorda import PriorDAModel
+
+                    self.priorda = PriorDAModel()
             if use_metric:
                 focal = (
                     float(frame.intrinsics[0])

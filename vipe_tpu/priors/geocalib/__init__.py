@@ -44,13 +44,26 @@ class GeoCalib:
         self.params = params
         self._forward = jax.jit(lambda p, x: self.net.apply(p, x))
 
+    def _preprocess(self, rgb: np.ndarray) -> np.ndarray:
+        """Aspect-preserving short-side resize to ``infer_size``, center-crop
+        to /32 multiples (reference ImagePreprocessor: resize 320 short side,
+        edge_divisible_by 32 — extractor.py:50, utils.py:74-130).  The round-1
+        square squash biased up/latitude fields for non-square video."""
+        import cv2
+
+        h0, w0 = rgb.shape[:2]
+        s = self.infer_size / min(h0, w0)
+        h1, w1 = int(round(h0 * s)), int(round(w0 * s))
+        img = cv2.resize(np.asarray(rgb, np.float32), (w1, h1))
+        hc, wc = (h1 // 32) * 32, (w1 // 32) * 32
+        t, l = (h1 - hc) // 2, (w1 - wc) // 2
+        return img[t: t + hc, l: l + wc]
+
     def predict_fields(self, rgb: np.ndarray):
         """(H, W, 3) float [0,1] → dict of up/latitude fields + confidences."""
-        import cv2
         import jax.numpy as jnp
 
-        h = self.infer_size
-        img = cv2.resize(np.asarray(rgb, np.float32), (h, h))
+        img = self._preprocess(rgb)
         out = self._forward(self.params, jnp.asarray(img)[None])
         return {k: np.asarray(v[0]) for k, v in out.items()}
 
@@ -68,6 +81,7 @@ class GeoCalib:
         res = calibrate_from_fields(ups, lats, ucs, lcs)
 
         h0, w0 = frames[0].shape[:2]
-        # focal recovered at infer resolution; rescale to the original width
-        f_full = float(res.focal) * (w0 / self.infer_size)
+        # focal recovered at the (uniformly scaled) infer resolution; undo the
+        # short-side scale factor (the /32 crop does not change focal)
+        f_full = float(res.focal) * (min(h0, w0) / self.infer_size)
         return np.asarray([f_full, f_full, w0 / 2.0, h0 / 2.0], np.float32)

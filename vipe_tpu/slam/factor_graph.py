@@ -108,6 +108,7 @@ class FactorGraph:
         max_factors: int,
         incremental: bool,
         ba_cfg_kwargs: Optional[dict] = None,
+        optimize_intrinsics: bool = False,
     ):
         self.buffer = buffer
         self.update_fn = update_fn
@@ -115,6 +116,9 @@ class FactorGraph:
         self.max_factors = max_factors
         self.incremental = incremental
         self.ba_cfg_kwargs = dict(ba_cfg_kwargs or {})
+        # reference buffer.bundle_adjustment adds the intrinsics group
+        # whenever configured — frontend updates included (buffer.py:496-499)
+        self.optimize_intrinsics = optimize_intrinsics
 
         E = max_factors
         ht, wd = buffer.ht, buffer.wd
@@ -471,7 +475,7 @@ class FactorGraph:
             fixed_motion=fixed_motion,
             limited_disp=limited_disp,
             pose_damping=1e-3, pose_ep=0.1,
-            optimize_intrinsics=False,
+            optimize_intrinsics=self.optimize_intrinsics and not motion_only,
         )
         self.age[: self.n_edges] += 1
 

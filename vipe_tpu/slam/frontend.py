@@ -21,7 +21,8 @@ class SLAMFrontend:
         self.buffer = buffer
         self.config = config
         self.graph = FactorGraph(
-            buffer, update_fn, params, max_factors=48, incremental=True
+            buffer, update_fn, params, max_factors=48, incremental=True,
+            optimize_intrinsics=config.get("optimize_intrinsics", False),
         )
         self.t1 = 0
         self.is_initialized = False

@@ -115,8 +115,9 @@ class VideoStream:
     def name(self) -> str:
         return getattr(self, "_name", "stream")
 
-    def cache(self, desc: str = "cache", online: bool = False) -> "CachedVideoStream":
-        return CachedVideoStream(self, online=online)
+    def cache(self, desc: str = "cache", online: bool = False,
+              compress_rgb: bool = False) -> "CachedVideoStream":
+        return CachedVideoStream(self, online=online, compress_rgb=compress_rgb)
 
 
 class StreamProcessor:
@@ -174,17 +175,34 @@ class CachedVideoStream(VideoStream):
     """Decode-once memory cache (reference base.py:330-399).  ``online=True``
     fills lazily as consumed; otherwise eagerly on construction."""
 
-    def __init__(self, stream: VideoStream, online: bool = False):
+    def __init__(self, stream: VideoStream, online: bool = False,
+                 compress_rgb: bool = False):
         self.stream = stream
         self._name = stream.name()
+        self._compress = compress_rgb
         self._frames: List[Optional[VideoFrame]] = [None] * len(stream)
         self._iter = None
         self._src_pos = 0
         self._filled = 0
         if not online:
             for i, f in enumerate(stream):
-                self._frames[i] = f
+                self._frames[i] = self._pack(f)
             self._filled = len(self._frames)
+
+    def _pack(self, frame: VideoFrame) -> VideoFrame:
+        """Store rgb as uint8 (4× smaller; exact round-trip for video-decoded
+        k/255 values via rint)."""
+        if not self._compress or frame.rgb.dtype == np.uint8:
+            return frame
+        rgb8 = np.rint(np.clip(frame.rgb, 0.0, 1.0) * 255.0).astype(np.uint8)
+        return dataclasses.replace(frame, rgb=rgb8)
+
+    def _unpack(self, frame: VideoFrame) -> VideoFrame:
+        if not self._compress or frame.rgb.dtype != np.uint8:
+            return frame
+        return dataclasses.replace(
+            frame, rgb=frame.rgb.astype(np.float32) / 255.0
+        )
 
     def __len__(self):
         return len(self._frames)
@@ -200,11 +218,12 @@ class CachedVideoStream(VideoStream):
 
     def __iter__(self):
         if self._filled >= len(self._frames):
-            yield from self._frames  # type: ignore[misc]
+            for f in self._frames:
+                yield self._unpack(f)  # type: ignore[arg-type]
             return
         for i in range(len(self._frames)):
             if self._frames[i] is not None:
-                yield self._frames[i]
+                yield self._unpack(self._frames[i])
                 continue
             # Uncached index: pull from ONE persistent source iterator whose
             # position is tracked, so a re-iteration after a partial fill
@@ -224,9 +243,9 @@ class CachedVideoStream(VideoStream):
                 self._filled = i
                 self._iter = None
                 return
-            self._frames[i] = frame
+            self._frames[i] = self._pack(frame)
             self._filled = i + 1
-            yield frame
+            yield self._unpack(self._frames[i])
 
 
 class AssignAttributesProcessor(StreamProcessor):

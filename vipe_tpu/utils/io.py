@@ -160,6 +160,82 @@ def save_info(path: ArtifactPath, info: dict):
         pickle.dump(info, f)
 
 
+class StreamingArtifactWriter:
+    """Incremental per-frame artifact writer: rgb video, depth zip and mask
+    zip entries are written as frames arrive, so a pipeline pass never holds
+    more than one frame in memory (the reference streams artifacts through
+    lazy iterators the same way, io.py:338-378)."""
+
+    def __init__(self, path: ArtifactPath, fps: float = 30.0,
+                 write_rgb: bool = True, write_depth: bool = True,
+                 write_mask: bool = True):
+        self.path = path
+        self.fps = fps
+        self.write_rgb = write_rgb
+        self.write_depth = write_depth
+        self.write_mask = write_mask
+        self._rgb_writer = None
+        self._depth_zip = None
+        self._mask_zip = None
+        self.n_frames = 0
+        self.wrote_depth = False
+        self.wrote_mask = False
+
+    def add_frame(self, rgb=None, depth=None, instance=None):
+        import cv2
+
+        i = self.n_frames
+        if rgb is not None and self.write_rgb:
+            f = np.asarray(rgb)
+            if f.dtype != np.uint8:
+                f = (np.clip(f, 0, 1) * 255).astype(np.uint8)
+            if self._rgb_writer is None:
+                self.path.rgb_path.parent.mkdir(parents=True, exist_ok=True)
+                h, w = f.shape[:2]
+                self._rgb_writer = cv2.VideoWriter(
+                    str(self.path.rgb_path), cv2.VideoWriter_fourcc(*"mp4v"),
+                    self.fps, (w, h),
+                )
+            self._rgb_writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        if depth is not None and self.write_depth:
+            if self._depth_zip is None:
+                self.path.depth_path.parent.mkdir(parents=True, exist_ok=True)
+                self._depth_zip = zipfile.ZipFile(
+                    self.path.depth_path, "w", zipfile.ZIP_DEFLATED
+                )
+            buf = _io.BytesIO()
+            np.save(buf, np.asarray(depth, np.float16))
+            self._depth_zip.writestr(f"{i:05d}.npy", buf.getvalue())
+            self.wrote_depth = True
+        if instance is not None and self.write_mask:
+            if self._mask_zip is None:
+                self.path.mask_path.parent.mkdir(parents=True, exist_ok=True)
+                self._mask_zip = zipfile.ZipFile(
+                    self.path.mask_path, "w", zipfile.ZIP_DEFLATED
+                )
+            ok, png = cv2.imencode(".png", np.asarray(instance, np.uint8))
+            assert ok
+            self._mask_zip.writestr(f"{i:05d}.png", png.tobytes())
+            self.wrote_mask = True
+        self.n_frames += 1
+
+    def close(self, phrases: Optional[List[str]] = None):
+        if self._rgb_writer is not None:
+            self._rgb_writer.release()
+        if self._depth_zip is not None:
+            self._depth_zip.close()
+        if self._mask_zip is not None:
+            self._mask_zip.close()
+            if phrases is not None:
+                self.path.mask_phrase_path.write_text("\n".join(phrases))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
 # ------------------------------------------------------------------ readers
 
 

@@ -24,7 +24,7 @@ def colorize_instance(instance: np.ndarray) -> np.ndarray:
 
 def colorize_inv_depth(depth: np.ndarray, q_lo=0.02, q_hi=0.98) -> np.ndarray:
     """Inverse-depth turbo-ish colormap (reference :312-348)."""
-    import matplotlib.cm as cm
+    import matplotlib
 
     d = np.asarray(depth, np.float32)
     inv = np.where(d > 0, 1.0 / np.maximum(d, 1e-6), 0.0)
@@ -32,7 +32,7 @@ def colorize_inv_depth(depth: np.ndarray, q_lo=0.02, q_hi=0.98) -> np.ndarray:
     if valid.any():
         lo, hi = np.quantile(inv[valid], [q_lo, q_hi])
         inv = np.clip((inv - lo) / max(hi - lo, 1e-6), 0, 1)
-    rgba = cm.get_cmap("turbo")(inv)
+    rgba = matplotlib.colormaps["turbo"](inv)
     out = (rgba[..., :3] * 255).astype(np.uint8)
     out[~valid] = 0
     return out
@@ -74,37 +74,43 @@ class VideoWriter:
         self.close()
 
 
-def save_projection_video(artifact_path, frames, slam_output,
-                          attributes=("rgb", "depth"), fps: float = 30.0):
-    """Grid of panes per frame (reference save_projection_video, :289-491).
-    Panes: rgb, instance, depth (colorized inv-depth), pcd (SLAM map
-    projected and alpha-blended)."""
+def render_projection_frame(frame, k, slam_output,
+                            attributes=("rgb", "depth")) -> np.ndarray:
+    """One visualization frame: horizontal grid of panes (reference
+    save_projection_video inner loop, :289-491).  Panes: rgb, instance,
+    depth (colorized inv-depth), pcd (SLAM map projected + alpha-blended)."""
     import jax.numpy as jnp
 
     from ..ops import lie
 
+    panes = []
+    h, w = frame.size()
+    rgb8 = (np.clip(frame.rgb, 0, 1) * 255).astype(np.uint8)
+    for attr in attributes:
+        if attr == "rgb":
+            panes.append(rgb8)
+        elif attr == "depth" and frame.metric_depth is not None:
+            panes.append(colorize_inv_depth(frame.metric_depth))
+        elif attr == "instance" and frame.instance is not None:
+            panes.append(colorize_instance(frame.instance))
+        elif attr == "pcd" and slam_output.slam_map is not None:
+            w2c = np.asarray(lie.se3_inv(
+                jnp.asarray(slam_output.trajectory[k], np.float32)))
+            depth = slam_output.slam_map.project_map(
+                w2c, slam_output.intrinsics, slam_output.camera_type,
+                (h, w), frame_idx=k,
+            )
+            pcd_pane = colorize_inv_depth(depth)
+            blend = (0.5 * rgb8 + 0.5 * pcd_pane).astype(np.uint8)
+            panes.append(blend)
+    if not panes:
+        panes = [rgb8]
+    return np.concatenate(panes, axis=1)
+
+
+def save_projection_video(artifact_path, frames, slam_output,
+                          attributes=("rgb", "depth"), fps: float = 30.0):
+    """Grid-of-panes video over an iterable of frames (single pass)."""
     with VideoWriter(artifact_path.vis_path, fps) as vw:
         for k, frame in enumerate(frames):
-            panes = []
-            h, w = frame.size()
-            rgb8 = (np.clip(frame.rgb, 0, 1) * 255).astype(np.uint8)
-            for attr in attributes:
-                if attr == "rgb":
-                    panes.append(rgb8)
-                elif attr == "depth" and frame.metric_depth is not None:
-                    panes.append(colorize_inv_depth(frame.metric_depth))
-                elif attr == "instance" and frame.instance is not None:
-                    panes.append(colorize_instance(frame.instance))
-                elif attr == "pcd" and slam_output.slam_map is not None:
-                    w2c = np.asarray(lie.se3_inv(
-                        jnp.asarray(slam_output.trajectory[k], np.float32)))
-                    depth = slam_output.slam_map.project_map(
-                        w2c, slam_output.intrinsics, slam_output.camera_type,
-                        (h, w), frame_idx=k,
-                    )
-                    pcd_pane = colorize_inv_depth(depth)
-                    blend = (0.5 * rgb8 + 0.5 * pcd_pane).astype(np.uint8)
-                    panes.append(blend)
-            if not panes:
-                panes = [rgb8]
-            vw.write(np.concatenate(panes, axis=1))
+            vw.write(render_projection_frame(frame, k, slam_output, attributes))
