@@ -38,9 +38,11 @@ class _FakeDetector:
 
 
 class TestTrackAnything:
-    def test_requires_detector(self):
-        with pytest.raises(NotImplementedError):
-            TrackAnythingPipeline(["person"])
+    def test_default_detector_is_gdino(self):
+        from vipe_tpu.priors.track_anything.gdino import GroundingDINODetector
+
+        pipe = TrackAnythingPipeline(["person"])
+        assert isinstance(pipe.seg_tracker.detector, GroundingDINODetector)
 
     def test_pipeline_with_fake_detector(self, rng):
         pipe = TrackAnythingPipeline(

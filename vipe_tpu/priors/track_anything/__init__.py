@@ -5,12 +5,10 @@ Reference: /root/reference/vipe/priors/track_anything/ — frame 0 (and every
 segmentation, merging newly found objects; DeAOT propagates masks in between
 (__init__.py:82-123, seg_tracker.py:83-111).
 
-Port status: SAM is fully ported (vipe_tpu.priors.track_anything.sam);
-GroundingDINO (Swin-T + BERT + deformable DETR) and DeAOT (LSTT memory
-transformer) are pending — the pipeline gates on a detector/tracker being
-available and raises a clear error otherwise.  Until then the annotation
-pipeline runs with ``init.instance: null`` (the reference ships the
-``static_vda`` variant without masking too, configs/pipeline/static_vda.yaml).
+Port status: SAM (vipe_tpu.priors.track_anything.sam) and GroundingDINO
+(vipe_tpu.priors.track_anything.gdino) are ported; with no DeAOT tracker
+supplied yet, masks between ``sam_gap`` detections hold the last instance
+map (reference __init__.py:104-109 behavior when the tracker is absent).
 """
 
 from __future__ import annotations
@@ -72,13 +70,11 @@ class TrackAnythingPipeline:
 
     def __init__(self, phrases: List[str], sam_gap: int = 20,
                  detector=None, tracker=None, sam_variant: str = "vit_b",
-                 sam_params=None):
+                 sam_params=None, box_threshold: float = 0.35):
         if detector is None:
-            raise NotImplementedError(
-                "GroundingDINO is not ported yet (Swin-T + BERT + deformable "
-                "DETR); pass a detector implementing run_grounding(rgb, "
-                "phrases) -> boxes, or run the pipeline with instance: null"
-            )
+            from .gdino import GroundingDINODetector
+
+            detector = GroundingDINODetector(box_threshold=box_threshold)
         self.phrases = [p for p in phrases if p != "sky"]
         self.keep_sky = "sky" in phrases
         segmentor = SamPredictor(sam_variant, params=sam_params)

@@ -77,7 +77,7 @@ class WindowAttention(nn.Module):
             nW = mask.shape[0]
             attn = attn.reshape(Bn // nW, nW, h, N, N) + mask[None, :, None]
             attn = attn.reshape(Bn, h, N, N)
-        attn = jax.nn_softmax(attn) if False else nn.softmax(attn, axis=-1)
+        attn = nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(Bn, N, C)
         return nn.Dense(C, name="proj")(out)
 
@@ -201,6 +201,3 @@ class SwinTransformer(nn.Module):
             if i < len(self.depths) - 1:
                 x, H, W = PatchMerging(dim, name=f"layers_{i}_downsample")(x, H, W)
         return outs
-
-
-import jax  # noqa: E402  (used by WindowAttention fallback guard)
