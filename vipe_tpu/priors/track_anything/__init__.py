@@ -5,10 +5,9 @@ Reference: /root/reference/vipe/priors/track_anything/ — frame 0 (and every
 segmentation, merging newly found objects; DeAOT propagates masks in between
 (__init__.py:82-123, seg_tracker.py:83-111).
 
-Port status: SAM (vipe_tpu.priors.track_anything.sam) and GroundingDINO
-(vipe_tpu.priors.track_anything.gdino) are ported; with no DeAOT tracker
-supplied yet, masks between ``sam_gap`` detections hold the last instance
-map (reference __init__.py:104-109 behavior when the tracker is absent).
+All three stages are ported TPU-native: SAM (.sam), GroundingDINO (.gdino)
+and the DeAOT mask propagator (.deaot); ``use_tracker=False`` falls back to
+holding the last instance map between detections.
 """
 
 from __future__ import annotations
@@ -50,18 +49,27 @@ class SegTracker:
         return instance
 
     def merge_new_objects(self, instance: np.ndarray, tracked: np.ndarray,
-                          iou_thresh: float = 0.4) -> np.ndarray:
-        """Keep tracked ids; add detections that don't overlap an existing
-        object (reference seg_tracker merging)."""
+                          min_new_obj_iou: float = 0.8) -> np.ndarray:
+        """Keep tracked ids; add a detection only if ≥ ``min_new_obj_iou`` of
+        its area lies on untracked background and it clears ``min_area``
+        (reference seg_tracker.find_new_objs:82-110).  If the combined new
+        area exceeds 40% of the frame, discard all new objects (reference
+        __init__.py:105-108 detection-glitch guard)."""
+        new_mask = np.where(tracked == 0, instance, 0)
         out = tracked.copy()
-        for oid in np.unique(instance):
+        added = np.zeros_like(tracked, bool)
+        for oid in np.unique(new_mask):
             if oid == 0:
                 continue
-            m = instance == oid
-            overlap = tracked[m]
-            covered = (overlap > 0).mean() if m.any() else 1.0
-            if covered < iou_thresh:
-                out[m & (tracked == 0)] = oid
+            new_area = int((new_mask == oid).sum())
+            obj_area = int((instance == oid).sum())
+            if new_area / max(obj_area, 1) < min_new_obj_iou \
+                    or new_area < self.min_area:
+                continue
+            added |= new_mask == oid
+        if added.sum() > 0.4 * tracked.size:
+            return out
+        out[added] = new_mask[added]
         return out
 
 
@@ -70,11 +78,16 @@ class TrackAnythingPipeline:
 
     def __init__(self, phrases: List[str], sam_gap: int = 20,
                  detector=None, tracker=None, sam_variant: str = "vit_b",
-                 sam_params=None, box_threshold: float = 0.35):
+                 sam_params=None, box_threshold: float = 0.35,
+                 use_tracker: bool = True):
         if detector is None:
             from .gdino import GroundingDINODetector
 
             detector = GroundingDINODetector(box_threshold=box_threshold)
+        if tracker is None and use_tracker:
+            from .deaot import DeAOTTracker
+
+            tracker = DeAOTTracker()
         self.phrases = [p for p in phrases if p != "sky"]
         self.keep_sky = "sky" in phrases
         segmentor = SamPredictor(sam_variant, params=sam_params)
@@ -92,7 +105,9 @@ class TrackAnythingPipeline:
             if self._last_instance is None or self.tracker is None:
                 instance = detected
             else:
-                tracked = self.tracker.propagate(rgb)
+                # detection frames track WITHOUT a memory update (reference
+                # __init__.py:102-111 + seg_tracker.track default)
+                tracked = self.tracker.propagate(rgb, update_memory=False)
                 instance = self.seg_tracker.merge_new_objects(detected, tracked)
             if self.tracker is not None:
                 self.tracker.add_reference(rgb, instance)

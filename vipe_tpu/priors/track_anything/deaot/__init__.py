@@ -1,0 +1,266 @@
+"""DeAOT tracker: mask propagation engine over the flax DeAOT network.
+
+Reference: /root/reference/vipe/priors/track_anything/aot/networks/engines/
+{aot_engine,deaot_engine}.py + aot_tracker.py glue.  ViPE runs R50_DeAOTL
+with ``long_term_mem_gap=9999`` (__init__.py:73-77), i.e. long-term memory
+grows only at reference (detection) frames; short-term memory is replaced
+every frame.
+
+TPU-native memory layout: long-term memory is a host-side list of per-frame
+token blocks; each propagate concatenates and pads it to a power-of-two
+frame bucket with a validity mask, so the whole step is one of a handful of
+compiled programs regardless of how many reference frames accumulated.
+
+Documented divergence: the reference spawns one sub-engine per 10 objects
+(DeAOTInferEngine.separate_mask); this port tracks up to ``max_obj_num``
+objects in one engine and drops overflow ids (rare at ViPE's box threshold).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .network import DeAOTConfig, DeAOTNet, resize_align_corners
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def _bucket_frames(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+class DeAOTTracker:
+    """Tracker API used by TrackAnythingPipeline:
+    ``add_reference(rgb, instance)`` and ``propagate(rgb) -> instance``."""
+
+    def __init__(self, cfg: Optional[DeAOTConfig] = None, params=None,
+                 max_long_edge: int = 1040, rng_seed: int = 0):
+        self.cfg = cfg or DeAOTConfig()
+        self.net = DeAOTNet(self.cfg)
+        self.max_long_edge = max_long_edge
+        self._params = params
+        self._rng_seed = rng_seed
+        # per-layer long-term memory: list over ref frames of
+        # (K (hw,B,dk), V, ID_V) token blocks
+        self.long_memory: Optional[List[List[tuple]]] = None
+        self.short_memory = None     # per-layer (local_K, local_V, local_ID_V)
+        self.curr_mem = None         # per-layer (curr_K, curr_V, curr_ID_V)
+        # object-id ↔ slot mapping (slots 1..max_obj_num)
+        self.id_to_slot: Dict[int, int] = {}
+        self.slot_to_id: Dict[int, int] = {}
+
+        self._jit_ref = jax.jit(
+            lambda p, img, oh: self.net.apply(p, img, oh, method=_ref_step)
+        )
+        self._jit_prop = jax.jit(
+            lambda p, img, gK, gV, gI, km, lK, lV, lI: self.net.apply(
+                p, img, gK, gV, gI, km, lK, lV, lI, method=_prop_step
+            )
+        )
+        self._jit_update = jax.jit(
+            lambda p, currs, oh: self.net.apply(p, currs, oh, method=_update_step)
+        )
+
+    # ------------------------------------------------------------ helpers
+
+    def _preprocess(self, rgb: np.ndarray) -> jnp.ndarray:
+        import cv2
+
+        h, w = rgb.shape[:2]
+        s = min(1.0, self.max_long_edge / max(h, w))
+        h1 = max(16, int(round(h * s / 16)) * 16)
+        w1 = max(16, int(round(w * s / 16)) * 16)
+        img = cv2.resize(np.asarray(rgb, np.float32), (w1, h1))
+        if img.max() > 1.5:
+            img = img / 255.0
+        img = (img - IMAGENET_MEAN) / IMAGENET_STD
+        return jnp.asarray(img)[None]
+
+    def _one_hot(self, instance: np.ndarray, size_hw) -> jnp.ndarray:
+        """Instance ids → slot one-hot (1, H, W, max_obj+1), updating the
+        id↔slot tables for new objects."""
+        import cv2
+
+        inst = cv2.resize(
+            np.asarray(instance, np.int32), (size_hw[1], size_hw[0]),
+            interpolation=cv2.INTER_NEAREST,
+        )
+        slots = np.zeros_like(inst)
+        for oid in np.unique(inst):
+            if oid == 0:
+                continue
+            if oid not in self.id_to_slot:
+                free = [s for s in range(1, self.cfg.max_obj_num + 1)
+                        if s not in self.slot_to_id]
+                if not free:
+                    continue  # overflow: drop (documented divergence)
+                self.id_to_slot[oid] = free[0]
+                self.slot_to_id[free[0]] = oid
+            slots[inst == oid] = self.id_to_slot[oid]
+        oh = np.zeros(inst.shape + (self.cfg.max_obj_num + 1,), np.float32)
+        np.put_along_axis(oh, slots[..., None], 1.0, axis=-1)
+        return jnp.asarray(oh)[None]
+
+    def _slots_to_ids(self, slot_map: np.ndarray) -> np.ndarray:
+        out = np.zeros_like(slot_map)
+        for s, oid in self.slot_to_id.items():
+            out[slot_map == s] = oid
+        return out
+
+    def _ensure_params(self, img, oh):
+        if self._params is None:
+            self._params = self.net.init(
+                jax.random.PRNGKey(self._rng_seed), img, oh, method=_init_all
+            )
+        return self._params
+
+    def _padded_long(self):
+        """Concatenate + bucket-pad the long-term memory per layer."""
+        n = len(self.long_memory[0])
+        nb = _bucket_frames(n)
+        gKs, gVs, gIs = [], [], []
+        hw = self.long_memory[0][0][0].shape[0]
+        for layer_mem in self.long_memory:
+            K = jnp.concatenate([m[0] for m in layer_mem], 0)
+            V = jnp.concatenate([m[1] for m in layer_mem], 0)
+            I = jnp.concatenate([m[2] for m in layer_mem], 0)
+            pad = nb * hw - K.shape[0]
+            if pad:
+                K = jnp.pad(K, ((0, pad), (0, 0), (0, 0)))
+                V = jnp.pad(V, ((0, pad), (0, 0), (0, 0)))
+                I = jnp.pad(I, ((0, pad), (0, 0), (0, 0)))
+            gKs.append(K)
+            gVs.append(V)
+            gIs.append(I)
+        kmask = jnp.arange(nb * hw) < n * hw
+        return gKs, gVs, gIs, kmask[None]  # (B=1, T)
+
+    # ---------------------------------------------------------------- API
+
+    def restart(self):
+        self.long_memory = None
+        self.short_memory = None
+        self.curr_mem = None
+        self.id_to_slot.clear()
+        self.slot_to_id.clear()
+
+    def add_reference(self, rgb: np.ndarray, instance: np.ndarray):
+        """Encode a (frame, mask) pair into long+short-term memory
+        (engine add_reference_frame, aot_engine.py:195-252; new memories are
+        PREPENDED to long-term memory per update_long_term_memory:294-310)."""
+        img = self._preprocess(rgb)
+        oh = self._one_hot(instance, img.shape[1:3])
+        params = self._ensure_params(img, oh)
+        layer_mems = self.net.apply(params, img, oh, method=_ref_step)
+        if self.long_memory is None:
+            self.long_memory = [[m["global"]] for m in layer_mems]
+        else:
+            for i, m in enumerate(layer_mems):
+                self.long_memory[i].insert(0, m["global"])
+        self.short_memory = [m["local"] for m in layer_mems]
+
+    def propagate(self, rgb: np.ndarray, update_memory: bool = True) -> np.ndarray:
+        """Track one frame (match_propogate_one_frame + decode_current_logits
+        + update_short_term_memory, aot_engine.py:348-380)."""
+        if self.long_memory is None:
+            return np.zeros(rgb.shape[:2], np.int32)
+        img = self._preprocess(rgb)
+        gK, gV, gI, kmask = self._padded_long()
+        lK, lV, lI = zip(*self.short_memory)
+        logits, currs = self._jit_prop(
+            self._params, img, list(gK), list(gV), list(gI), kmask,
+            list(lK), list(lV), list(lI),
+        )
+        h0, w0 = rgb.shape[:2]
+        logits = resize_align_corners(logits, (h0, w0))
+        slot_map = np.asarray(jnp.argmax(logits[0], -1)).astype(np.int32)
+        self.curr_mem = currs
+        if update_memory:
+            oh = self._one_hot(self._slots_to_ids(slot_map), img.shape[1:3])
+            new_short = self._jit_update(self._params, currs, oh)
+            self.short_memory = new_short
+        return self._slots_to_ids(slot_map)
+
+
+# --------------------------- model methods used through nn.Module.apply
+
+
+def _init_all(net: DeAOTNet, img, one_hot):
+    """Parameter-initialization pass touching every submodule (ref + prop +
+    update paths)."""
+    mems = _ref_step(net, img, one_hot)
+    gK = [m["global"][0] for m in mems]
+    gV = [m["global"][1] for m in mems]
+    gI = [m["global"][2] for m in mems]
+    kmask = jnp.ones((1, gK[0].shape[0]), bool)
+    lK, lV, lI = zip(*[m["local"] for m in mems])
+    logits, currs = _prop_step(
+        net, img, gK, gV, gI, kmask, list(lK), list(lV), list(lI)
+    )
+    _update_step(net, currs, one_hot)
+    return logits
+
+
+def _ref_step(net: DeAOTNet, img, one_hot):
+    """Reference-frame self-matching: returns per-layer global token memory
+    + local 2D memory."""
+    enc = net.encode_image(img)
+    B, h, w, _ = enc[-1].shape
+    id_emb = net.get_id_emb(one_hot)
+    _, mems = net.lstt_forward(enc, None, id_emb, None, (h, w))
+    out = []
+    for m in mems:
+        K, V, I = m["global_K"], m["global_V"], m["global_ID_V"]
+        local = tuple(
+            x.transpose(1, 0, 2).reshape(B, h, w, x.shape[-1])
+            for x in (K, V, I)
+        )
+        out.append({"global": (K, V, I), "local": local})
+    return out
+
+
+def _prop_step(net: DeAOTNet, img, gKs, gVs, gIs, kmask, lKs, lVs, lIs):
+    """Propagation: match against memory, decode logits, return raw current
+    K/V/ID_V for the post-decision memory update."""
+    enc = net.encode_image(img)
+    B, h, w, _ = enc[-1].shape
+    memories = [
+        {
+            "global_K": gKs[i], "global_V": gVs[i], "global_ID_V": gIs[i],
+            "local_K": lKs[i], "local_V": lVs[i], "local_ID_V": lIs[i],
+        }
+        for i in range(len(gKs))
+    ]
+    outs, mems = net.lstt_forward(
+        enc, memories, None, None, (h, w), long_mask=kmask
+    )
+    logits = net.decode_logits(outs[-1], enc, (h, w))
+    currs = [(m["curr_K"], m["curr_V"], m["curr_ID_V"]) for m in mems]
+    return logits, currs
+
+
+def _update_step(net: DeAOTNet, currs, one_hot):
+    """Short-term memory refresh from the predicted mask
+    (deaot_engine.py:25-62: fuse_key_value_id per layer, then 2D planes)."""
+    id_emb = net.get_id_emb(one_hot)
+    out = []
+    for i, (K, V, IDV) in enumerate(currs):
+        fused = net.fuse_id_memory(i, IDV, id_emb)
+        L, B, _ = K.shape
+        h = one_hot.shape[1] // 16
+        w = one_hot.shape[2] // 16
+        local = tuple(
+            x.transpose(1, 0, 2).reshape(B, h, w, x.shape[-1])
+            for x in (K, V, fused)
+        )
+        out.append(local)
+    return out
