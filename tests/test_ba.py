@@ -163,9 +163,13 @@ class TestSchurOracle:
         sens_mask = jnp.zeros((n,))
         pose_damping, pose_ep = 1e-3, 0.1
 
+        rig1 = jnp.broadcast_to(lie.se3_identity(), (1, 7)).astype(jnp.float32)
+        zeros_e = jnp.zeros_like(prob["ii"])
         Hd, bd, _ = jax.jit(ba.assemble_system, static_argnums=0)(
-            cfg, poses0, disps0, prob["intr_full"], prob["target"], prob["weight"],
-            prob["ii"], prob["jj"], jnp.ones((E,), bool), slot_edge,
+            cfg, poses0, rig1, disps0, prob["intr_full"][None],
+            prob["target"], prob["weight"],
+            prob["ii"], zeros_e, prob["ii"], prob["jj"], zeros_e,
+            jnp.ones((E,), bool), slot_edge,
             pose_mask, disp_mask, disp_damping, prob["disps_gt"], sens_mask,
             jnp.float32(pose_damping), jnp.float32(pose_ep),
         )
@@ -266,3 +270,130 @@ class TestSchurOracle:
         )
         e1 = resid(poses1, disps1)
         assert e1 < 0.2 * e0, (e0, e1)
+
+
+# ----------------------------------------------------------- multi-view rig
+
+
+def _rig_forward(poses, rig, disps_nd, intr_views, pi, qi, di, pj, qj):
+    """Reference chain proj[rig_qj⁻¹·T_pj·T_pi⁻¹·rig_qi·iproj(d_di, K_qi), K_qj]
+    (geom.py:187-298), built from the same primitives BA uses."""
+    u, v = geom.pixel_grid(HT, WD)
+    u, v = u.reshape(P), v.reshape(P)
+    outs, valids = [], []
+    for e in range(len(pi)):
+        Ki = intr_views[qi[e]] / 8.0
+        Kj = intr_views[qj[e]] / 8.0
+        G = lie.se3_mul(
+            lie.se3_inv(rig[qj[e]]),
+            lie.se3_mul(poses[pj[e]],
+                        lie.se3_mul(lie.se3_inv(poses[pi[e]]), rig[qi[e]])),
+        )
+        pts = cam.iproj_disp(cam.CameraType.PINHOLE, Ki, u, v, disps_nd[di[e]])
+        q, t = G[3:7], G[:3]
+        ph = jnp.concatenate(
+            [lie.quat_rotate(q, pts[..., :3]) + t * pts[..., 3:4], pts[..., 3:4]], -1
+        )
+        outs.append(cam.proj_points(cam.CameraType.PINHOLE, Kj, ph))
+        valids.append(ph[..., 2] > 0.1)
+    return jnp.stack(outs), jnp.stack(valids)
+
+
+class TestMultiViewRig:
+    def test_two_view_rig_pose_and_rotation_recovery(self, rng):
+        """2-view rig: cross-view + temporal edges; BA must recover the
+        perturbed frame poses AND the perturbed rig-1 rotation
+        (optimize_rig_rotation path, reference buffer.py:501-506)."""
+        V, n = 2, 4
+        ND = n * V
+        intr_views = jnp.broadcast_to(
+            jnp.asarray([WD * 12.0, WD * 12.0, WD * 4.0, HT * 4.0]), (V, 4)
+        )
+        # rig: view 0 identity; view 1 offset right + yawed
+        rig_gt = jnp.stack([
+            lie.se3_identity(),
+            lie.se3_exp(jnp.asarray([0.25, 0.0, 0.0, 0.0, 0.12, 0.0], jnp.float32)),
+        ])
+        steps = []
+        for k in range(n):
+            xi = np.concatenate([
+                [0.15 * k, 0.02 * rng.normal(), 0.02 * rng.normal()],
+                0.01 * rng.normal(size=3),
+            ])
+            steps.append(lie.se3_exp(jnp.asarray(xi, jnp.float32)))
+        poses_gt = jnp.stack(steps)
+
+        u, v = geom.pixel_grid(HT, WD)
+        base = 0.6 + 0.15 * jnp.sin(u / 3.0) * jnp.cos(v / 2.0)
+        disps_gt = jnp.stack(
+            [base + 0.02 * k + 0.01 * w for k in range(n) for w in range(V)]
+        ).reshape(ND, P)
+
+        # temporal edges expanded per view + cross-view edges per frame
+        pi, qi, pj, qj = [], [], [], []
+        for i in range(n - 1):
+            for w in range(V):
+                pi += [i, i + 1]
+                pj += [i + 1, i]
+                qi += [w, w]
+                qj += [w, w]
+        for i in range(n):  # cross-view (ii == jj → (v, v+1) pairs)
+            pi += [i, i]
+            pj += [i, i]
+            qi += [0, 1]
+            qj += [1, 0]
+        pi = np.asarray(pi); pj = np.asarray(pj)
+        qi = np.asarray(qi); qj = np.asarray(qj)
+        di = pi * V + qi
+        E = len(pi)
+
+        target, valid = _rig_forward(
+            poses_gt, rig_gt, disps_gt, intr_views, pi, qi, di, pj, qj
+        )
+        weight = jnp.ones((E, P, 2)) * valid[..., None]
+
+        # perturb poses (fix 0,1) and rig-1 ROTATION
+        xi_noise = jnp.asarray(rng.normal(size=(n, 6)) * 0.015, jnp.float32)
+        xi_noise = xi_noise.at[0].set(0.0).at[1].set(0.0)
+        poses0 = lie.se3_retr(poses_gt, xi_noise)
+        rig0 = rig_gt.at[1].set(lie.se3_retr(
+            rig_gt[1], jnp.asarray([0, 0, 0, 0.0, -0.04, 0.02], jnp.float32)
+        ))
+
+        cfg = ba.BAConfig(
+            ht=HT, wd=WD, max_edges_per_frame=16, n_views=V, optimize_rig=True,
+        )
+        slot_edge = np.full((ND, 16), E, np.int32)
+        fill = np.zeros(ND, np.int64)
+        for e, d in enumerate(di):
+            slot_edge[d, fill[d]] = e
+            fill[d] += 1
+
+        pose_mask = jnp.asarray([False, False] + [True] * (n - 2))
+        disp_mask = jnp.zeros((ND,), bool)  # keep GT disps: isolate pose+rig
+        poses1, rig1, _, _ = ba.ba_solve_mv(
+            cfg, poses0, rig0, disps_gt, intr_views, target, weight,
+            jnp.asarray(pi), jnp.asarray(qi), jnp.asarray(di),
+            jnp.asarray(pj), jnp.asarray(qj),
+            jnp.ones((E,), bool), jnp.asarray(slot_edge),
+            pose_mask, disp_mask, jnp.full((ND, P), 1e-4),
+            disps_gt, jnp.zeros((ND,)),
+            jnp.int32(12), jnp.float32(1e-5), jnp.float32(1e-4),
+        )
+        err0 = pose_err(poses0, poses_gt)
+        err1 = pose_err(poses1, poses_gt)
+        assert err1 < 2e-3 and err1 < 0.1 * err0, (err0, err1)
+
+        rot_err0 = float(jnp.linalg.norm(
+            lie.se3_log(lie.se3_mul(rig0[1], lie.se3_inv(rig_gt[1])))[3:]))
+        rot_err1 = float(jnp.linalg.norm(
+            lie.se3_log(lie.se3_mul(rig1[1], lie.se3_inv(rig_gt[1])))[3:]))
+        assert rot_err1 < 2e-3 and rot_err1 < 0.1 * rot_err0, (rot_err0, rot_err1)
+        # rig view 0 stays fixed; rotation-only left-retraction preserves
+        # the translation NORM (exp([0, phi]) rotates t, as in the reference
+        # RigRotationOnlyRetractor: retr with translation rows zeroed)
+        np.testing.assert_allclose(np.asarray(rig1[0]), np.asarray(rig_gt[0]), atol=1e-6)
+        np.testing.assert_allclose(
+            float(jnp.linalg.norm(rig1[1][:3])),
+            float(jnp.linalg.norm(rig0[1][:3])), rtol=1e-5,
+        )

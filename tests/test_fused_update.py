@@ -1,0 +1,106 @@
+"""Fused multi-round GRU+BA (FactorGraph.update_fused) must match the
+sequential update() loop — poses/disps/targets/weights/damping — with a real
+traceable DroidNet, including the inactive-edge BA block and the speculative
+distance-matrix token."""
+
+import copy
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vipe_tpu.ops import cameras as cam
+from vipe_tpu.slam.buffer import GraphBuffer
+from vipe_tpu.slam.factor_graph import FactorGraph
+from vipe_tpu.slam.system import make_droidnet_fns
+
+H, W = 48, 64
+HT, WD = H // 8, W // 8
+N = 6
+
+
+@pytest.fixture(scope="module")
+def tiny_droidnet():
+    from vipe_tpu.models.droidnet import init_droidnet
+
+    return init_droidnet(jax.random.PRNGKey(0), ht=HT, wd=WD)
+
+
+def _make_graph(tiny_droidnet, seed=0):
+    model, params = tiny_droidnet
+    ef, ec, uf = make_droidnet_fns(model)
+    rng = np.random.default_rng(seed)
+    buf = GraphBuffer(height=H, width=W, buffer_size=32)
+    for k in range(N):
+        img = jnp.asarray((rng.random((H, W, 3)) * 255).astype(np.uint8))
+        fmap = ef(params, img[None])[0]
+        net, inp = ec(params, img[None])
+        buf.append_keyframe(
+            k, img, fmap, net[0], inp[0],
+            intrinsics=np.asarray([W, W, W / 2, H / 2], np.float32),
+        )
+        # small random pose walk + disp texture so BA has signal
+        buf.poses = buf.poses.at[k, 0].set(0.1 * k + 0.01 * rng.normal())
+        buf.disps = buf.disps.at[k].add(
+            0.1 * jnp.asarray(rng.random((HT, WD)), jnp.float32)
+        )
+    g = FactorGraph(buf, uf, params, max_factors=16, incremental=True)
+    g.add_neighborhood_factors(0, N, r=1)
+    return buf, g
+
+
+def _snapshot(buf, g):
+    return {
+        "poses": np.asarray(buf.poses[:N]),
+        "disps": np.asarray(buf.disps[:N]),
+        "target": np.asarray(g.target[: g.n_edges]),
+        "weight": np.asarray(g.weight[: g.n_edges]),
+        "damping": np.asarray(g.damping[:8]),
+        "age": g.age[: g.n_edges].copy(),
+    }
+
+
+class TestFusedUpdateEquivalence:
+    def test_matches_sequential_updates(self, tiny_droidnet):
+        buf_a, g_a = _make_graph(tiny_droidnet, seed=3)
+        buf_b, g_b = _make_graph(tiny_droidnet, seed=3)
+
+        for _ in range(3):
+            g_a.update(use_inactive=True)
+        g_b.update_fused(3, use_inactive=True)
+
+        sa, sb = _snapshot(buf_a, g_a), _snapshot(buf_b, g_b)
+        for key in sa:
+            np.testing.assert_allclose(
+                sa[key], sb[key], rtol=2e-4, atol=2e-4,
+                err_msg=f"mismatch in {key}",
+            )
+
+    def test_matches_with_inactive_edges(self, tiny_droidnet):
+        buf_a, g_a = _make_graph(tiny_droidnet, seed=5)
+        buf_b, g_b = _make_graph(tiny_droidnet, seed=5)
+        for g in (g_a, g_b):
+            # move two edges to the inactive store
+            mask = np.zeros(g.n_edges, bool)
+            mask[:2] = True
+            g.rm_factors(mask, store=True)
+
+        for _ in range(2):
+            g_a.update(use_inactive=True)
+        g_b.update_fused(2, use_inactive=True)
+
+        sa, sb = _snapshot(buf_a, g_a), _snapshot(buf_b, g_b)
+        for key in ("poses", "disps", "target", "weight"):
+            np.testing.assert_allclose(
+                sa[key], sb[key], rtol=2e-4, atol=2e-4,
+                err_msg=f"mismatch in {key}",
+            )
+
+    def test_distance_token_matches_fresh(self, tiny_droidnet):
+        buf, g = _make_graph(tiny_droidnet, seed=7)
+        nb, tok = g.submit_distance_matrix(beta=0.3)
+        fresh = np.asarray(g.submit_distance_matrix(beta=0.3)[1])
+        np.testing.assert_allclose(np.asarray(tok), fresh, rtol=1e-5)
+        assert nb >= buf.n_frames

@@ -45,8 +45,11 @@ class TestTrackAnything:
         assert isinstance(pipe.seg_tracker.detector, GroundingDINODetector)
 
     def test_pipeline_with_fake_detector(self, rng):
+        # use_tracker=False exercises the hold-last-instance fallback;
+        # the DeAOT propagation path is covered in test_deaot.py
         pipe = TrackAnythingPipeline(
             ["person", "sky"], detector=_FakeDetector(), sam_gap=2,
+            use_tracker=False,
         )
         # shrink SAM for the test
         pipe.seg_tracker.segmentor = SamPredictor("vit_b", img_size=128)
@@ -56,7 +59,8 @@ class TestTrackAnything:
         np.testing.assert_array_equal(m0, m1)  # held without tracker
 
     def test_merge_new_objects(self):
-        st = SegTracker(None, None, None)
+        # min_area scaled down to the 10x10 test grid
+        st = SegTracker(None, None, None, min_area=10)
         tracked = np.zeros((10, 10), np.int32)
         tracked[:5] = 1
         detected = np.zeros((10, 10), np.int32)

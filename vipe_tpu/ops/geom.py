@@ -92,6 +92,39 @@ def reproject(poses, disps, intrinsics, camera_type, ii, jj):
     return iproj_i_proj_j_disp(Gij, disps[ii], intr[ii], intr[jj], camera_type)
 
 
+def reproject_mv(poses, rig, disps, intrinsics, camera_type,
+                 pi, qi, di, pj, qj):
+    """Rig-aware reprojection (reference geom.iproj_i_proj_j_disp chain,
+    geom.py:187-240): pixels of (frame pi, view qi) → coords in
+    (frame pj, view qj).
+
+    poses (N,7) per frame; rig (V,7); disps (N·V, H, W) frame-major
+    flattened; intrinsics (V, D) per view.
+    """
+    Gij = lie.se3_mul(
+        lie.se3_inv(rig[qj]),
+        lie.se3_mul(poses[pj], lie.se3_mul(lie.se3_inv(poses[pi]), rig[qi])),
+    )
+    return iproj_i_proj_j_disp(
+        Gij, disps[di], intrinsics[qi], intrinsics[qj], camera_type
+    )
+
+
+def frame_distance_mv(poses, rig, disps, intrinsics, pi, qi, di, pj, qj,
+                      beta: float = 0.3):
+    """Rig-aware frame distance: same two-term flow metric as
+    ``frame_distance`` but over expanded (frame, view) edges.
+    ``intrinsics``: (4,) or (V, 4) pinhole-equivalent."""
+    V = rig.shape[0]
+    intr = jnp.broadcast_to(intrinsics, (V, 4)) \
+        if intrinsics.ndim == 1 else intrinsics[..., :4]
+    pose_i = lie.se3_mul(lie.se3_inv(rig[qi]), poses[pi])
+    pose_j = lie.se3_mul(lie.se3_inv(rig[qj]), poses[pj])
+    return _frame_distance_impl(
+        pose_i, pose_j, disps[di], intr[qi], intr[qj], beta
+    )
+
+
 def frame_distance(
     poses, disps, intrinsics, ii, jj, di=None, beta: float = 0.3
 ):
@@ -118,9 +151,17 @@ def frame_distance(
         if intrinsics.ndim == 1 else intrinsics[..., :4]
     if di is None:
         di = ii
+    return _frame_distance_impl(
+        poses[ii], poses[jj], disps[di], intr[ii], intr[jj], beta
+    )
 
-    ht, wd = disps.shape[-2:]
-    u, v = pixel_grid(ht, wd, disps.dtype)
+
+def _frame_distance_impl(poses_i, poses_j, disps_e, intr_i_e, intr_j_e,
+                         beta: float):
+    """Vectorized core shared by frame_distance / frame_distance_mv:
+    per-edge gathered poses (E,7), disparities (E,h,w), intrinsics (E,4)."""
+    ht, wd = disps_e.shape[-2:]
+    u, v = pixel_grid(ht, wd, disps_e.dtype)
 
     def one_direction(pose_i, pose_j, disp, intr_i, intr_j):
         Gij = lie.se3_mul(pose_j, lie.se3_inv(pose_i))
@@ -152,16 +193,13 @@ def frame_distance(
         total = float(ht * wd)  # beta + (1-beta) per pixel
         return accum, valid, total
 
-    def per_edge(i, j, d):
-        disp = disps[d]
-        accum, valid, total = one_direction(
-            poses[i], poses[j], disp, intr[i], intr[j]
-        )
+    def per_edge(pose_i, pose_j, disp, intr_a, intr_b):
+        accum, valid, total = one_direction(pose_i, pose_j, disp, intr_a, intr_b)
         return jnp.where(
             valid / (total + 1e-8) < 0.75, 1000.0, accum / jnp.maximum(valid, 1e-8)
         )
 
-    return jax.vmap(per_edge)(ii, jj, di)
+    return jax.vmap(per_edge)(poses_i, poses_j, disps_e, intr_i_e, intr_j_e)
 
 
 def bilinear_sample(img, coords):

@@ -8,9 +8,11 @@ but arrays are jnp NHWC and all mutation happens through functional
 (n_frames, timestamps) is host-side numpy, exactly where the reference keeps
 its Python ints.
 
-Round-1 scope: single view (V = 1).  The multi-view rig axis
-(buffer.py:303-361 cross-view machinery) is planned for a later round; the
-field layout deliberately leaves room for it.
+Multi-view rig (``n_views`` > 1): per-view arrays are flattened as slot =
+frame·V + view (the reference's ``flattened_disps``/``di`` layout,
+buffer.py:174-176, 303-361); ``rig`` holds per-view SE3 offsets and
+``cross_view_idx`` the per-(frame,view) cross-view edge targets.  For V = 1
+every slot equals its frame index and the single-view paths are unchanged.
 """
 
 from __future__ import annotations
@@ -45,6 +47,8 @@ class GraphBuffer:
         camera_type: cam.CameraType = cam.CameraType.PINHOLE,
         dense_disp_alpha: float = 0.001,
         feat_dtype=jnp.bfloat16,
+        n_views: int = 1,
+        rig: Optional[np.ndarray] = None,
     ):
         assert height % 8 == 0 and width % 8 == 0
         self.height = height
@@ -55,26 +59,112 @@ class GraphBuffer:
         self.buffer_size = buffer_size
         self.init_disp = init_disp
         self.dense_disp_alpha = dense_disp_alpha
+        self.n_views = n_views
 
         self.n_frames: int = 0
         self.tstamp = np.zeros(buffer_size, np.int64)
 
+        V = n_views
         B, ht, wd = buffer_size, self.ht, self.wd
+        BV = B * V  # per-view slots, frame-major (slot = frame·V + view)
         # images stored uint8 (604 MB at 1024×384×512 vs 2.4 GB f32); consumers
         # convert on device.  The reference stores fp16 (buffer.py:81-89).
-        self.images = jnp.zeros((B, height, width, 3), jnp.uint8)
+        self.images = jnp.zeros((BV, height, width, 3), jnp.uint8)
         self.poses = jnp.broadcast_to(
             lie.se3_identity(), (B, 7)
         ).astype(jnp.float32)
-        self.intrinsics = jnp.zeros((camera_type.intrinsics_dim(),), jnp.float32)
-        self.disps = jnp.full((B, ht, wd), init_disp, jnp.float32)
-        self.disps_sens = jnp.zeros((B, ht, wd), jnp.float32)
-        self.masks = jnp.zeros((B, ht, wd), bool)  # 1 = invalid (dynamic)
-        self.fmaps = jnp.zeros((B, ht, wd, 128), feat_dtype)
-        self.nets = jnp.zeros((B, ht, wd, 128), feat_dtype)
-        self.inps = jnp.zeros((B, ht, wd, 128), feat_dtype)
+        if V == 1:
+            self.intrinsics = jnp.zeros(
+                (camera_type.intrinsics_dim(),), jnp.float32
+            )
+        else:
+            self.intrinsics = jnp.zeros(
+                (V, camera_type.intrinsics_dim()), jnp.float32
+            )
+        # rig c2w per view (reference buffer.py:101-103)
+        if rig is None:
+            self.rig = jnp.broadcast_to(
+                lie.se3_identity(), (V, 7)
+            ).astype(jnp.float32)
+        else:
+            self.rig = jnp.asarray(rig, jnp.float32).reshape(V, 7)
+        # default cross-view target: same frame, next view (buffer.py:174-176)
+        self.cross_view_idx = np.stack(
+            [
+                np.zeros((B, V), np.int64),
+                (np.arange(V)[None, :] + 1) % V * np.ones((B, 1), np.int64),
+            ],
+            axis=-1,
+        )
+        self.cross_view_idx[..., 0] = np.arange(B)[:, None]
+        self.disps = jnp.full((BV, ht, wd), init_disp, jnp.float32)
+        self.disps_sens = jnp.zeros((BV, ht, wd), jnp.float32)
+        self.masks = jnp.zeros((BV, ht, wd), bool)  # 1 = invalid (dynamic)
+        self.fmaps = jnp.zeros((BV, ht, wd, 128), feat_dtype)
+        self.nets = jnp.zeros((BV, ht, wd, 128), feat_dtype)
+        self.inps = jnp.zeros((BV, ht, wd, 128), feat_dtype)
         # last intrinsics used for sens-depth estimation (buffer.py:176)
         self.last_depth_intrinsics: Optional[jnp.ndarray] = None
+
+    # -------------------------------------------------------- multiview
+
+    def expand_edge_multiview(self, ii, jj, cross: bool = True):
+        """Frame edges → per-view expanded indices (pi, qi, di, pj, qj, dj)
+        (reference buffer.py:303-361).  ii == jj edges become cross-view
+        edges via ``cross_view_idx``.  Host numpy."""
+        V = self.n_views
+        ii = np.asarray(ii).reshape(-1, 1)
+        jj = np.asarray(jj).reshape(-1, 1)
+        qi = np.broadcast_to(np.arange(V), (len(ii), V)).copy()
+        pi = np.broadcast_to(ii, (len(ii), V)).copy()
+        qj = qi.copy()
+        pj = np.broadcast_to(jj, (len(jj), V)).copy()
+        if cross and V > 1:
+            cm = (ii == jj)[:, 0]
+            if cm.any():
+                tv = self.cross_view_idx[pi[cm], qi[cm]]
+                pj[cm] = tv[..., 0]
+                qj[cm] = tv[..., 1]
+        di = pi * V + qi
+        dj = pj * V + qj
+        return (pi.reshape(-1), qi.reshape(-1), di.reshape(-1),
+                pj.reshape(-1), qj.reshape(-1), dj.reshape(-1))
+
+    def build_adaptive_cross_view_idx(self, valid_thresh: float = 400.0):
+        """Re-point cross-view edges at the (frame, view) pair with the
+        smallest induced flow (reference buffer.py:270-301)."""
+        V = self.n_views
+        n = self.n_frames
+        if V == 1 or n < 2:
+            return
+        intr = self.pinhole_grid_intrinsics
+        ii, jj = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+        ii = ii.reshape(-1)
+        jj = jj.reshape(-1)
+        best_d = np.full((n, V), np.inf)
+        best = np.zeros((n, V, 2), np.int64)
+        for off in range(1, V):
+            pi, qi, di, pj, qj, dj = self._expanded_with_offset(ii, jj, off)
+            d = np.asarray(geom.frame_distance_mv(
+                self.poses, self.rig, self.disps, intr,
+                jnp.asarray(pi, jnp.int32), jnp.asarray(qi, jnp.int32),
+                jnp.asarray(di, jnp.int32), jnp.asarray(pj, jnp.int32),
+                jnp.asarray(qj, jnp.int32), beta=1.0,
+            )).reshape(n, n, V)
+            for s in range(n):
+                for v in range(V):
+                    k = int(np.argmin(d[s, :, v]))
+                    if d[s, k, v] < best_d[s, v]:
+                        best_d[s, v] = d[s, k, v]
+                        best[s, v] = (k, (v + off) % V)
+        upd = best_d < valid_thresh
+        self.cross_view_idx[:n][upd] = best[upd]
+
+    def _expanded_with_offset(self, ii, jj, view_offset):
+        pi, qi, di, pj, qj, dj = self.expand_edge_multiview(ii, jj, cross=False)
+        qj = (qj + view_offset) % self.n_views
+        dj = pj * self.n_views + qj
+        return pi, qi, di, pj, qj, dj
 
     # ------------------------------------------------------------------ state
 
@@ -103,25 +193,38 @@ class GraphBuffer:
         system.py:131-163).  ``metric_depth`` is full-res depth; sampled at
         [3::8, 3::8] and inverted into disps_sens.  All writes are donated
         (in-place on device) — an eager .at[].set would copy the whole
-        multi-GB buffer per keyframe."""
+        multi-GB buffer per keyframe.
+
+        For n_views > 1, ``image``/``fmap``/``net``/``inp``/``mask``/
+        ``metric_depth`` carry a leading V axis; ``pose`` is per frame."""
         k = self.n_frames
+        V = self.n_views
         assert k < self.buffer_size, "keyframe buffer exhausted"
         self.tstamp[k] = frame_idx
         img = jnp.asarray(image)
         if img.dtype != jnp.uint8:
             img = jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8)
-        self.images = jaxutil.set_row(self.images, k, img)
-        self.fmaps = jaxutil.set_row(self.fmaps, k, fmap)
-        self.nets = jaxutil.set_row(self.nets, k, net)
-        self.inps = jaxutil.set_row(self.inps, k, inp)
+
+        def _rows(arr, value):
+            if V == 1:
+                return jaxutil.set_row(arr, k, value)
+            rows = jnp.arange(k * V, (k + 1) * V, dtype=jnp.int32)
+            return jaxutil.set_rows_at(arr, rows, value)
+
+        self.images = _rows(self.images, img)
+        self.fmaps = _rows(self.fmaps, fmap)
+        self.nets = _rows(self.nets, net)
+        self.inps = _rows(self.inps, inp)
         if mask is not None:
-            self.masks = jaxutil.set_row(self.masks, k, mask)
+            self.masks = _rows(self.masks, mask)
         if intrinsics is not None and k == 0:
-            self.intrinsics = jnp.asarray(intrinsics, jnp.float32)
+            self.intrinsics = jnp.asarray(intrinsics, jnp.float32).reshape(
+                self.intrinsics.shape
+            )
         if metric_depth is not None:
-            d = jnp.asarray(metric_depth)[3::8, 3::8]
+            d = jnp.asarray(metric_depth)[..., 3::8, 3::8]
             sens = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-8), d)
-            self.disps_sens = jaxutil.set_row(self.disps_sens, k, sens)
+            self.disps_sens = _rows(self.disps_sens, sens)
         if pose is not None:
             self.poses = jaxutil.set_row(
                 self.poses, k, jnp.asarray(pose, jnp.float32)
@@ -131,10 +234,22 @@ class GraphBuffer:
     def remove_second_newest(self):
         """Shift slot n-1 into n-2 (reference buffer.py:218-232)."""
         ix = self.n_frames - 2
-        for name in ("images", "poses", "disps", "disps_sens", "masks",
+        V = self.n_views
+        self.poses = jaxutil.set_row(self.poses, ix, self.poses[ix + 1])
+        for name in ("images", "disps", "disps_sens", "masks",
                      "fmaps", "nets", "inps"):
             arr = getattr(self, name)
-            setattr(self, name, jaxutil.set_row(arr, ix, arr[ix + 1]))
+            if V == 1:
+                setattr(self, name, jaxutil.set_row(arr, ix, arr[ix + 1]))
+            else:
+                rows = jnp.arange(ix * V, (ix + 1) * V, dtype=jnp.int32)
+                setattr(self, name, jaxutil.set_rows_at(
+                    arr, rows, arr[(ix + 1) * V: (ix + 2) * V]
+                ))
+        if V > 1:
+            self.cross_view_idx[ix] = self.cross_view_idx[ix + 1]
+            f = self.cross_view_idx[..., 0]
+            f[f >= ix + 1] -= 1  # frame ids shift down past the removed slot
         self.tstamp[ix] = self.tstamp[ix + 1]
         self.n_frames -= 1
 

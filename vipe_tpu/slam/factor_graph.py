@@ -50,12 +50,18 @@ def _jitted_gru_step(update_fn, camera_type):
     """Fused frontend GRU step: reproject + corr lookup + motion features +
     update network + weight masking, one compiled program per (E, Nb) shape.
     Eagerly this is ~300 small remote ops per call (~0.2 s over the TPU
-    tunnel); fused it is one dispatch."""
+    tunnel); fused it is one dispatch.
+
+    Indices are EXPANDED (pi/qi/di/pj/qj over frame·view edges); ``rig`` and
+    per-view ``intr_grid`` make the reprojection rig-aware (V=1: identity
+    rig, one intrinsics row)."""
 
     @functools.partial(jax.jit, static_argnums=(1,))
-    def step(params, num_frames, poses, disps, intr_grid, corr_pyr, target,
-             f_net, inps, masks, ii, jj, edge_valid):
-        coords1, _ = geom.reproject(poses, disps, intr_grid, camera_type, ii, jj)
+    def step(params, num_seg, poses, rig, disps, intr_grid, corr_pyr, target,
+             f_net, inps, masks, pi, qi, di, pj, qj, edge_valid):
+        coords1, _ = geom.reproject_mv(
+            poses, rig, disps, intr_grid, camera_type, pi, qi, di, pj, qj
+        )
         corr_feat = corr_ops.corr_lookup_pyramid(
             [p.astype(jnp.float32) for p in corr_pyr], coords1, CORR_RADIUS
         )
@@ -68,17 +74,96 @@ def _jitted_gru_step(update_fn, camera_type):
         motn = jnp.concatenate(
             [coords1 - grid, target - coords1], axis=-1
         ).clip(-64.0, 64.0)
-        inp = inps[ii].astype(jnp.float32)
-        ix = jnp.where(edge_valid, ii, num_frames).astype(jnp.int32)
+        inp = inps[di].astype(jnp.float32)
+        ix = jnp.where(edge_valid, di, num_seg).astype(jnp.int32)
         net, delta, weight, eta = update_fn(
-            params, f_net, inp, corr_feat, motn, ix, jj, num_frames + 1
+            params, f_net, inp, corr_feat, motn, ix, pj, num_seg + 1
         )
-        bad = masks[ii][..., None] | (~edge_valid)[:, None, None, None]
+        bad = masks[di][..., None] | (~edge_valid)[:, None, None, None]
         weight = jnp.where(bad, 0.0, weight)
         new_target = coords1 + delta
-        return net, new_target, weight, eta[:num_frames]
+        return net, new_target, weight, eta[:num_seg]
 
     return step
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_fused_rounds(update_fn, cfg, rounds: int):
+    """K chained (GRU → dense BA) rounds in ONE compiled program.
+
+    The frontend runs iters1=4 then iters2=2 such rounds per keyframe
+    (reference frontend.py:97-117); issuing them as separate programs costs
+    a dispatch + dependency stall per round over the remote-TPU tunnel.
+    Fused, the whole per-keyframe optimization is a single dispatch whose
+    only host sync is the keyframe-removal decision afterwards.
+
+    Edge layout: BA consumes [inactive (K rows) ++ active (E rows)]; the
+    inactive block is bucket-padded by the caller so compile keys repeat.
+    """
+    camera_type = cfg.camera_type
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(params, Nb, poses, disps, intrinsics, corr_pyr, target, f_net,
+            inps, masks, ii_act, jj_act, ev_act, damping,
+            tgt_inac, wgt_inac, ii_ba, jj_ba, ev_ba, slot_edge,
+            src_rows, pose_mask, disp_mask, sens,
+            itrs, pose_damping, pose_ep):
+        from ..ops import cameras as cam_ops
+
+        E = ii_act.shape[0]
+        ht, wd = disps.shape[-2:]
+        P = ht * wd
+        u, v = jnp.meshgrid(
+            jnp.arange(wd, dtype=jnp.float32),
+            jnp.arange(ht, dtype=jnp.float32), indexing="xy",
+        )
+        grid = jnp.stack([u, v], axis=-1)
+        weight_dense_disp = 0.001  # buffer.py:396
+        sens_mask = (jnp.sum(sens, axis=1) > 0).astype(jnp.float32)
+        # eta scatter: padding entries of src_rows point at the scratch row Nb
+        damping = jnp.concatenate([damping, jnp.zeros((1, ht, wd))], 0)
+
+        weight = None
+        for _ in range(rounds):
+            intr_grid = cam_ops.scaled_intrinsics(
+                camera_type, intrinsics, 1.0 / 8.0
+            )
+            coords1, _ = geom.reproject(
+                poses, disps, intr_grid, camera_type, ii_act, jj_act
+            )
+            corr_feat = corr_ops.corr_lookup_pyramid(
+                [p.astype(jnp.float32) for p in corr_pyr], coords1, CORR_RADIUS
+            )
+            motn = jnp.concatenate(
+                [coords1 - grid, target - coords1], axis=-1
+            ).clip(-64.0, 64.0)
+            inp = inps[ii_act].astype(jnp.float32)
+            ix = jnp.where(ev_act, ii_act, Nb).astype(jnp.int32)
+            f_net, delta, weight, eta = update_fn(
+                params, f_net, inp, corr_feat, motn, ix, jj_act, Nb + 1
+            )
+            bad = masks[ii_act][..., None] | (~ev_act)[:, None, None, None]
+            weight = jnp.where(bad, 0.0, weight)
+            target = coords1 + delta
+
+            eta_pad = jnp.concatenate([eta[:Nb], jnp.zeros((1, ht, wd))], 0)
+            damping = damping.at[src_rows].set(eta_pad[src_rows])
+
+            tgt_all = jnp.concatenate([tgt_inac, target], 0)
+            wgt_all = jnp.concatenate([wgt_inac, weight], 0)
+            disp_damping = 0.2 * damping[:Nb].reshape(Nb, P) + 1e-7
+            poses, disps_flat, intrinsics = ba.ba_solve(
+                cfg, poses, disps.reshape(Nb, P), intrinsics,
+                tgt_all.reshape(-1, P, 2),
+                wgt_all.reshape(-1, P, 2) * weight_dense_disp,
+                ii_ba, jj_ba, ev_ba, slot_edge,
+                pose_mask, disp_mask, disp_damping, sens, sens_mask,
+                itrs, pose_damping, pose_ep,
+            )
+            disps = disps_flat.reshape(Nb, ht, wd)
+        return poses, disps, intrinsics, f_net, target, weight, damping[:Nb]
+
+    return run
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -119,8 +204,18 @@ class FactorGraph:
         # reference buffer.bundle_adjustment adds the intrinsics group
         # whenever configured — frontend updates included (buffer.py:496-499)
         self.optimize_intrinsics = optimize_intrinsics
+        self.optimize_rig = bool(
+            getattr(buffer, "n_views", 1) > 1
+            and self.ba_cfg_kwargs.pop("optimize_rig", False)
+        )
 
+        # multiview: every frame edge expands into V per-view edges
+        # (reference expand_edge_multiview, buffer.py:303-361); device edge
+        # arrays are sized for the EXPANDED count
+        self.V = getattr(buffer, "n_views", 1)
         E = max_factors
+        EV = E * self.V
+        self.EV = EV
         ht, wd = buffer.ht, buffer.wd
         self.ht, self.wd = ht, wd
         self.corr_levels = CORR_LEVELS
@@ -128,27 +223,30 @@ class FactorGraph:
         self.ii = np.zeros(E, np.int64)
         self.jj = np.zeros(E, np.int64)
         self.age = np.zeros(E, np.int64)
+        # expanded indices of the active edges (host; row-aligned with the
+        # device arrays below, V rows per frame edge)
+        self.exp = np.zeros((EV, 5), np.int64)  # pi, qi, di, pj, qj
 
-        # E+1 rows: row E is a scratch slot — add_factors pads its batches to
-        # power-of-two buckets (constant shapes → no recompile per batch size)
-        # and routes the padding writes there
-        self.target = jnp.zeros((E + 1, ht, wd, 2), jnp.float32)
-        self.weight = jnp.zeros((E + 1, ht, wd, 2), jnp.float32)
-        self.f_net = jnp.zeros((E + 1, ht, wd, 128), jnp.float32)
+        # EV+1 rows: row EV is a scratch slot — add_factors pads its batches
+        # to power-of-two buckets (constant shapes → no recompile per batch
+        # size) and routes the padding writes there
+        self.target = jnp.zeros((EV + 1, ht, wd, 2), jnp.float32)
+        self.weight = jnp.zeros((EV + 1, ht, wd, 2), jnp.float32)
+        self.f_net = jnp.zeros((EV + 1, ht, wd, 128), jnp.float32)
 
         if incremental:
             self.corr_pyr = [
                 jnp.zeros(
-                    (E + 1, ht, wd) + corr_ops.level_dims(ht, wd, l), CORR_DTYPE
+                    (EV + 1, ht, wd) + corr_ops.level_dims(ht, wd, l), CORR_DTYPE
                 )
                 for l in range(self.corr_levels)
             ]
         else:
             self.corr_pyr = None
 
-        # per-frame GRU-predicted BA damping (reference factor_graph.py:76)
+        # per-disp-variable GRU-predicted BA damping (factor_graph.py:76)
         self.damping = jnp.full(
-            (buffer.buffer_size, ht, wd), 1e-6, jnp.float32
+            (buffer.buffer_size * self.V, ht, wd), 1e-6, jnp.float32
         )
 
         # inactive (stored) factors (reference :89-94): indices on the host,
@@ -156,6 +254,7 @@ class FactorGraph:
         # costs ~1 s/keyframe once a few hundred edges accumulate
         self.ii_inac = np.zeros((0,), np.int64)
         self.jj_inac = np.zeros((0,), np.int64)
+        self.exp_inac = np.zeros((0, 5), np.int64)
         self.target_inac = jnp.zeros((0, ht, wd, 2), jnp.float32)
         self.weight_inac = jnp.zeros((0, ht, wd, 2), jnp.float32)
 
@@ -199,37 +298,48 @@ class FactorGraph:
 
         k = len(ii)
         start = self.n_edges
+        V = self.V
         self.ii[start: start + k] = ii
         self.jj[start: start + k] = jj
         self.age[start: start + k] = 0
+        pi, qi, di, pj, qj, dj = self.buffer.expand_edge_multiview(ii, jj)
+        self.exp[start * V: (start + k) * V] = np.stack(
+            [pi, qi, di, pj, qj], axis=-1
+        )
 
         # pad each batch to a power-of-two bucket (≤ ADD_CHUNK) so compute +
         # scatter shapes repeat across calls; padding rows land in the scratch
-        # slot E.  Chunking bounds the transient HBM of the volume build.
-        for c0 in range(0, k, ADD_CHUNK):
-            ci = ii[c0: c0 + ADD_CHUNK]
-            cj = jj[c0: c0 + ADD_CHUNK]
-            kc = len(ci)
+        # slot EV.  Chunking bounds the transient HBM of the volume build.
+        ev_chunk = ADD_CHUNK * V
+        for c0 in range(0, k * V, ev_chunk):
+            sl = slice(c0, min(c0 + ev_chunk, k * V))
+            kc = sl.stop - sl.start
             kb = bucket_size(kc, minimum=4)
-            ii_pad = np.concatenate([ci, np.full(kb - kc, ci[-1])])
-            jj_pad = np.concatenate([cj, np.full(kb - kc, cj[-1])])
-            rows = np.full(kb, self.max_factors, np.int32)
-            rows[:kc] = np.arange(start + c0, start + c0 + kc)
 
-            ii_d = jnp.asarray(ii_pad, jnp.int32)
-            jj_d = jnp.asarray(jj_pad, jnp.int32)
+            def pad(a):
+                return np.concatenate([a[sl], np.full(kb - kc, a[sl][-1])])
+
+            di_pad = pad(di)
+            dj_pad = pad(dj)
+            rows = np.full(kb, self.EV, np.int32)
+            rows[:kc] = np.arange(start * V + c0, start * V + sl.stop)
+
             rows_d = jnp.asarray(rows, jnp.int32)
-            coords, _ = self.buffer.reproject(ii_d, jj_d)
+            di_d = jnp.asarray(di_pad, jnp.int32)
+            dj_d = jnp.asarray(dj_pad, jnp.int32)
+            coords, _ = self._reproject_exp(
+                pad(pi), pad(qi), di_pad, pad(pj), pad(qj)
+            )
             self.target = jaxutil.set_rows_at(self.target, rows_d, coords)
             self.weight = jaxutil.set_rows_at(
                 self.weight, rows_d, jnp.zeros_like(coords)
             )
             self.f_net = jaxutil.set_rows_at(
-                self.f_net, rows_d, self.buffer.nets[ii_d].astype(jnp.float32)
+                self.f_net, rows_d, self.buffer.nets[di_d].astype(jnp.float32)
             )
             if self.incremental:
                 pyr = _jitted_edge_corr(
-                    self.corr_levels, self.buffer.fmaps, ii_d, jj_d
+                    self.corr_levels, self.buffer.fmaps, di_d, dj_d
                 )
                 for l in range(self.corr_levels):
                     self.corr_pyr[l] = jaxutil.set_rows_at(
@@ -237,8 +347,23 @@ class FactorGraph:
                     )
         self.n_edges += k
 
+    def _reproject_exp(self, pi, qi, di, pj, qj):
+        """Expanded-edge reprojection (rig-aware for V > 1)."""
+        buf = self.buffer
+        if self.V == 1:
+            return buf.reproject(jnp.asarray(di, jnp.int32),
+                                 jnp.asarray(np.asarray(pj), jnp.int32))
+        intr = buf.scaled_intrinsics
+        return geom.reproject_mv(
+            buf.poses, buf.rig, buf.disps, intr, buf.camera_type,
+            jnp.asarray(pi, jnp.int32), jnp.asarray(qi, jnp.int32),
+            jnp.asarray(di, jnp.int32), jnp.asarray(pj, jnp.int32),
+            jnp.asarray(qj, jnp.int32),
+        )
+
     def rm_factors(self, mask, store: bool = False):
         """Drop edges, optionally storing them as inactive (reference :176-204)."""
+        V = self.V
         mask = np.asarray(mask, bool)
         if mask.shape[0] < self.max_factors:
             mask = np.concatenate(
@@ -249,11 +374,15 @@ class FactorGraph:
             return
         drop = np.where(mask)[0]
         keep = np.where(~mask[: self.n_edges])[0]
+        drop_exp = (drop[:, None] * V + np.arange(V)).reshape(-1)
 
         if store:
             self.ii_inac = np.concatenate([self.ii_inac, self.ii[drop]])
             self.jj_inac = np.concatenate([self.jj_inac, self.jj[drop]])
-            drop_d = jnp.asarray(drop, jnp.int32)
+            self.exp_inac = np.concatenate(
+                [self.exp_inac, self.exp[drop_exp]], axis=0
+            )
+            drop_d = jnp.asarray(drop_exp, jnp.int32)
             self.target_inac = jnp.concatenate(
                 [self.target_inac, self.target[drop_d]], axis=0
             )
@@ -261,12 +390,17 @@ class FactorGraph:
                 [self.weight_inac, self.weight[drop_d]], axis=0
             )
 
+        perm_f = np.concatenate([keep, drop])
         perm = np.concatenate([
-            keep, drop, np.arange(self.n_edges, self.max_factors + 1)
+            (perm_f[:, None] * V + np.arange(V)).reshape(-1),
+            np.arange(self.n_edges * V, self.EV + 1),
         ])
         self.ii[: len(keep)] = self.ii[keep]
         self.jj[: len(keep)] = self.jj[keep]
         self.age[: len(keep)] = self.age[keep]
+        self.exp[: len(keep) * V] = self.exp[
+            (keep[:, None] * V + np.arange(V)).reshape(-1)
+        ]
         self.target = jaxutil.permute_rows(self.target, perm)
         self.weight = jaxutil.permute_rows(self.weight, perm)
         self.f_net = jaxutil.permute_rows(self.f_net, perm)
@@ -278,21 +412,31 @@ class FactorGraph:
     def rm_second_newest_keyframe(self, ix: int):
         """Remove keyframe ix (= n_frames-2) from buffer and graph, shifting
         indices (reference :205-230)."""
+        V = self.V
         self.buffer.remove_second_newest()
+
+        def shift_exp(exp):
+            for col in (0, 3):  # pi, pj frame columns
+                exp[exp[:, col] >= ix, col] -= 1
+            exp[:, 2] = exp[:, 0] * V + exp[:, 1]  # di = pi·V + qi
 
         m = (self.ii_inac == ix) | (self.jj_inac == ix)
         self.ii_inac[self.ii_inac >= ix] -= 1
         self.jj_inac[self.jj_inac >= ix] -= 1
         if m.any():
-            keep_d = jnp.asarray(np.where(~m)[0], jnp.int32)
+            m_exp = np.repeat(m, V)
+            keep_d = jnp.asarray(np.where(~m_exp)[0], jnp.int32)
             self.ii_inac = self.ii_inac[~m]
             self.jj_inac = self.jj_inac[~m]
+            self.exp_inac = self.exp_inac[~m_exp]
             self.target_inac = self.target_inac[keep_d]
             self.weight_inac = self.weight_inac[keep_d]
+        shift_exp(self.exp_inac)
 
         m = (self.ii[: self.n_edges] == ix) | (self.jj[: self.n_edges] == ix)
         self.ii[self.ii >= ix] -= 1
         self.jj[self.jj >= ix] -= 1
+        shift_exp(self.exp[: self.n_edges * V])
         self.rm_factors(m, store=False)
 
     # ---------------------------------------------------------- edge proposal
@@ -304,6 +448,19 @@ class FactorGraph:
         keep = (np.abs(ii - jj) > 0) & (np.abs(ii - jj) <= r)
         self.add_factors(ii[keep], jj[keep])
 
+    def submit_distance_matrix(self, beta: float = 0.25, n_frames=None):
+        """Enqueue the full distance-matrix computation WITHOUT reading it
+        back — the frontend submits this speculatively at the end of one
+        keyframe so the ~25 ms device→host transfer overlaps the next
+        frames' work (readback happens in add_proximity_factors)."""
+        buf = self.buffer
+        Nb = bucket_size(n_frames if n_frames is not None else buf.n_frames)
+        return Nb, _jitted_distance_matrix(
+            Nb, buf.poses[:Nb], buf.disps[:Nb],
+            jnp.broadcast_to(buf.pinhole_grid_intrinsics, (Nb, 4)),
+            jnp.float32(beta),
+        )
+
     def add_proximity_factors(
         self,
         t0: int = 0,
@@ -313,23 +470,24 @@ class FactorGraph:
         beta: float = 0.25,
         thresh: float = 16.0,
         remove: bool = False,
+        dist_token=None,
     ):
         """Distance-thresholded NMS edge proposal (reference :412-488).
 
         Neighborhood edges (i-rad-1..i-1 → i, bidirectional) are always added;
         remaining candidate pairs are sorted by frame distance and greedily
         accepted with an L1-ball NMS suppression around accepted edges.
+        ``dist_token``: a (Nb, device-matrix) pair from
+        ``submit_distance_matrix`` to resolve instead of recomputing.
         """
         t = self.buffer.n_frames
         if t - max(t0, t1) <= 0:
             return
-        buf = self.buffer
-        Nb = bucket_size(t)
-        d_full = np.asarray(_jitted_distance_matrix(
-            Nb, buf.poses[:Nb], buf.disps[:Nb],
-            jnp.broadcast_to(buf.pinhole_grid_intrinsics, (Nb, 4)),
-            jnp.float32(beta),
-        )).astype(np.float64)
+        if dist_token is not None and dist_token[0] >= t:
+            d_dev = dist_token[1]
+        else:
+            d_dev = self.submit_distance_matrix(beta)[1]
+        d_full = np.asarray(d_dev).astype(np.float64)
         ix = np.arange(t0, t)
         jx = np.arange(t1, t)
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
@@ -387,6 +545,17 @@ class FactorGraph:
         ev = jnp.asarray(np.arange(E) < self.n_edges)
         return ii, jj, ev
 
+    def _active_expanded(self):
+        """Expanded active edges as (EV,) device arrays + validity."""
+        EV = self.EV
+        n = self.n_edges * self.V
+        exp = np.where(
+            (np.arange(EV) < n)[:, None], self.exp, 0
+        )
+        cols = [jnp.asarray(exp[:, c], jnp.int32) for c in range(5)]
+        ev = jnp.asarray(np.arange(EV) < n)
+        return (*cols, ev)
+
     def _grid(self):
         return jnp.stack(
             jnp.meshgrid(
@@ -397,26 +566,39 @@ class FactorGraph:
             axis=-1,
         )
 
-    def _run_update_fn(self, f_net, coords1, target_prev, ii_d, jj_d,
-                       edge_valid, corr_feat, Nb):
+    def _rig_intr(self):
+        """(rig (V,7), per-view scaled intrinsics (V,D)) device arrays."""
+        buf = self.buffer
+        intr = buf.scaled_intrinsics
+        if intr.ndim == 1:
+            intr = intr[None]
+        rig = getattr(buf, "rig", None)
+        if rig is None:
+            rig = jnp.broadcast_to(
+                jnp.asarray([0, 0, 0, 0, 0, 0, 1], jnp.float32), (1, 7)
+            )
+        return rig, intr
+
+    def _run_update_fn(self, f_net, coords1, target_prev, di_d, pj_d,
+                       edge_valid, corr_feat, num_seg):
         """Shared GRU update: motion features → update_fn → target/weight.
 
-        Padded edges are routed to a trash aggregation segment (index Nb) so
-        they cannot pollute the per-frame damping mean.
+        Padded edges are routed to a trash aggregation segment (index
+        ``num_seg``) so they cannot pollute the per-variable damping mean.
         """
         motn = jnp.concatenate(
             [coords1 - self._grid(), target_prev - coords1], axis=-1
         ).clip(-64.0, 64.0)
 
-        inp = self.buffer.inps[ii_d].astype(jnp.float32)
-        ix = jnp.where(edge_valid, ii_d, Nb).astype(jnp.int32)
+        inp = self.buffer.inps[di_d].astype(jnp.float32)
+        ix = jnp.where(edge_valid, di_d, num_seg).astype(jnp.int32)
         net, delta, weight, eta = self.update_fn(
-            self.params, f_net, inp, corr_feat, motn, ix, jj_d, Nb + 1
+            self.params, f_net, inp, corr_feat, motn, ix, pj_d, num_seg + 1
         )
-        bad = self.buffer.masks[ii_d][..., None] | (~edge_valid)[:, None, None, None]
+        bad = self.buffer.masks[di_d][..., None] | (~edge_valid)[:, None, None, None]
         weight = jnp.where(bad, 0.0, weight)
         target = coords1 + delta
-        return net, target, weight, eta[:Nb]
+        return net, target, weight, eta[:num_seg]
 
     def update(
         self,
@@ -438,33 +620,38 @@ class FactorGraph:
         if t1 is None:
             t1 = int(max(act_ii.max(), act_jj.max()) + 1)
 
-        E = self.max_factors
-        ii_d, jj_d, ev = self._active_arrays()
+        EV = self.EV
+        pi_d, qi_d, di_d, pj_d, qj_d, ev = self._active_expanded()
         Nb = bucket_size(self.buffer.n_frames)
+        NbV = Nb * self.V
         buf = self.buffer
+        rig, intr = self._rig_intr()
         if getattr(self.update_fn, "host_only", False):
-            coords1, _ = buf.reproject(ii_d, jj_d)
+            coords1, _ = geom.reproject_mv(
+                buf.poses, rig, buf.disps, intr, buf.camera_type,
+                pi_d, qi_d, di_d, pj_d, qj_d,
+            )
             corr_feat = corr_ops.corr_lookup_pyramid(
-                [p[:E].astype(jnp.float32) for p in self.corr_pyr],
+                [p[:EV].astype(jnp.float32) for p in self.corr_pyr],
                 coords1, CORR_RADIUS,
             )
             net, target, weight, eta = self._run_update_fn(
-                self.f_net[:E], coords1, self.target[:E], ii_d, jj_d, ev,
-                corr_feat, Nb,
+                self.f_net[:EV], coords1, self.target[:EV], di_d, pj_d, ev,
+                corr_feat, NbV,
             )
         else:
             step = _jitted_gru_step(self.update_fn, buf.camera_type)
             net, target, weight, eta = step(
-                self.params, Nb, buf.poses[:Nb], buf.disps[:Nb],
-                buf.scaled_intrinsics, [p[:E] for p in self.corr_pyr],
-                self.target[:E], self.f_net[:E], buf.inps[:Nb],
-                buf.masks[:Nb], ii_d, jj_d, ev,
+                self.params, NbV, buf.poses[:Nb], rig, buf.disps[:NbV],
+                intr, [p[:EV] for p in self.corr_pyr],
+                self.target[:EV], self.f_net[:EV], buf.inps[:NbV],
+                buf.masks[:NbV], pi_d, qi_d, di_d, pj_d, qj_d, ev,
             )
         self.f_net = jaxutil.set_prefix(self.f_net, net)
         self.target = jaxutil.set_prefix(self.target, target)
         self.weight = jaxutil.set_prefix(self.weight, weight)
-        # overwrite damping rows for source frames present in the graph
-        src = np.unique(act_ii)
+        # overwrite damping rows for source disp vars present in the graph
+        src = np.unique(self.exp[: self.n_edges * self.V, 2])
         src_d = jnp.asarray(src, jnp.int32)
         self.damping = jaxutil.set_rows_at(self.damping, src_d, eta[src_d])
 
@@ -478,6 +665,126 @@ class FactorGraph:
             optimize_intrinsics=self.optimize_intrinsics and not motion_only,
         )
         self.age[: self.n_edges] += 1
+
+    def update_fused(
+        self,
+        rounds: int,
+        t0: Optional[int] = None,
+        t1: Optional[int] = None,
+        itrs: int = 3,
+        use_inactive: bool = False,
+        fixed_motion: bool = False,
+    ):
+        """``rounds`` × (GRU → BA) as ONE device dispatch (frontend hot path).
+
+        Semantically equal to ``rounds`` successive ``update()`` calls with
+        frontend damping (1e-3/0.1); oracle update_fns (host_only) and the
+        multi-view rig path fall back to the loop."""
+        assert self.incremental and self.n_edges > 0
+        if getattr(self.update_fn, "host_only", False) or self.V > 1:
+            for _ in range(rounds):
+                self.update(t0=t0, t1=t1, itrs=itrs, use_inactive=use_inactive,
+                            fixed_motion=fixed_motion)
+            return
+
+        act_ii = self.ii[: self.n_edges]
+        act_jj = self.jj[: self.n_edges]
+        if t0 is None:
+            t0 = int(max(1, act_ii.min() + 1))
+        if t1 is None:
+            t1 = int(max(act_ii.max(), act_jj.max()) + 1)
+
+        buf = self.buffer
+        E = self.max_factors
+        Nb = bucket_size(buf.n_frames)
+        ii_d, jj_d, ev = self._active_arrays()
+
+        # inactive block, bucket-padded so compile keys repeat across calls
+        if use_inactive:
+            m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+            inac_idx = np.where(m)[0]
+        else:
+            inac_idx = np.zeros((0,), np.int64)
+        K = len(inac_idx)
+        Kb = bucket_size(K, minimum=4) if K else 0
+        if Kb:
+            sel_pad = np.zeros(Kb, np.int64)
+            sel_pad[:K] = inac_idx
+            sel_d = jnp.asarray(sel_pad, jnp.int32)
+            tgt_inac = self.target_inac[sel_d]
+            wgt_inac = self.weight_inac[sel_d]
+            ii_in = self.ii_inac[sel_pad]
+            jj_in = self.jj_inac[sel_pad]
+        else:
+            tgt_inac = jnp.zeros((0, self.ht, self.wd, 2), jnp.float32)
+            wgt_inac = jnp.zeros((0, self.ht, self.wd, 2), jnp.float32)
+            ii_in = jj_in = np.zeros((0,), np.int64)
+
+        L = Kb + E  # combined BA edge count (static per (Kb,) bucket)
+        ii_ba = np.zeros(L, np.int64)
+        jj_ba = np.zeros(L, np.int64)
+        ev_ba = np.zeros(L, bool)
+        ii_ba[:Kb] = ii_in
+        jj_ba[:Kb] = jj_in
+        ev_ba[:K] = True
+        ii_ba[Kb:] = np.where(np.arange(E) < self.n_edges, self.ii[:E], 0)
+        jj_ba[Kb:] = np.where(np.arange(E) < self.n_edges, self.jj[:E], 0)
+        ev_ba[Kb: Kb + self.n_edges] = True
+
+        valid_ii = np.concatenate([ii_in[:K], act_ii])
+        fill = np.bincount(valid_ii, minlength=Nb).max() if len(valid_ii) else 1
+        M = bucket_size(int(fill), minimum=8)
+        # slots over the combined list: valid rows are [0:K] and [Kb:Kb+n_edges]
+        slot_src = np.full(L, -1, np.int64)
+        slot_src[:K] = ii_in[:K]
+        slot_src[Kb: Kb + self.n_edges] = act_ii
+        slot_edge = np.full((Nb, M), L, np.int32)
+        fill_ct = np.zeros(Nb, np.int64)
+        for e, i in enumerate(slot_src):
+            if i < 0 or i >= Nb:
+                continue
+            slot_edge[i, fill_ct[i]] = e
+            fill_ct[i] += 1
+
+        idx = np.arange(Nb)
+        if fixed_motion:
+            pose_mask = np.zeros(Nb, bool)
+        else:
+            pose_mask = (idx >= t0) & (idx < t1) & (idx < buf.n_frames)
+        disp_mask = idx < buf.n_frames
+
+        src = np.unique(act_ii)
+        src_rows = np.full(Nb, Nb, np.int64)
+        src_rows[: len(src)] = src
+
+        cfg = ba.BAConfig(
+            camera_type=buf.camera_type, ht=self.ht, wd=self.wd,
+            optimize_intrinsics=self.optimize_intrinsics,
+            alpha=buf.dense_disp_alpha, max_edges_per_frame=M,
+            **self.ba_cfg_kwargs,
+        )
+        run = _jitted_fused_rounds(self.update_fn, cfg, rounds)
+        (poses, disps, intr, f_net, target, weight, damping) = run(
+            self.params, Nb, buf.poses[:Nb], buf.disps[:Nb], buf.intrinsics,
+            [p[:E] for p in self.corr_pyr], self.target[:E], self.f_net[:E],
+            buf.inps[:Nb], buf.masks[:Nb], ii_d, jj_d, ev, self.damping[:Nb],
+            tgt_inac, wgt_inac,
+            jnp.asarray(ii_ba, jnp.int32), jnp.asarray(jj_ba, jnp.int32),
+            jnp.asarray(ev_ba), jnp.asarray(slot_edge),
+            jnp.asarray(src_rows, jnp.int32),
+            jnp.asarray(pose_mask), jnp.asarray(disp_mask),
+            buf.disps_sens[:Nb].reshape(Nb, -1),
+            jnp.int32(itrs), jnp.float32(1e-3), jnp.float32(0.1),
+        )
+        buf.poses = jaxutil.set_prefix(buf.poses, poses)
+        buf.disps = jaxutil.set_prefix(buf.disps, disps)
+        if self.optimize_intrinsics:
+            buf.intrinsics = intr
+        self.f_net = jaxutil.set_prefix(self.f_net, f_net)
+        self.target = jaxutil.set_prefix(self.target, target)
+        self.weight = jaxutil.set_prefix(self.weight, weight)
+        self.damping = jaxutil.set_prefix(self.damping, damping)
+        self.age[: self.n_edges] += rounds
 
     def update_batch(
         self,
@@ -522,20 +829,32 @@ class FactorGraph:
         # volumes depend only on the (static) keyframe features — build the
         # per-chunk pyramids ONCE and reuse across all steps (the reference's
         # AltCorrBlock recomputes the dot products per query instead)
+        V = self.V
+        NbV = Nb * V
+        rig, intr = self._rig_intr()
+        buf = self.buffer
         chunk_cache = {}
         for _ in range(steps):
-            ii_d, jj_d, ev = self._active_arrays()
-            coords1, valid1 = self.buffer.reproject(ii_d, jj_d)
+            pi_d, qi_d, di_d, pj_d, qj_d, ev = self._active_expanded()
+            coords1, valid1 = geom.reproject_mv(
+                buf.poses, rig, buf.disps, intr, buf.camera_type,
+                pi_d, qi_d, di_d, pj_d, qj_d,
+            )
 
             for ci, sel in enumerate(frame_chunks):
-                Cb = bucket_size(len(sel), minimum=min(BACKEND_CHUNK, 16))
+                sel_exp = (sel[:, None] * V + np.arange(V)).reshape(-1)
+                Cb = bucket_size(len(sel_exp), minimum=min(BACKEND_CHUNK, 16))
                 sel_pad = np.zeros(Cb, np.int64)
-                sel_pad[: len(sel)] = sel
+                sel_pad[: len(sel_exp)] = sel_exp
                 sl = jnp.asarray(sel_pad, jnp.int32)
-                cv = jnp.asarray(np.arange(Cb) < len(sel))
+                cv = jnp.asarray(np.arange(Cb) < len(sel_exp))
                 if ci not in chunk_cache:
+                    dj_d = jnp.asarray(np.where(
+                        np.arange(self.EV) < self.n_edges * V,
+                        self.exp[:, 3] * V + self.exp[:, 4], 0,
+                    ), jnp.int32)
                     chunk_cache[ci] = _jitted_edge_corr(
-                        self.corr_levels, self.buffer.fmaps, ii_d[sl], jj_d[sl]
+                        self.corr_levels, buf.fmaps, di_d[sl], dj_d[sl]
                     )
                 pyr = chunk_cache[ci]
                 corr_feat = corr_ops.corr_lookup_pyramid(
@@ -544,12 +863,12 @@ class FactorGraph:
                 )
                 net, target, weight, eta = self._run_update_fn(
                     self.f_net[sl], coords1[sl], self.target[sl],
-                    ii_d[sl], jj_d[sl], ev[sl] & cv, corr_feat, Nb,
+                    di_d[sl], pj_d[sl], ev[sl] & cv, corr_feat, NbV,
                 )
                 self.f_net = jaxutil.set_rows_at(self.f_net, sl, net)
                 self.target = jaxutil.set_rows_at(self.target, sl, target)
                 self.weight = jaxutil.set_rows_at(self.weight, sl, weight)
-                src = np.unique(act_ii[sel])
+                src = np.unique(self.exp[sel_exp, 2])
                 src_d = jnp.asarray(src, jnp.int32)
                 self.damping = jaxutil.set_rows_at(self.damping, src_d, eta[src_d])
 
@@ -574,41 +893,40 @@ class FactorGraph:
         pose_ep: float,
         optimize_intrinsics: bool,
     ):
-        """Pad active (+eligible inactive) edges and run the jitted BA solve
-        (reference buffer.bundle_adjustment, buffer.py:373-525)."""
+        """Pad active (+eligible inactive) expanded edges and run the jitted
+        BA solve (reference buffer.bundle_adjustment, buffer.py:373-525)."""
         buf = self.buffer
+        V = self.V
         weight_dense_disp = 0.001  # buffer.py:396
 
-        act_ii = self.ii[: self.n_edges]
-        act_jj = self.jj[: self.n_edges]
+        act_exp = self.exp[: self.n_edges * V]
         if use_inactive:
             m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
-            all_ii = np.concatenate([self.ii_inac[m], act_ii])
-            all_jj = np.concatenate([self.jj_inac[m], act_jj])
-            sel_d = jnp.asarray(np.where(m)[0], jnp.int32)
+            m_exp = np.repeat(m, V)
+            all_exp = np.concatenate([self.exp_inac[m_exp], act_exp])
+            sel_d = jnp.asarray(np.where(m_exp)[0], jnp.int32)
             tgt_extra = self.target_inac[sel_d]
             wgt_extra = self.weight_inac[sel_d]
         else:
-            all_ii, all_jj = act_ii, act_jj
+            all_exp = act_exp
             tgt_extra = None
 
-        Etot = len(all_ii)
+        Etot = len(all_exp)
         Eb = bucket_size(max(Etot, 1), minimum=16)
         Nb = bucket_size(buf.n_frames)
+        NbV = Nb * V
         P = self.ht * self.wd
 
-        ii_pad = np.zeros(Eb, np.int64)
-        jj_pad = np.zeros(Eb, np.int64)
-        ii_pad[:Etot] = all_ii
-        jj_pad[:Etot] = all_jj
+        exp_pad = np.zeros((Eb, 5), np.int64)
+        exp_pad[:Etot] = all_exp
         ev = np.arange(Eb) < Etot
 
         if tgt_extra is not None:
-            target = jnp.concatenate([tgt_extra, self.target[: self.max_factors]], 0)[:Eb]
-            weight = jnp.concatenate([wgt_extra, self.weight[: self.max_factors]], 0)[:Eb]
+            target = jnp.concatenate([tgt_extra, self.target[: self.EV]], 0)[:Eb]
+            weight = jnp.concatenate([wgt_extra, self.weight[: self.EV]], 0)[:Eb]
         else:
-            target = self.target[: self.max_factors]
-            weight = self.weight[: self.max_factors]
+            target = self.target[: self.EV]
+            weight = self.weight[: self.EV]
         # pad or trim to Eb
         cur = target.shape[0]
         if cur < Eb:
@@ -619,10 +937,10 @@ class FactorGraph:
             target = target[:Eb]
             weight = weight[:Eb]
 
-        # per-frame slot grouping for the Schur assembly
-        fill = np.bincount(all_ii, minlength=Nb).max() if Etot else 1
+        # per-disp-variable slot grouping for the Schur assembly
+        fill = np.bincount(all_exp[:, 2], minlength=NbV).max() if Etot else 1
         M = bucket_size(int(fill), minimum=8)
-        slot_edge = ba.build_edge_slots(ii_pad[:Etot], jj_pad[:Etot], Nb, M)
+        slot_edge = ba.build_edge_slots(exp_pad[:Etot, 2], None, NbV, M)
         # build_edge_slots marks empty slots with its edge count (Etot); the
         # jitted assembly tests slot validity against the PADDED count Eb —
         # remap so empty-slot detection never depends on padded-edge blocks
@@ -636,6 +954,8 @@ class FactorGraph:
             optimize_intrinsics=optimize_intrinsics,
             alpha=buf.dense_disp_alpha,
             max_edges_per_frame=M,
+            n_views=V,
+            optimize_rig=self.optimize_rig and not motion_only,
             **self.ba_cfg_kwargs,
         )
 
@@ -644,26 +964,30 @@ class FactorGraph:
             pose_mask = np.zeros(Nb, bool)
         else:
             pose_mask = (idx >= t0) & (idx < t1) & (idx < buf.n_frames)
+        idv = np.arange(NbV) // V
         if motion_only:
-            disp_mask = np.zeros(Nb, bool)
+            disp_mask = np.zeros(NbV, bool)
         elif limited_disp:
-            disp_mask = (idx >= t0) & (idx < t1) & (idx < buf.n_frames)
+            disp_mask = (idv >= t0) & (idv < t1) & (idv < buf.n_frames)
         else:
-            disp_mask = idx < buf.n_frames
+            disp_mask = idv < buf.n_frames
 
-        disp_damping = 0.2 * self.damping[:Nb].reshape(Nb, P) + 1e-7
-        sens = buf.disps_sens[:Nb].reshape(Nb, P)
+        disp_damping = 0.2 * self.damping[:NbV].reshape(NbV, P) + 1e-7
+        sens = buf.disps_sens[:NbV].reshape(NbV, P)
         sens_mask = (jnp.sum(sens, axis=1) > 0) & (not motion_only)
+        rig, _ = self._rig_intr()
+        intr = buf.intrinsics if buf.intrinsics.ndim == 2 else buf.intrinsics[None]
 
-        poses, disps, intr = ba.ba_solve(
+        cols = [jnp.asarray(exp_pad[:, c], jnp.int32) for c in range(5)]
+        poses, rig_new, disps, intr_new = ba.ba_solve_mv(
             cfg,
             buf.poses[:Nb],
-            buf.disps[:Nb].reshape(Nb, P),
-            buf.intrinsics,
+            rig,
+            buf.disps[:NbV].reshape(NbV, P),
+            intr,
             target.reshape(Eb, P, 2),
             weight.reshape(Eb, P, 2) * weight_dense_disp,
-            jnp.asarray(ii_pad, jnp.int32),
-            jnp.asarray(jj_pad, jnp.int32),
+            *cols,
             jnp.asarray(ev),
             jnp.asarray(slot_edge),
             jnp.asarray(pose_mask),
@@ -677,7 +1001,9 @@ class FactorGraph:
         )
         buf.poses = jaxutil.set_prefix(buf.poses, poses)
         buf.disps = jaxutil.set_prefix(
-            buf.disps, disps.reshape(Nb, self.ht, self.wd)
+            buf.disps, disps.reshape(NbV, self.ht, self.wd)
         )
         if optimize_intrinsics:
-            buf.intrinsics = intr
+            buf.intrinsics = intr_new if buf.intrinsics.ndim == 2 else intr_new[0]
+        if cfg.optimize_rig:
+            buf.rig = rig_new

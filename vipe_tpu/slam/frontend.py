@@ -40,6 +40,21 @@ class SLAMFrontend:
         self.frontend_radius = c.get("frontend_radius", 2)
         self.seq_init = c.get("seq_init", True)
         self.has_init_pose = c.get("has_init_pose", False)
+        # speculative distance-matrix token: submitted at the end of one
+        # keyframe, resolved at the next — hides the ~25 ms readback behind
+        # the intervening frames' work.  Only valid while nothing else
+        # mutates poses/disps (disabled with GT init poses; dropped when the
+        # backend runs).
+        self._dist_token = None
+
+    def drop_cached_distance(self):
+        self._dist_token = None
+
+    def _submit_distance(self):
+        if not self.has_init_pose:
+            self._dist_token = self.graph.submit_distance_matrix(
+                beta=self.beta, n_frames=self.buffer.n_frames + 1
+            )
 
     def _init_pose(self):
         """Constant-velocity prediction for the next slot (frontend.py:70-76)."""
@@ -66,10 +81,12 @@ class SLAMFrontend:
             thresh=self.frontend_thresh,
             beta=self.beta,
             remove=True,
+            dist_token=self._dist_token,
         )
+        self._dist_token = None
 
-        for _ in range(self.iters1):
-            g.update(use_inactive=True, fixed_motion=self.has_init_pose)
+        g.update_fused(self.iters1, use_inactive=True,
+                       fixed_motion=self.has_init_pose)
 
         d = buf.frame_distance(
             jnp.asarray([self.t1 - 3], jnp.int32),
@@ -80,12 +97,13 @@ class SLAMFrontend:
             g.rm_second_newest_keyframe(self.t1 - 2)
             self.t1 -= 1
         else:
-            for _ in range(self.iters2):
-                g.update(use_inactive=True, fixed_motion=self.has_init_pose)
+            g.update_fused(self.iters2, use_inactive=True,
+                           fixed_motion=self.has_init_pose)
 
         if not self.has_init_pose:
             self._init_pose()
         buf.disps = buf.disps.at[self.t1].set(jnp.mean(buf.disps[self.t1 - 1]))
+        self._submit_distance()
 
     def _initialize(self):
         """System init over the first ``warmup`` keyframes (frontend.py:126-148)."""
@@ -94,14 +112,14 @@ class SLAMFrontend:
         self.t1 = buf.n_frames
 
         g.add_neighborhood_factors(0, self.t1, r=1 if self.seq_init else 3)
-        for _ in range(8):
-            g.update(t0=1, use_inactive=True, fixed_motion=self.has_init_pose)
+        g.update_fused(8, t0=1, use_inactive=True,
+                       fixed_motion=self.has_init_pose)
 
         if not self.seq_init:
             g.add_proximity_factors(0, 0, rad=2, nms=2,
                                     thresh=self.frontend_thresh, remove=False)
-            for _ in range(8):
-                g.update(t0=1, use_inactive=True, fixed_motion=self.has_init_pose)
+            g.update_fused(8, t0=1, use_inactive=True,
+                           fixed_motion=self.has_init_pose)
 
         if not self.has_init_pose:
             self._init_pose()
@@ -110,6 +128,7 @@ class SLAMFrontend:
         )
         self.is_initialized = True
         g.rm_factors(g.ii[: g.n_edges] < self.warmup - 4, store=True)
+        self._submit_distance()
 
     def run(self):
         if not self.is_initialized and self.buffer.n_frames == self.warmup:

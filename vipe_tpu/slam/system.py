@@ -185,15 +185,26 @@ class SLAMSystem:
             frame_idx, frame, rgb_dev, bmask, token = entry
             if kf_stride:
                 force_kf = force_kf or (frame_idx % kf_stride == 0)
-            is_kf = motion_filter.resolve(token)
-            if is_kf:
-                # the motion filter already encoded this frame on promotion
-                fmap, net, inp = motion_filter.last_keyframe_features
-            elif force_kf:
-                is_kf = True
-                fmap = token.fmap  # computed at submit
-                net, inp = self.encode_context(self.params, rgb_dev[None])
-                net, inp = net[0], inp[0]
+            if token is None:
+                # frame was statically known to be a non-keyframe (fixed
+                # decision + stride) — no encode was run for it
+                is_kf = force_kf
+                if is_kf:
+                    if rgb_dev is None:
+                        rgb_dev = _upload(frame)
+                    fmap = self.encode_features(self.params, rgb_dev[None])[0]
+                    net, inp = self.encode_context(self.params, rgb_dev[None])
+                    net, inp = net[0], inp[0]
+            else:
+                is_kf = motion_filter.resolve(token)
+                if is_kf:
+                    # the filter already encoded this frame on promotion
+                    fmap, net, inp = motion_filter.last_keyframe_features
+                elif force_kf:
+                    is_kf = True
+                    fmap = token.fmap  # computed at submit
+                    net, inp = self.encode_context(self.params, rgb_dev[None])
+                    net, inp = net[0], inp[0]
             if is_kf:
                 pose = None
                 if frame.pose is not None:
@@ -214,23 +225,31 @@ class SLAMSystem:
             frontend.run()
             if buffer.n_frames in fbi and is_kf:
                 backend.run_if_necessary(5)
+                # backend moved poses/disps → speculative distances are stale
+                frontend.drop_cached_distance()
 
         # ----------------------------------------------------------- pass 1
         # one-frame software pipeline: frame k's decision readback overlaps
-        # frame k+1's upload + encoder
+        # frame k+1's upload + encoder.  With a fixed stride + constant
+        # filter decision, non-keyframes are statically known: skip their
+        # upload AND encoder entirely (they are consumed again in pass 2).
+        skip_non_kf = bool(kf_stride) and motion_filter._decision_fixed is False
         pending = None
         t_pass1 = time.perf_counter()
         for frame_idx, frame in enumerate(stream):
-            t0 = time.perf_counter()
-            rgb_dev = _upload(frame)
-            mark("upload", t0)
-            bmask = (
-                self._mask_to_buffer(frame.mask, buffer.ht, buffer.wd)
-                if frame.mask is not None else None
-            )
-            t0 = time.perf_counter()
-            token = motion_filter.submit(rgb_dev, bmask)
-            mark("mf_submit", t0)
+            if skip_non_kf and frame_idx % kf_stride != 0:
+                rgb_dev, bmask, token = None, None, None
+            else:
+                t0 = time.perf_counter()
+                rgb_dev = _upload(frame)
+                mark("upload", t0)
+                bmask = (
+                    self._mask_to_buffer(frame.mask, buffer.ht, buffer.wd)
+                    if frame.mask is not None else None
+                )
+                t0 = time.perf_counter()
+                token = motion_filter.submit(rgb_dev, bmask)
+                mark("mf_submit", t0)
             if pending is not None:
                 t0 = time.perf_counter()
                 _process(pending, force_kf=False)
