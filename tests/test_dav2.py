@@ -64,59 +64,7 @@ class TestDAv2:
 
     def test_checkpoint_conversion_structure(self, rng):
         """Synthetic torch state_dict converts to the exact flax tree."""
-        D, depth, heads = 384, 12, 6
-        cfg = DAV2_CONFIGS["vits"]
-        sd = {}
-
-        def add(key, shape):
-            sd[key] = rng.normal(size=shape).astype(np.float32) * 0.02
-
-        add("pretrained.patch_embed.proj.weight", (D, 3, 14, 14))
-        add("pretrained.patch_embed.proj.bias", (D,))
-        add("pretrained.cls_token", (1, 1, D))
-        add("pretrained.pos_embed", (1, 37 * 37 + 1, D))
-        add("pretrained.norm.weight", (D,))
-        add("pretrained.norm.bias", (D,))
-        for i in range(depth):
-            b = f"pretrained.blocks.{i}"
-            add(f"{b}.norm1.weight", (D,)); add(f"{b}.norm1.bias", (D,))
-            add(f"{b}.attn.qkv.weight", (3 * D, D)); add(f"{b}.attn.qkv.bias", (3 * D,))
-            add(f"{b}.attn.proj.weight", (D, D)); add(f"{b}.attn.proj.bias", (D,))
-            add(f"{b}.ls1.gamma", (D,)); add(f"{b}.ls2.gamma", (D,))
-            add(f"{b}.norm2.weight", (D,)); add(f"{b}.norm2.bias", (D,))
-            add(f"{b}.mlp.fc1.weight", (4 * D, D)); add(f"{b}.mlp.fc1.bias", (4 * D,))
-            add(f"{b}.mlp.fc2.weight", (D, 4 * D)); add(f"{b}.mlp.fc2.bias", (D,))
-
-        oc = cfg["out_channels"]
-        feats = cfg["features"]
-        for i in range(4):
-            add(f"depth_head.projects.{i}.weight", (oc[i], D, 1, 1))
-            add(f"depth_head.projects.{i}.bias", (oc[i],))
-            sd[f"depth_head.scratch.layer{i + 1}_rn.weight"] = (
-                rng.normal(size=(feats, oc[i], 3, 3)).astype(np.float32) * 0.02
-            )
-        add("depth_head.resize_layers.0.weight", (oc[0], oc[0], 4, 4))
-        add("depth_head.resize_layers.0.bias", (oc[0],))
-        add("depth_head.resize_layers.1.weight", (oc[1], oc[1], 2, 2))
-        add("depth_head.resize_layers.1.bias", (oc[1],))
-        add("depth_head.resize_layers.3.weight", (oc[3], oc[3], 3, 3))
-        add("depth_head.resize_layers.3.bias", (oc[3],))
-        for r in range(1, 5):
-            rn = f"depth_head.scratch.refinenet{r}"
-            for u in (1, 2):
-                add(f"{rn}.resConfUnit{u}.conv1.weight", (feats, feats, 3, 3))
-                add(f"{rn}.resConfUnit{u}.conv1.bias", (feats,))
-                add(f"{rn}.resConfUnit{u}.conv2.weight", (feats, feats, 3, 3))
-                add(f"{rn}.resConfUnit{u}.conv2.bias", (feats,))
-            add(f"{rn}.out_conv.weight", (feats, feats, 1, 1))
-            add(f"{rn}.out_conv.bias", (feats,))
-        add("depth_head.scratch.output_conv1.weight", (feats // 2, feats, 3, 3))
-        add("depth_head.scratch.output_conv1.bias", (feats // 2,))
-        add("depth_head.scratch.output_conv2.0.weight", (32, feats // 2, 3, 3))
-        add("depth_head.scratch.output_conv2.0.bias", (32,))
-        add("depth_head.scratch.output_conv2.2.weight", (1, 32, 1, 1))
-        add("depth_head.scratch.output_conv2.2.bias", (1,))
-
+        sd = make_synthetic_dav2_sd(rng)
         converted = mconvert.convert_dav2(sd)
         net = DepthAnythingV2Net("vits", max_depth=None, params=converted)
         out = net(jnp.asarray(rng.random((1, 70, 98, 3)), jnp.float32))
@@ -130,6 +78,68 @@ class TestDAv2:
         ci = {jax.tree_util.keystr(p): np.shape(v)
               for p, v in jax.tree_util.tree_leaves_with_path(converted)}
         assert fi == ci
+
+
+def make_synthetic_dav2_sd(rng, cond_dim: int = 0) -> dict:
+    """Reference-shaped torch state_dict for a vits DAv2 (optionally the
+    PriorDA conditioned variant with patch_embed.alpha_proj)."""
+    D, depth = 384, 12
+    cfg = DAV2_CONFIGS["vits"]
+    sd = {}
+
+    def add(key, shape):
+        sd[key] = rng.normal(size=shape).astype(np.float32) * 0.02
+
+    add("pretrained.patch_embed.proj.weight", (D, 3, 14, 14))
+    add("pretrained.patch_embed.proj.bias", (D,))
+    if cond_dim:
+        add("pretrained.patch_embed.alpha_proj.weight", (D, cond_dim, 14, 14))
+        add("pretrained.patch_embed.alpha_proj.bias", (D,))
+    add("pretrained.cls_token", (1, 1, D))
+    add("pretrained.pos_embed", (1, 37 * 37 + 1, D))
+    add("pretrained.norm.weight", (D,))
+    add("pretrained.norm.bias", (D,))
+    for i in range(depth):
+        b = f"pretrained.blocks.{i}"
+        add(f"{b}.norm1.weight", (D,)); add(f"{b}.norm1.bias", (D,))
+        add(f"{b}.attn.qkv.weight", (3 * D, D)); add(f"{b}.attn.qkv.bias", (3 * D,))
+        add(f"{b}.attn.proj.weight", (D, D)); add(f"{b}.attn.proj.bias", (D,))
+        add(f"{b}.ls1.gamma", (D,)); add(f"{b}.ls2.gamma", (D,))
+        add(f"{b}.norm2.weight", (D,)); add(f"{b}.norm2.bias", (D,))
+        add(f"{b}.mlp.fc1.weight", (4 * D, D)); add(f"{b}.mlp.fc1.bias", (4 * D,))
+        add(f"{b}.mlp.fc2.weight", (D, 4 * D)); add(f"{b}.mlp.fc2.bias", (D,))
+
+    oc = cfg["out_channels"]
+    feats = cfg["features"]
+    for i in range(4):
+        add(f"depth_head.projects.{i}.weight", (oc[i], D, 1, 1))
+        add(f"depth_head.projects.{i}.bias", (oc[i],))
+        sd[f"depth_head.scratch.layer{i + 1}_rn.weight"] = (
+            rng.normal(size=(feats, oc[i], 3, 3)).astype(np.float32) * 0.02
+        )
+    add("depth_head.resize_layers.0.weight", (oc[0], oc[0], 4, 4))
+    add("depth_head.resize_layers.0.bias", (oc[0],))
+    add("depth_head.resize_layers.1.weight", (oc[1], oc[1], 2, 2))
+    add("depth_head.resize_layers.1.bias", (oc[1],))
+    add("depth_head.resize_layers.3.weight", (oc[3], oc[3], 3, 3))
+    add("depth_head.resize_layers.3.bias", (oc[3],))
+    for r in range(1, 5):
+        rn = f"depth_head.scratch.refinenet{r}"
+        for u in (1, 2):
+            add(f"{rn}.resConfUnit{u}.conv1.weight", (feats, feats, 3, 3))
+            add(f"{rn}.resConfUnit{u}.conv1.bias", (feats,))
+            add(f"{rn}.resConfUnit{u}.conv2.weight", (feats, feats, 3, 3))
+            add(f"{rn}.resConfUnit{u}.conv2.bias", (feats,))
+        add(f"{rn}.out_conv.weight", (feats, feats, 1, 1))
+        add(f"{rn}.out_conv.bias", (feats,))
+    add("depth_head.scratch.output_conv1.weight", (feats // 2, feats, 3, 3))
+    add("depth_head.scratch.output_conv1.bias", (feats // 2,))
+    add("depth_head.scratch.output_conv2.0.weight", (32, feats // 2, 3, 3))
+    add("depth_head.scratch.output_conv2.0.bias", (32,))
+    add("depth_head.scratch.output_conv2.2.weight", (1, 32, 1, 1))
+    add("depth_head.scratch.output_conv2.2.bias", (1,))
+
+    return sd
 
 
 class TestVDA:

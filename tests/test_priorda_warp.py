@@ -53,6 +53,75 @@ class TestPriorDAAlignment:
         assert knn_err < glob_err
 
 
+class TestPriorDAFine:
+    def test_fine_refine_runs_and_conditions(self, rng):
+        """The conditioned refinement stage produces finite metric depth, and
+        the condition channels actually reach the encoder (alpha_proj)."""
+        from vipe_tpu.priors.depth.priorda import PriorDAModel
+
+        model = PriorDAModel(variant="vits", input_size=70, K=5,
+                             fine_variant="vits")
+        # zero-init alpha_proj would make the condition a no-op — perturb it
+        # so conditioning is observable
+        ap = model.fine_net.params["vit"]["params"]["alpha_proj"]
+        ap["kernel"] = 0.05 * rng.normal(size=ap["kernel"].shape).astype(
+            np.float32
+        )
+
+        H, W = 48, 64
+        rgb = rng.random((H, W, 3)).astype(np.float32)
+        prompt = np.zeros((H, W), np.float32)
+        prompt[::5, ::5] = 2.0 + rng.random((10, 13)).astype(np.float32)
+
+        out1 = model.complete(rgb, prompt)
+        assert out1.shape == (H, W) and np.isfinite(out1).all()
+
+        prompt2 = prompt * 3.0
+        out2 = model.complete(rgb, prompt2)
+        assert np.abs(out1 - out2).max() > 1e-5  # condition changed output
+
+    def test_coarse_only_flag(self, rng):
+        from vipe_tpu.priors.depth.priorda import PriorDAModel
+
+        model = PriorDAModel(variant="vits", input_size=70, K=5,
+                             coarse_only=True)
+        assert not hasattr(model, "fine_net")
+        H, W = 32, 40
+        rgb = rng.random((H, W, 3)).astype(np.float32)
+        prompt = np.zeros((H, W), np.float32)
+        prompt[::4, ::4] = 1.5
+        out = model.complete(rgb, prompt)
+        assert out.shape == (H, W) and np.isfinite(out).all()
+
+    def test_conditioned_converter_structure(self, rng):
+        """Conditioned checkpoint (with alpha_proj) converts to the exact
+        flax tree of the cond_dim=3 net."""
+        import jax
+
+        from tests.test_dav2 import make_synthetic_dav2_sd
+        from vipe_tpu.models import convert as mconvert
+        from vipe_tpu.priors.depth.dav2 import DepthAnythingV2Net
+
+        sd = make_synthetic_dav2_sd(rng, cond_dim=3)
+        converted = mconvert.convert_dav2(sd)
+        fresh = DepthAnythingV2Net("vits", max_depth=None, cond_dim=3)
+        fi = {jax.tree_util.keystr(p): v.shape
+              for p, v in jax.tree_util.tree_leaves_with_path(fresh.params)}
+        ci = {jax.tree_util.keystr(p): np.shape(v)
+              for p, v in jax.tree_util.tree_leaves_with_path(converted)}
+        assert fi == ci
+
+        net = DepthAnythingV2Net("vits", max_depth=None, params=converted,
+                                 cond_dim=3)
+        x = jnp.asarray(rng.random((1, 70, 98, 3)), jnp.float32)
+        cond = jnp.asarray(rng.random((1, 70, 98, 3)), jnp.float32)
+        out = net(x, cond)
+        assert out.shape == (1, 70, 98)
+        # alpha_proj is live: different conditions → different outputs
+        out2 = net(x, cond * 2.0)
+        assert float(jnp.abs(out - out2).max()) > 0.0
+
+
 class TestWarp:
     def test_splat_identity(self, rng):
         H, W = 8, 10

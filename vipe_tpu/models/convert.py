@@ -141,6 +141,9 @@ def convert_dinov2_vit(sd: Mapping, prefix: str = "pretrained") -> dict:
     sd = {k.removeprefix("module."): _to_np(v) for k, v in sd.items()}
     p: dict = {}
     p["patch_embed"] = _conv_entry(sd, f"{prefix}.patch_embed.proj")
+    if f"{prefix}.patch_embed.alpha_proj.weight" in sd:
+        # PriorDA conditioned encoder (patch_embed.py:71-94)
+        p["alpha_proj"] = _conv_entry(sd, f"{prefix}.patch_embed.alpha_proj")
     p["cls_token"] = np.asarray(sd[f"{prefix}.cls_token"], np.float32)
     p["pos_embed"] = np.asarray(sd[f"{prefix}.pos_embed"], np.float32)
     p["norm"] = _ln(sd, f"{prefix}.norm")

@@ -89,9 +89,14 @@ class DinoViT(nn.Module):
     num_heads: int = 12
     patch_size: int = 14
     img_size: int = 518
+    # >0: conditioned encoder — an extra zero-initialized patch projection
+    # over a (B, H, W, cond_dim) condition map is ADDED to the patch
+    # embedding (PriorDA's alpha_proj, reference
+    # priors/depth/dav2/dinov2_layers/patch_embed.py:71-94)
+    cond_dim: int = 0
 
     @nn.compact
-    def __call__(self, x, tap_layers: Sequence[int] = ()):
+    def __call__(self, x, tap_layers: Sequence[int] = (), condition=None):
         """x: (B, H, W, 3) normalized image, H/W multiples of patch_size.
 
         Returns list of (patch_tokens (B, N, D), cls (B, D)) per tap layer
@@ -105,6 +110,12 @@ class DinoViT(nn.Module):
             self.embed_dim, (self.patch_size, self.patch_size),
             strides=self.patch_size, name="patch_embed",
         )(x)
+        if self.cond_dim > 0:
+            x = x + nn.Conv(
+                self.embed_dim, (self.patch_size, self.patch_size),
+                strides=self.patch_size, name="alpha_proj",
+                kernel_init=nn.initializers.zeros,
+            )(condition)
         x = x.reshape(B, ph * pw, self.embed_dim)
 
         cls = self.param(

@@ -40,12 +40,13 @@ class DepthAnythingV2Net:
     """Functional wrapper: vit taps → DPT head (one jitted apply per shape)."""
 
     def __init__(self, variant: str = "vitl", max_depth: Optional[float] = None,
-                 params=None, rng_seed: int = 0):
+                 params=None, rng_seed: int = 0, cond_dim: int = 0):
         cfg = DAV2_CONFIGS[variant]
         self.variant = variant
         self.taps = cfg["taps"]
         self.max_depth = max_depth
-        self.vit = make_vit(variant)
+        self.cond_dim = cond_dim
+        self.vit = make_vit(variant, cond_dim=cond_dim)
         self.head = DPTHead(
             features=cfg["features"],
             out_channels=cfg["out_channels"],
@@ -56,9 +57,9 @@ class DepthAnythingV2Net:
         self.params = params
 
         @jax.jit
-        def _forward(params, x):
+        def _forward(params, x, condition):
             taps = self.vit.apply(
-                params["vit"], x, tap_layers=self.taps
+                params["vit"], x, tap_layers=self.taps, condition=condition
             )
             ph, pw = x.shape[1] // 14, x.shape[2] // 14
             out = self.head.apply(params["head"], taps, ph, pw)
@@ -71,14 +72,17 @@ class DepthAnythingV2Net:
     def init_params(self, key, h: int = 252, w: int = 252):
         k1, k2 = jax.random.split(key)
         x = jnp.zeros((1, h, w, 3))
-        vit_params = self.vit.init(k1, x, tap_layers=self.taps)
-        taps = self.vit.apply(vit_params, x, tap_layers=self.taps)
+        cond = jnp.zeros((1, h, w, self.cond_dim)) if self.cond_dim else None
+        vit_params = self.vit.init(k1, x, tap_layers=self.taps, condition=cond)
+        taps = self.vit.apply(vit_params, x, tap_layers=self.taps,
+                              condition=cond)
         head_params = self.head.init(k2, taps, h // 14, w // 14)
         return {"vit": vit_params, "head": head_params}
 
-    def __call__(self, image_normalized):
-        """(B, H, W, 3) normalized, H/W multiples of 14 → (B, H, W) output."""
-        return self._forward(self.params, image_normalized)
+    def __call__(self, image_normalized, condition=None):
+        """(B, H, W, 3) normalized, H/W multiples of 14 → (B, H, W) output.
+        ``condition``: (B, H, W, cond_dim) map for conditioned variants."""
+        return self._forward(self.params, image_normalized, condition)
 
 
 def preprocess(rgb: np.ndarray, input_size: int = 518):

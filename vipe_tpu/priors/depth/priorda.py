@@ -5,9 +5,11 @@ Pipeline role (reference pipeline/processors.py:252-269): the projected SLAM
 map provides a sparse metric prompt; a DAv2-style network predicts relative
 disparities; a coarse alignment stage fits them to the prompt — a global
 scale/shift plus per-pixel K=5 inverse-distance-weighted KNN scale/shift
-(depth_completion.py:292-427).  The fine conditioned-refinement network
-(priorda.py:100-161) needs its released checkpoint and slots in behind the
-same interface; with random weights the coarse path alone is exercised.
+(depth_completion.py:292-427) — and a FINE conditioned DAv2 refines the
+result: the coarse outputs become a 3-channel condition map
+[uncertainty, global-aligned disp, knn-completed disp] injected into the
+encoder through a zero-initialized patch projection (reference
+priorda.py:100-161, patch_embed.py:71-94).
 
 TPU design: the KNN runs as chunked distance matmuls + top_k
 (vipe_tpu.ops.knn) instead of the reference's CUDA kd-tree, and the per-pixel
@@ -91,17 +93,77 @@ def knn_scale_shift_completion(pred_disp, sparse_disp, sparse_mask, K: int = 5):
     return jnp.where(jnp.asarray(mask), sparse, out)
 
 
+def _depth2disp(depth):
+    """Guarded reciprocal (reference utils.depth2disparity)."""
+    return np.where(depth > 0, 1.0 / np.maximum(depth, 1e-8), 0.0)
+
+
 class PriorDAModel(DepthEstimationModel):
-    """Prompted completion adapter (reference priorda/__init__.py:31-50)."""
+    """Prompted completion adapter (reference priorda/__init__.py:31-50).
+
+    ``coarse_only=False`` (reference default) runs the conditioned
+    refinement net; the conditioned encoder size follows the reference's
+    ``conditioned_model_size`` default (vitb)."""
 
     depth_type = DepthType.METRIC_DEPTH
 
     def __init__(self, variant: str = "vitb", input_size: int = 518,
-                 K: int = 5, params=None):
+                 K: int = 5, params=None, coarse_only: bool = False,
+                 fine_params=None, fine_variant: str = "vitb"):
         self.net = DepthAnythingV2Net(variant or "vitb", max_depth=None,
                                       params=params)
+        self.coarse_only = coarse_only
+        if not coarse_only:
+            # conditioned MDE: 3-channel condition through alpha_proj
+            # (reference priorda.py:62-78, err_condition=True)
+            self.fine_net = DepthAnythingV2Net(
+                fine_variant, max_depth=None, params=fine_params, cond_dim=3
+            )
         self.input_size = input_size
         self.K = K
+
+    def _fine_refine(self, rgb, global_disp, comp_disp, sparse_depth,
+                     sparse_mask, out_hw):
+        """Conditioned refinement (reference priorda.py:127-161):
+        normalize depths to the prompt's [min, max], stack
+        [uncertainty | global disp | completed disp], run the conditioned
+        net, un-normalize."""
+        from ..track_anything.deaot.network import resize_align_corners
+
+        h, w = out_hw
+        # uncertainty = |comp - global| / global where global > 0, min-max
+        # normalized (depth_completion.py:223-233)
+        cal = global_disp > 0.0
+        uctn = np.where(
+            cal, np.abs(comp_disp - global_disp) / np.maximum(global_disp, 1e-8), 0.0
+        )
+        rng_u = uctn.max() - uctn.min()
+        if rng_u > 0:
+            uctn = (uctn - uctn.min()) / rng_u
+
+        # normalize_depth: affine params from the sparse PROMPT depths
+        # (priorda.py:133-140 zero_one_normalize(affine_only))
+        vals = sparse_depth[sparse_mask]
+        masked_min = float(vals.min())
+        denom = float(vals.max() - vals.min()) or 1.0
+
+        def norm_cond(disp):
+            depth_n = (_depth2disp(disp) - masked_min) / denom
+            return _depth2disp(depth_n)
+
+        condition = np.stack(
+            [uctn, norm_cond(global_disp), norm_cond(comp_disp)], axis=-1
+        ).astype(np.float32)
+
+        img, _ = preprocess(np.asarray(rgb, np.float32), self.input_size)
+        nh, nw = img.shape[:2]
+        cond = resize_align_corners(
+            jnp.asarray(condition)[None], (nh, nw)
+        )
+        disp = self.fine_net(jnp.asarray(img)[None], cond)
+        disp = resize_align_corners(disp[..., None], (h, w))[0, ..., 0]
+        depth_n = np.asarray(_depth2disp(np.asarray(disp)))
+        return (depth_n * denom + masked_min).astype(np.float32)
 
     def complete(self, rgb: np.ndarray, prompt_depth: np.ndarray) -> np.ndarray:
         """rgb (H, W, 3) in [0,1]; prompt_depth (H, W) metric with 0 = empty.
@@ -120,12 +182,18 @@ class PriorDAModel(DepthEstimationModel):
 
         # coarse: global then KNN scale/shift alignment
         s, b = global_scale_shift(pred_disp, sparse_disp, sparse_mask)
-        coarse = pred_disp * s + b
+        global_disp = pred_disp * s + b
         completed = np.asarray(
-            knn_scale_shift_completion(coarse, sparse_disp, sparse_mask, self.K)
+            knn_scale_shift_completion(
+                global_disp, sparse_disp, sparse_mask, self.K
+            )
         )
         completed = np.maximum(completed, 1e-4)
-        return (1.0 / completed).astype(np.float32)
+        if self.coarse_only:
+            return (1.0 / completed).astype(np.float32)
+        return self._fine_refine(
+            rgb, global_disp, completed, prompt, sparse_mask, (h, w)
+        )
 
     def estimate(self, inp: DepthEstimationInput) -> DepthEstimationResult:
         raise RuntimeError(
