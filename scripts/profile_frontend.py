@@ -78,6 +78,37 @@ def main():
 
     timed("rm(4)+add(4) factors", add_rm)
 
+    def rm_only():
+        mask = np.zeros(g.n_edges, bool)
+        mask[:4] = True
+        ii4, jj4 = g.ii[:4].copy(), g.jj[:4].copy()
+        g.rm_factors(mask, store=True)
+        g.add_factors(ii4, jj4)  # restore for next rep (not timed separately)
+        return sync(g.target[0, 0, 0, 0])
+
+    class T:
+        rm = add = 0.0
+
+    def split_rm_add():
+        mask = np.zeros(g.n_edges, bool)
+        mask[:4] = True
+        ii4, jj4 = g.ii[:4].copy(), g.jj[:4].copy()
+        t0 = time.perf_counter()
+        g.rm_factors(mask, store=True)
+        sync(g.target[0, 0, 0, 0])
+        T.rm += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        g.add_factors(ii4, jj4)
+        sync(g.target[0, 0, 0, 0])
+        T.add += time.perf_counter() - t0
+
+    split_rm_add()  # warm
+    T.rm = T.add = 0.0
+    for _ in range(3):
+        split_rm_add()
+    print(f"{'  rm_factors(4) alone':32s} {T.rm / 3 * 1000:8.1f} ms")
+    print(f"{'  add_factors(4) alone':32s} {T.add / 3 * 1000:8.1f} ms")
+
     timed("update x1 (GRU+BA3)", lambda: (g.update(use_inactive=True),
                                           sync(buf.poses[0]))[1])
     timed("update_fused x4", lambda: (g.update_fused(4, use_inactive=True),

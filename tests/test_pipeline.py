@@ -141,6 +141,55 @@ class TestPipelineStreaming:
         assert pipe.should_filter("tiny")
 
 
+class StubSLAMMultiview(StubSLAM):
+    def run(self, stream, camera_type=cam.CameraType.PINHOLE, rig=None):
+        from vipe_tpu.streams.base import MultiviewVideoList
+
+        assert isinstance(stream, MultiviewVideoList)
+        for s in stream:
+            for _ in s:
+                pass
+        out = canned_slam_output()
+        out.intrinsics = np.stack([out.intrinsics] * len(stream))
+        out.rig = stream.rig
+        return out
+
+
+class TestPipelineMultiview:
+    def test_per_view_artifacts(self, tmp_path, monkeypatch):
+        from vipe_tpu.streams.base import MultiviewVideoList
+
+        monkeypatch.setattr(default_mod, "SLAMSystem", StubSLAMMultiview)
+        rig = np.zeros((2, 7), np.float32)
+        rig[:, 6] = 1.0
+        rig[1, 0] = 0.1
+        s0, s1 = TinyStream(), TinyStream()
+        s0._name, s1._name = "rig_v0", "rig_v1"
+        mv = MultiviewVideoList("rig", [s0, s1], rig)
+        pipe = DefaultAnnotationPipeline(
+            init={"intrinsics": "fov"},
+            output={"path": str(tmp_path), "save_artifacts": True},
+        )
+        out = pipe.run(mv)
+        assert out.trajectory.shape == (T, 7)
+        for name in ("rig_v0", "rig_v1"):
+            art = io_utils.ArtifactPath(tmp_path, name)
+            assert art.pose_path.exists(), name
+            assert art.intrinsics_path.exists(), name
+        # view-1 trajectory offset by the rig translation
+        m0, _ = io_utils.read_pose_artifacts(
+            io_utils.ArtifactPath(tmp_path, "rig_v0")
+        )
+        m1, _ = io_utils.read_pose_artifacts(
+            io_utils.ArtifactPath(tmp_path, "rig_v1")
+        )
+        np.testing.assert_allclose(
+            m1[:, :3, 3] - m0[:, :3, 3],
+            np.broadcast_to([0.1, 0.0, 0.0], (T, 3)),
+            atol=1e-5,
+        )
+
+
 class TestCachedStreamCompression:
     def test_uint8_roundtrip_exact_for_video_values(self):
         src = TinyStream()

@@ -63,7 +63,19 @@ class DefaultAnnotationPipeline(Pipeline):
             ))
         return procs
 
-    def run(self, video_stream: VideoStream) -> AnnotationPipelineOutput:
+    def _make_metric_depth(self):
+        kd = self.slam_cfg.get("keyframe_depth")
+        if not kd:
+            return None
+        from ..priors.depth.factory import make_depth_model
+
+        return make_depth_model(kd)
+
+    def run(self, video_stream) -> AnnotationPipelineOutput:
+        from ..streams.base import MultiviewVideoList
+
+        if isinstance(video_stream, MultiviewVideoList):
+            return self._run_multiview(video_stream)
         camera_type = CameraType(self.slam_cfg.get("camera_type", "pinhole"))
 
         init_procs = self._init_processors(video_stream)
@@ -73,17 +85,70 @@ class DefaultAnnotationPipeline(Pipeline):
             "process", online=True, compress_rgb=True
         )
 
-        metric_depth = None
-        kd = self.slam_cfg.get("keyframe_depth")
-        if kd:
-            from ..priors.depth.factory import make_depth_model
-
-            metric_depth = make_depth_model(kd)
-
-        slam = SLAMSystem(config=self.slam_cfg, metric_depth=metric_depth)
+        slam = SLAMSystem(
+            config=self.slam_cfg, metric_depth=self._make_metric_depth()
+        )
         slam_out = slam.run(stream, camera_type=camera_type)
 
         # ------------------------------------------------------------- post
+        output = self._post_view(stream, slam_out, camera_type,
+                                 video_stream.fps())
+        if self.return_payload:
+            output.payload = {"slam_output": slam_out}
+        return output
+
+    def _run_multiview(self, video_list) -> AnnotationPipelineOutput:
+        """Rig capture: joint SLAM over all views, per-view post + artifacts
+        (reference default.py:93-148)."""
+        import dataclasses
+
+        from ..ops import lie
+        from ..streams.base import MultiviewVideoList
+
+        camera_type = CameraType(self.slam_cfg.get("camera_type", "pinhole"))
+        V = len(video_list)
+        streams = []
+        for v in range(V):
+            init_procs = self._init_processors(video_list[v])
+            streams.append(
+                ProcessedVideoStream(video_list[v], init_procs).cache(
+                    "process", online=True, compress_rgb=True
+                )
+            )
+        cached = MultiviewVideoList(
+            video_list.name(), streams, video_list.rig
+        )
+
+        slam = SLAMSystem(
+            config=self.slam_cfg, metric_depth=self._make_metric_depth()
+        )
+        slam_out = slam.run(cached, camera_type=camera_type)
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as _np
+
+        outputs = []
+        for v in range(V):
+            # per-view camera trajectory: c2w_v = T⁻¹ ∘ rig_v
+            traj_v = _np.asarray(jax.vmap(
+                lambda p: lie.se3_mul(p, jnp.asarray(slam_out.rig[v]))
+            )(jnp.asarray(slam_out.trajectory)))
+            view_out = dataclasses.replace(
+                slam_out,
+                trajectory=traj_v,
+                intrinsics=slam_out.intrinsics[v],
+            )
+            outputs.append(self._post_view(
+                streams[v], view_out, camera_type, video_list[v].fps()
+            ))
+        out = outputs[0]
+        if self.return_payload:
+            out.payload = {"slam_output": slam_out,
+                           "view_outputs": outputs}
+        return out
+
+    def _post_view(self, stream, slam_out, camera_type, fps):
         post_procs = [
             AssignAttributesProcessor(
                 poses=slam_out.trajectory,
@@ -101,7 +166,6 @@ class DefaultAnnotationPipeline(Pipeline):
         # single streaming pass: every artifact writer is incremental, so the
         # pipeline never holds more than one processed frame (+ its depth) in
         # memory — the reference streams artifacts the same way (io.py:338-378)
-        fps = video_stream.fps()
         root = self.output_cfg.get("path")
         art = (
             io_utils.ArtifactPath(pathlib.Path(root), stream.name())
@@ -177,7 +241,4 @@ class DefaultAnnotationPipeline(Pipeline):
             io_utils.save_info(art, {"ba_residual": output.ba_residual})
         if viz_writer is not None:
             viz_writer.close()
-
-        if self.return_payload:
-            output.payload = {"slam_output": slam_out}
         return output

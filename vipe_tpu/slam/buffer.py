@@ -18,6 +18,7 @@ every slot equals its frame index and the single-view paths are unchanged.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -35,6 +36,42 @@ def bucket_size(n: int, minimum: int = 16) -> int:
     while b < n:
         b *= 2
     return b
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def _jitted_frame_distance(poses, disps, intr, ii, jj, beta, bidirectional):
+    """One dispatch for the keyframe-removal distance check — eagerly the
+    ~40 primitives inside cost >1 s of tunnel round-trips per call."""
+    d = geom.frame_distance(poses, disps, intr, ii, jj, di=ii, beta=beta)
+    if bidirectional:
+        d2 = geom.frame_distance(poses, disps, intr, jj, ii, di=jj, beta=beta)
+        d = 0.5 * (d + d2)
+    return d
+
+
+@functools.partial(jax.jit, static_argnums=(7, 8))
+def _jitted_frame_distance_mv(poses, rig, disps, intr, ii, jj, beta,
+                              V, bidirectional):
+    """Per-view same-view frame distances, (E·V,) view-major (reference
+    frame_distance_dense_disp, buffer.py:550-593 with cross=False)."""
+    E = ii.shape[0]
+    pi = jnp.repeat(ii, V)
+    pj = jnp.repeat(jj, V)
+    qv = jnp.tile(jnp.arange(V, dtype=ii.dtype), E)
+    d = geom.frame_distance_mv(
+        poses, rig, disps, intr, pi, qv, pi * V + qv, pj, qv, beta=beta
+    )
+    if bidirectional:
+        d2 = geom.frame_distance_mv(
+            poses, rig, disps, intr, pj, qv, pj * V + qv, pi, qv, beta=beta
+        )
+        d = 0.5 * (d + d2)
+    return d
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _jitted_reproject(poses, disps, intr_grid, camera_type, ii, jj):
+    return geom.reproject(poses, disps, intr_grid, camera_type, ii, jj)
 
 
 class GraphBuffer:
@@ -259,23 +296,26 @@ class GraphBuffer:
         """coords of frame-ii grids in frame jj (buffer.py:527-549)."""
         ii = jnp.asarray(ii, jnp.int32)
         jj = jnp.asarray(jj, jnp.int32)
-        return geom.reproject(
+        return _jitted_reproject(
             self.poses, self.disps, self.scaled_intrinsics, self.camera_type, ii, jj
         )
 
     def frame_distance(self, ii, jj, beta: float = 0.3, bidirectional: bool = True):
         """Mean induced flow distance (buffer.py:550-593): kernel call with
-        (ii, jj, disp=ii), optionally averaged with (jj, ii, disp=jj)."""
+        (ii, jj, disp=ii), optionally averaged with (jj, ii, disp=jj).
+        For a rig returns (E·V,) per-view distances (callers max/mean)."""
         ii = jnp.asarray(ii, jnp.int32)
         jj = jnp.asarray(jj, jnp.int32)
         intr = self.pinhole_grid_intrinsics
-        d = geom.frame_distance(self.poses, self.disps, intr, ii, jj, di=ii, beta=beta)
-        if bidirectional:
-            d2 = geom.frame_distance(
-                self.poses, self.disps, intr, jj, ii, di=jj, beta=beta
+        if self.n_views > 1:
+            return _jitted_frame_distance_mv(
+                self.poses, self.rig, self.disps, intr, ii, jj,
+                jnp.float32(beta), self.n_views, bidirectional,
             )
-            d = 0.5 * (d + d2)
-        return d
+        return _jitted_frame_distance(
+            self.poses, self.disps, intr, ii, jj, jnp.float32(beta),
+            bidirectional,
+        )
 
     def update_disps_sens(self, depth_model, frame_idx=None):
         """Re-estimate (or rescale) metric prior depth after intrinsics change
@@ -317,17 +357,30 @@ class GraphBuffer:
 
     # ---------------------------------------------------------------- mapping
 
-    def extract_slam_map(self, filter_thresh: float):
+    def extract_slam_map(self, filter_thresh: float, view: int = 0):
         """Filtered colored point cloud of the keyframe map
-        (reference buffer.py:595-645 + depth_filter CUDA kernel)."""
+        (reference buffer.py:595-645 + depth_filter CUDA kernel).
+        For a rig the map is built from ``view``'s slots with the rig offset
+        composed into the per-frame poses."""
         from .interface import SLAMMap
 
         n = self.n_frames
+        V = self.n_views
+        slots = jnp.arange(n) * V + view if V > 1 else jnp.arange(n)
         poses = self.poses[:n]
-        disps = self.disps[:n]
+        if V > 1:
+            # world→cam_view = rig_v⁻¹ · T_frame
+            poses = jax.vmap(
+                lambda p: lie.se3_mul(lie.se3_inv(self.rig[view]), p)
+            )(poses)
+            disps = self.disps[slots]
+            intr_grid = cam.scaled_intrinsics(
+                self.camera_type, self.intrinsics[view], 1.0 / 8.0
+            )
+        else:
+            disps = self.disps[:n]
+            intr_grid = self.scaled_intrinsics
         c2w = lie.se3_inv(poses)
-
-        intr_grid = self.scaled_intrinsics
         u, v = geom.pixel_grid(self.ht, self.wd)
         pts_local = cam.iproj_disp(
             self.camera_type, intr_grid,
@@ -338,17 +391,22 @@ class GraphBuffer:
 
         mean_disp = float(jnp.mean(disps))
         thresh_v = filter_thresh * (1.0 / max(mean_disp, 1e-8))
+        if V > 1:
+            pin = cam.pinhole_equivalent(
+                self.camera_type, self.intrinsics[view]
+            ) / 8.0
+        else:
+            pin = self.pinhole_grid_intrinsics
         counts = geom.depth_filter(
-            poses, disps, self.pinhole_grid_intrinsics,
-            jnp.arange(n), jnp.full((n,), thresh_v),
+            poses, disps, pin, jnp.arange(n), jnp.full((n,), thresh_v),
         )
         per_frame_mean = jnp.mean(disps, axis=(1, 2), keepdims=True)
         mask = (
             (counts >= min(2, n - 1))
             & (disps > 0.5 * per_frame_mean)
-            & (~self.masks[:n])
+            & (~self.masks[slots])
         )
-        colors = self.images[:n, 3::8, 3::8, :].astype(jnp.float32) / 255.0
+        colors = self.images[slots, 3::8, 3::8, :].astype(jnp.float32) / 255.0
         return SLAMMap(
             xyz=np.asarray(xyz),
             rgb=np.asarray(colors),

@@ -76,8 +76,10 @@ def _jitted_gru_step(update_fn, camera_type):
         ).clip(-64.0, 64.0)
         inp = inps[di].astype(jnp.float32)
         ix = jnp.where(edge_valid, di, num_seg).astype(jnp.int32)
+        V = intr_grid.shape[0]
+        dj = pj * V + qj  # target SLOT — real nets ignore jj, oracles use it
         net, delta, weight, eta = update_fn(
-            params, f_net, inp, corr_feat, motn, ix, pj, num_seg + 1
+            params, f_net, inp, corr_feat, motn, ix, dj, num_seg + 1
         )
         bad = masks[di][..., None] | (~edge_valid)[:, None, None, None]
         weight = jnp.where(bad, 0.0, weight)
@@ -105,10 +107,15 @@ def _jitted_fused_rounds(update_fn, cfg, rounds: int):
     @functools.partial(jax.jit, static_argnums=(1,))
     def run(params, Nb, poses, disps, intrinsics, corr_pyr, target, f_net,
             inps, masks, ii_act, jj_act, ev_act, damping,
-            tgt_inac, wgt_inac, ii_ba, jj_ba, ev_ba, slot_edge,
+            t_inac_full, w_inac_full, sel_inac, ii_ba, jj_ba, ev_ba, slot_edge,
             src_rows, pose_mask, disp_mask, sens,
             itrs, pose_damping, pose_ep):
         from ..ops import cameras as cam_ops
+
+        # inactive rows gathered in-program (rows beyond the valid count are
+        # zero-weighted through ev_ba)
+        tgt_inac = t_inac_full[sel_inac]
+        wgt_inac = w_inac_full[sel_inac]
 
         E = ii_act.shape[0]
         ht, wd = disps.shape[-2:]
@@ -166,6 +173,32 @@ def _jitted_fused_rounds(update_fn, cfg, rounds: int):
     return run
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _jitted_rm_store(target, weight, t_inac, w_inac, perm, drop, dst):
+    """Fused inactive-store + permute: gather the dropped rows into the
+    capacity-managed inactive buffers and compact the active rows — one
+    dispatch, everything donated (an eager gather interleaved with the
+    donated permutes measures 3× slower over the remote tunnel)."""
+    t_inac = t_inac.at[dst].set(target[drop])
+    w_inac = w_inac.at[dst].set(weight[drop])
+    return target[perm], weight[perm], t_inac, w_inac
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _jitted_take_rows(arr, rows):
+    return arr[rows]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jitted_pack_ba_edges(Kb, t_inac, w_inac, sel, target, weight, wdd):
+    """[inactive-selection ++ full active store] as (Eb, P, 2) BA inputs —
+    one dispatch; the weight pre-scale (buffer.py:396) is fused in."""
+    t = jnp.concatenate([t_inac[sel], target[:-1]], 0)
+    w = jnp.concatenate([w_inac[sel], weight[:-1]], 0) * wdd
+    Eb, H, W, _ = t.shape
+    return t.reshape(Eb, H * W, 2), w.reshape(Eb, H * W, 2)
+
+
 @functools.partial(jax.jit, static_argnums=0)
 def _jitted_distance_matrix(n, poses, disps, intrinsics, beta):
     """Full n×n BIDIRECTIONAL frame-distance matrix — ONE compile per frame
@@ -181,6 +214,24 @@ def _jitted_distance_matrix(n, poses, disps, intrinsics, beta):
         poses, disps, intrinsics, ii.reshape(-1), jj.reshape(-1),
         di=ii.reshape(-1), beta=beta,
     ).reshape(n, n)
+    return 0.5 * (d + d.T)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _jitted_distance_matrix_mv(n, V, poses, rig, disps, intr, beta):
+    """Multi-view n×n distance matrix: per-view same-view distances averaged
+    over views (reference factor_graph.py:440-441 `d.mean(-1)`), then
+    symmetrized like the V=1 matrix."""
+    ii, jj = jnp.meshgrid(jnp.arange(n), jnp.arange(n), indexing="ij")
+    ii = ii.reshape(-1)
+    jj = jj.reshape(-1)
+    acc = jnp.zeros((n * n,), jnp.float32)
+    for v in range(V):
+        qv = jnp.full_like(ii, v)
+        acc = acc + geom.frame_distance_mv(
+            poses, rig, disps, intr, ii, qv, ii * V + qv, jj, qv, beta=beta
+        )
+    d = (acc / V).reshape(n, n)
     return 0.5 * (d + d.T)
 
 
@@ -251,12 +302,37 @@ class FactorGraph:
 
         # inactive (stored) factors (reference :89-94): indices on the host,
         # target/weight stay ON DEVICE — round-tripping them per BA call
-        # costs ~1 s/keyframe once a few hundred edges accumulate
+        # costs ~1 s/keyframe once a few hundred edges accumulate.
+        # Device arrays are CAPACITY-managed (+1 scratch row for padded
+        # scatters): only rows < len(ii_inac)·V are valid.  Growing by
+        # concatenation instead would interleave an eager gather with the
+        # donated permutes in rm_factors — measured 3× slower over the
+        # remote tunnel.
         self.ii_inac = np.zeros((0,), np.int64)
         self.jj_inac = np.zeros((0,), np.int64)
         self.exp_inac = np.zeros((0, 5), np.int64)
-        self.target_inac = jnp.zeros((0, ht, wd, 2), jnp.float32)
-        self.weight_inac = jnp.zeros((0, ht, wd, 2), jnp.float32)
+        self._inac_cap = 16
+        self.target_inac = jnp.zeros(
+            (self._inac_cap + 1, ht, wd, 2), jnp.float32
+        )
+        self.weight_inac = jnp.zeros(
+            (self._inac_cap + 1, ht, wd, 2), jnp.float32
+        )
+
+    def _grow_inac(self, need_rows: int):
+        """Ensure the device inactive stores hold ``need_rows`` valid rows
+        (+1 scratch).  Rare (capacity doubles), so the eager pad is fine."""
+        if need_rows <= self._inac_cap:
+            return
+        from .buffer import bucket_size
+
+        new_cap = bucket_size(need_rows, minimum=16)
+        pad = new_cap - self._inac_cap
+        ht, wd = self.ht, self.wd
+        zeros = jnp.zeros((pad, ht, wd, 2), jnp.float32)
+        self.target_inac = jnp.concatenate([self.target_inac, zeros], 0)
+        self.weight_inac = jnp.concatenate([self.weight_inac, zeros], 0)
+        self._inac_cap = new_cap
 
     # ------------------------------------------------------------ edge admin
 
@@ -376,37 +452,51 @@ class FactorGraph:
         keep = np.where(~mask[: self.n_edges])[0]
         drop_exp = (drop[:, None] * V + np.arange(V)).reshape(-1)
 
-        if store:
-            self.ii_inac = np.concatenate([self.ii_inac, self.ii[drop]])
-            self.jj_inac = np.concatenate([self.jj_inac, self.jj[drop]])
-            self.exp_inac = np.concatenate(
-                [self.exp_inac, self.exp[drop_exp]], axis=0
-            )
-            drop_d = jnp.asarray(drop_exp, jnp.int32)
-            self.target_inac = jnp.concatenate(
-                [self.target_inac, self.target[drop_d]], axis=0
-            )
-            self.weight_inac = jnp.concatenate(
-                [self.weight_inac, self.weight[drop_d]], axis=0
-            )
-
         perm_f = np.concatenate([keep, drop])
         perm = np.concatenate([
             (perm_f[:, None] * V + np.arange(V)).reshape(-1),
             np.arange(self.n_edges * V, self.EV + 1),
         ])
+        perm_d = jnp.asarray(perm, jnp.int32)
+
+        if store:
+            n0 = len(self.ii_inac) * V
+            self.ii_inac = np.concatenate([self.ii_inac, self.ii[drop]])
+            self.jj_inac = np.concatenate([self.jj_inac, self.jj[drop]])
+            self.exp_inac = np.concatenate(
+                [self.exp_inac, self.exp[drop_exp]], axis=0
+            )
+            k = len(drop_exp)
+            self._grow_inac(n0 + k)
+            # pad the scatter to a pow2 bucket (scratch row self._inac_cap)
+            # so the fused store+permute compiles once per bucket
+            from .buffer import bucket_size
+
+            kb = bucket_size(k, minimum=4)
+            drop_pad = np.full(kb, drop_exp[-1], np.int64)
+            drop_pad[:k] = drop_exp
+            dst_pad = np.full(kb, self._inac_cap, np.int64)
+            dst_pad[:k] = np.arange(n0, n0 + k)
+            (self.target, self.weight, self.target_inac,
+             self.weight_inac) = _jitted_rm_store(
+                self.target, self.weight, self.target_inac, self.weight_inac,
+                perm_d, jnp.asarray(drop_pad, jnp.int32),
+                jnp.asarray(dst_pad, jnp.int32),
+            )
+        else:
+            self.target = jaxutil.permute_rows(self.target, perm_d)
+            self.weight = jaxutil.permute_rows(self.weight, perm_d)
+
         self.ii[: len(keep)] = self.ii[keep]
         self.jj[: len(keep)] = self.jj[keep]
         self.age[: len(keep)] = self.age[keep]
         self.exp[: len(keep) * V] = self.exp[
             (keep[:, None] * V + np.arange(V)).reshape(-1)
         ]
-        self.target = jaxutil.permute_rows(self.target, perm)
-        self.weight = jaxutil.permute_rows(self.weight, perm)
-        self.f_net = jaxutil.permute_rows(self.f_net, perm)
+        self.f_net = jaxutil.permute_rows(self.f_net, perm_d)
         if self.incremental:
             for l in range(self.corr_levels):
-                self.corr_pyr[l] = jaxutil.permute_rows(self.corr_pyr[l], perm)
+                self.corr_pyr[l] = jaxutil.permute_rows(self.corr_pyr[l], perm_d)
         self.n_edges = len(keep)
 
     def rm_second_newest_keyframe(self, ix: int):
@@ -425,12 +515,16 @@ class FactorGraph:
         self.jj_inac[self.jj_inac >= ix] -= 1
         if m.any():
             m_exp = np.repeat(m, V)
-            keep_d = jnp.asarray(np.where(~m_exp)[0], jnp.int32)
+            keep_idx = np.where(~m_exp)[0]
+            # compact within the capacity buffer (scratch row pads the tail)
+            keep_pad = np.full(self._inac_cap + 1, self._inac_cap, np.int64)
+            keep_pad[: len(keep_idx)] = keep_idx
+            keep_d = jnp.asarray(keep_pad, jnp.int32)
             self.ii_inac = self.ii_inac[~m]
             self.jj_inac = self.jj_inac[~m]
             self.exp_inac = self.exp_inac[~m_exp]
-            self.target_inac = self.target_inac[keep_d]
-            self.weight_inac = self.weight_inac[keep_d]
+            self.target_inac = _jitted_take_rows(self.target_inac, keep_d)
+            self.weight_inac = _jitted_take_rows(self.weight_inac, keep_d)
         shift_exp(self.exp_inac)
 
         m = (self.ii[: self.n_edges] == ix) | (self.jj[: self.n_edges] == ix)
@@ -455,6 +549,12 @@ class FactorGraph:
         frames' work (readback happens in add_proximity_factors)."""
         buf = self.buffer
         Nb = bucket_size(n_frames if n_frames is not None else buf.n_frames)
+        if self.V > 1:
+            return Nb, _jitted_distance_matrix_mv(
+                Nb, self.V, buf.poses[:Nb], buf.rig,
+                buf.disps[: Nb * self.V],
+                buf.pinhole_grid_intrinsics, jnp.float32(beta),
+            )
         return Nb, _jitted_distance_matrix(
             Nb, buf.poses[:Nb], buf.disps[:Nb],
             jnp.broadcast_to(buf.pinhole_grid_intrinsics, (Nb, 4)),
@@ -579,7 +679,7 @@ class FactorGraph:
             )
         return rig, intr
 
-    def _run_update_fn(self, f_net, coords1, target_prev, di_d, pj_d,
+    def _run_update_fn(self, f_net, coords1, target_prev, di_d, dj_d,
                        edge_valid, corr_feat, num_seg):
         """Shared GRU update: motion features → update_fn → target/weight.
 
@@ -593,7 +693,7 @@ class FactorGraph:
         inp = self.buffer.inps[di_d].astype(jnp.float32)
         ix = jnp.where(edge_valid, di_d, num_seg).astype(jnp.int32)
         net, delta, weight, eta = self.update_fn(
-            self.params, f_net, inp, corr_feat, motn, ix, pj_d, num_seg + 1
+            self.params, f_net, inp, corr_feat, motn, ix, dj_d, num_seg + 1
         )
         bad = self.buffer.masks[di_d][..., None] | (~edge_valid)[:, None, None, None]
         weight = jnp.where(bad, 0.0, weight)
@@ -635,8 +735,9 @@ class FactorGraph:
                 [p[:EV].astype(jnp.float32) for p in self.corr_pyr],
                 coords1, CORR_RADIUS,
             )
+            dj_d = pj_d * self.V + qj_d
             net, target, weight, eta = self._run_update_fn(
-                self.f_net[:EV], coords1, self.target[:EV], di_d, pj_d, ev,
+                self.f_net[:EV], coords1, self.target[:EV], di_d, dj_d, ev,
                 corr_feat, NbV,
             )
         else:
@@ -710,14 +811,13 @@ class FactorGraph:
         if Kb:
             sel_pad = np.zeros(Kb, np.int64)
             sel_pad[:K] = inac_idx
+            # gather happens INSIDE the fused program (an eager gather here
+            # serializes against the donated graph buffers)
             sel_d = jnp.asarray(sel_pad, jnp.int32)
-            tgt_inac = self.target_inac[sel_d]
-            wgt_inac = self.weight_inac[sel_d]
             ii_in = self.ii_inac[sel_pad]
             jj_in = self.jj_inac[sel_pad]
         else:
-            tgt_inac = jnp.zeros((0, self.ht, self.wd, 2), jnp.float32)
-            wgt_inac = jnp.zeros((0, self.ht, self.wd, 2), jnp.float32)
+            sel_d = jnp.zeros((0,), jnp.int32)
             ii_in = jj_in = np.zeros((0,), np.int64)
 
         L = Kb + E  # combined BA edge count (static per (Kb,) bucket)
@@ -768,7 +868,7 @@ class FactorGraph:
             self.params, Nb, buf.poses[:Nb], buf.disps[:Nb], buf.intrinsics,
             [p[:E] for p in self.corr_pyr], self.target[:E], self.f_net[:E],
             buf.inps[:Nb], buf.masks[:Nb], ii_d, jj_d, ev, self.damping[:Nb],
-            tgt_inac, wgt_inac,
+            self.target_inac, self.weight_inac, sel_d,
             jnp.asarray(ii_ba, jnp.int32), jnp.asarray(jj_ba, jnp.int32),
             jnp.asarray(ev_ba), jnp.asarray(slot_edge),
             jnp.asarray(src_rows, jnp.int32),
@@ -861,9 +961,10 @@ class FactorGraph:
                     [p.astype(jnp.float32) for p in pyr], coords1[sl],
                     CORR_RADIUS,
                 )
+                dj_sl = pj_d[sl] * V + qj_d[sl]
                 net, target, weight, eta = self._run_update_fn(
                     self.f_net[sl], coords1[sl], self.target[sl],
-                    di_d[sl], pj_d[sl], ev[sl] & cv, corr_feat, NbV,
+                    di_d[sl], dj_sl, ev[sl] & cv, corr_feat, NbV,
                 )
                 self.f_net = jaxutil.set_rows_at(self.f_net, sl, net)
                 self.target = jaxutil.set_rows_at(self.target, sl, target)
@@ -894,7 +995,13 @@ class FactorGraph:
         optimize_intrinsics: bool,
     ):
         """Pad active (+eligible inactive) expanded edges and run the jitted
-        BA solve (reference buffer.bundle_adjustment, buffer.py:373-525)."""
+        BA solve (reference buffer.bundle_adjustment, buffer.py:373-525).
+
+        Edge-row layout: [0:K) selected inactive, [K:Kb) padding,
+        [Kb:Kb+EV) the FULL active store (valid where row < n_edges·V).
+        The inactive gather + concat happens inside a jitted packer — an
+        eager gather here serializes against the donated graph buffers.
+        """
         buf = self.buffer
         V = self.V
         weight_dense_disp = 0.001  # buffer.py:396
@@ -903,49 +1010,47 @@ class FactorGraph:
         if use_inactive:
             m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
             m_exp = np.repeat(m, V)
-            all_exp = np.concatenate([self.exp_inac[m_exp], act_exp])
-            sel_d = jnp.asarray(np.where(m_exp)[0], jnp.int32)
-            tgt_extra = self.target_inac[sel_d]
-            wgt_extra = self.weight_inac[sel_d]
+            inac_rows = np.where(m_exp)[0]
         else:
-            all_exp = act_exp
-            tgt_extra = None
-
-        Etot = len(all_exp)
-        Eb = bucket_size(max(Etot, 1), minimum=16)
+            inac_rows = np.zeros((0,), np.int64)
+        K = len(inac_rows)
+        Kb = bucket_size(K, minimum=4) if K else 0
+        EV = self.EV
+        Eb = Kb + EV
         Nb = bucket_size(buf.n_frames)
         NbV = Nb * V
         P = self.ht * self.wd
 
+        sel_pad = np.zeros(max(Kb, 1), np.int64)[:Kb]
+        sel_pad[:K] = inac_rows
         exp_pad = np.zeros((Eb, 5), np.int64)
-        exp_pad[:Etot] = all_exp
-        ev = np.arange(Eb) < Etot
+        exp_pad[:K] = self.exp_inac[inac_rows]
+        exp_pad[Kb: Kb + self.n_edges * V] = act_exp
+        ev = np.zeros(Eb, bool)
+        ev[:K] = True
+        ev[Kb: Kb + self.n_edges * V] = True
+        Etot = K + self.n_edges * V
 
-        if tgt_extra is not None:
-            target = jnp.concatenate([tgt_extra, self.target[: self.EV]], 0)[:Eb]
-            weight = jnp.concatenate([wgt_extra, self.weight[: self.EV]], 0)[:Eb]
-        else:
-            target = self.target[: self.EV]
-            weight = self.weight[: self.EV]
-        # pad or trim to Eb
-        cur = target.shape[0]
-        if cur < Eb:
-            pad = ((0, Eb - cur), (0, 0), (0, 0), (0, 0))
-            target = jnp.pad(target, pad)
-            weight = jnp.pad(weight, pad)
-        else:
-            target = target[:Eb]
-            weight = weight[:Eb]
+        target, weight = _jitted_pack_ba_edges(
+            Kb, self.target_inac, self.weight_inac,
+            jnp.asarray(sel_pad, jnp.int32), self.target, self.weight,
+            jnp.float32(weight_dense_disp),
+        )
 
         # per-disp-variable slot grouping for the Schur assembly
-        fill = np.bincount(all_exp[:, 2], minlength=NbV).max() if Etot else 1
+        valid_rows = np.where(ev)[0]
+        fill = (
+            np.bincount(exp_pad[valid_rows, 2], minlength=NbV).max()
+            if Etot else 1
+        )
         M = bucket_size(int(fill), minimum=8)
-        slot_edge = ba.build_edge_slots(exp_pad[:Etot, 2], None, NbV, M)
-        # build_edge_slots marks empty slots with its edge count (Etot); the
-        # jitted assembly tests slot validity against the PADDED count Eb —
-        # remap so empty-slot detection never depends on padded-edge blocks
-        # happening to be zero.
-        slot_edge[slot_edge == Etot] = Eb
+        # slots hold ROW indices in the padded layout; Eb marks empty
+        slot_edge = np.full((NbV, M), Eb, np.int32)
+        fill_ct = np.zeros(NbV, np.int64)
+        for r in valid_rows:
+            d = exp_pad[r, 2]
+            slot_edge[d, fill_ct[d]] = r
+            fill_ct[d] += 1
 
         cfg = ba.BAConfig(
             camera_type=buf.camera_type,
@@ -985,8 +1090,8 @@ class FactorGraph:
             rig,
             buf.disps[:NbV].reshape(NbV, P),
             intr,
-            target.reshape(Eb, P, 2),
-            weight.reshape(Eb, P, 2) * weight_dense_disp,
+            target,
+            weight,
             *cols,
             jnp.asarray(ev),
             jnp.asarray(slot_edge),

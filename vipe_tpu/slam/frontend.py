@@ -8,12 +8,30 @@ too-close keyframes, constant-velocity pose prediction.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..ops import lie
 from .buffer import GraphBuffer
 from .factor_graph import FactorGraph
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _jitted_const_velocity(poses, t1):
+    """poses[t1] = exp(0.5·log(p[t1-1]·p[t1-2]⁻¹))·p[t1-1] in one dispatch."""
+    p1 = poses[t1 - 2]
+    p2 = poses[t1 - 1]
+    w = lie.se3_log(lie.se3_mul(p2, lie.se3_inv(p1))) * 0.5
+    return poses.at[t1].set(lie.se3_mul(lie.se3_exp(w), p2))
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _jitted_mean_disp_init(disps, t1):
+    """disps[t1] = mean(disps[t1-1]) in one donated dispatch."""
+    return disps.at[t1].set(jnp.mean(disps[t1 - 1]))
 
 
 class SLAMFrontend:
@@ -59,10 +77,7 @@ class SLAMFrontend:
     def _init_pose(self):
         """Constant-velocity prediction for the next slot (frontend.py:70-76)."""
         buf = self.buffer
-        p1 = buf.poses[self.t1 - 2]
-        p2 = buf.poses[self.t1 - 1]
-        w = lie.se3_log(lie.se3_mul(p2, lie.se3_inv(p1))) * 0.5
-        buf.poses = buf.poses.at[self.t1].set(lie.se3_mul(lie.se3_exp(w), p2))
+        buf.poses = _jitted_const_velocity(buf.poses, jnp.int32(self.t1))
 
     def _update(self):
         """Per-new-keyframe update (frontend.py:78-124)."""
@@ -102,7 +117,7 @@ class SLAMFrontend:
 
         if not self.has_init_pose:
             self._init_pose()
-        buf.disps = buf.disps.at[self.t1].set(jnp.mean(buf.disps[self.t1 - 1]))
+        buf.disps = _jitted_mean_disp_init(buf.disps, jnp.int32(self.t1))
         self._submit_distance()
 
     def _initialize(self):

@@ -66,12 +66,15 @@ class InnerFiller:
         m_pose = lie.se3_mul(lie.se3_exp(w), poses_kf[t0])
         buf.poses = buf.poses.at[s:total].set(m_pose)
 
+        V = getattr(buf, "n_views", 1)
         if infill_disp:
-            mean_d = jnp.mean(buf.disps[t0], axis=(1, 2), keepdims=True)
-            init = jnp.broadcast_to(mean_d, buf.disps[s:total].shape)
-            init = jnp.where(buf.disps_sens[s:total] > 0,
-                             buf.disps_sens[s:total], init)
-            buf.disps = buf.disps.at[s:total].set(init)
+            t0v = (t0[:, None] * V + np.arange(V)).reshape(-1)
+            sv, totv = s * V, total * V
+            mean_d = jnp.mean(buf.disps[t0v], axis=(1, 2), keepdims=True)
+            init = jnp.broadcast_to(mean_d, buf.disps[sv:totv].shape)
+            init = jnp.where(buf.disps_sens[sv:totv] > 0,
+                             buf.disps_sens[sv:totv], init)
+            buf.disps = buf.disps.at[sv:totv].set(init)
 
         graph = FactorGraph(
             buf, self.update_fn, self.params,
@@ -89,7 +92,7 @@ class InnerFiller:
 
         self.filled_poses.append(np.asarray(buf.poses[s:total]))
         if infill_disp:
-            self.filled_disps.append(np.asarray(buf.disps[s:total]))
+            self.filled_disps.append(np.asarray(buf.disps[s * V: total * V]))
         buf.n_frames = s
 
     def get_result(self) -> FilledReturn:

@@ -108,11 +108,12 @@ class SLAMMap:
 class SLAMOutput:
     """Result of SLAMSystem.run (reference interface.py:145-163)."""
 
-    trajectory: np.ndarray  # (T, 7) camera-to-world SE3
-    intrinsics: np.ndarray  # (D,) full-resolution intrinsics
+    trajectory: np.ndarray  # (T, 7) camera-to-world SE3 (rig base for V > 1)
+    intrinsics: np.ndarray  # (D,) full-res intrinsics; (V, D) for a rig
     camera_type: cam.CameraType
     slam_map: Optional[SLAMMap] = None
     ba_residual: float = 0.0
+    rig: Optional[np.ndarray] = None  # (V, 7) refined camera-to-rig SE3
 
     @property
     def trajectory_matrices(self) -> np.ndarray:

@@ -28,30 +28,40 @@ from ..ops import corr as corr_ops
 def _jitted_score(update_fn, masked: bool):
     """One fused program per update_fn: corr volume+pyramid+lookup + one GRU
     iteration + masked mean — eager execution of the all-pairs einsum lowers
-    to a pathologically slow kernel on TPU (~8 s/frame); jitted it's ~ms."""
+    to a pathologically slow kernel on TPU (~8 s/frame); jitted it's ~ms.
+
+    Inputs carry a leading V (views) axis; the returned score is the MIN of
+    the per-view mean flow deltas (reference motion_filter.py:105-110 —
+    min adds the fewest keyframes)."""
 
     def score(params, f_fmap, f_net, f_inp, f_mask, fmap):
-        ht, wd = fmap.shape[0], fmap.shape[1]
+        V, ht, wd = fmap.shape[0], fmap.shape[1], fmap.shape[2]
         u, v = jnp.meshgrid(
             jnp.arange(wd, dtype=jnp.float32),
             jnp.arange(ht, dtype=jnp.float32),
             indexing="xy",
         )
-        coords0 = jnp.stack([u, v], axis=-1)[None]
+        coords0 = jnp.broadcast_to(
+            jnp.stack([u, v], axis=-1)[None], (V, ht, wd, 2)
+        )
         pyr = corr_ops.corr_pyramid(
-            f_fmap[None].astype(jnp.float32), fmap[None].astype(jnp.float32)
+            f_fmap.astype(jnp.float32), fmap.astype(jnp.float32)
         )
         corr = corr_ops.corr_lookup_pyramid(pyr, coords0)
-        motn = jnp.zeros((1, ht, wd, 4), jnp.float32)
+        motn = jnp.zeros((V, ht, wd, 4), jnp.float32)
         _, delta, _, _ = update_fn(
-            params, f_net[None], f_inp[None], corr, motn,
-            jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32), 1,
+            params, f_net, f_inp, corr, motn,
+            jnp.zeros((V,), jnp.int32), jnp.zeros((V,), jnp.int32), 1,
         )
-        flow_mag = jnp.linalg.norm(delta[0], axis=-1)
+        flow_mag = jnp.linalg.norm(delta, axis=-1)  # (V, ht, wd)
         if masked:
             w = (~f_mask).astype(jnp.float32)
-            return jnp.mean(flow_mag * w) / (jnp.mean(w) + 1e-6)
-        return jnp.mean(flow_mag)
+            per_view = jnp.mean(flow_mag * w, axis=(1, 2)) / (
+                jnp.mean(w, axis=(1, 2)) + 1e-6
+            )
+        else:
+            per_view = jnp.mean(flow_mag, axis=(1, 2))
+        return jnp.min(per_view)
 
     if masked:
         return jax.jit(score)
@@ -101,33 +111,39 @@ class MotionFilter:
         return fn(self.params, self.f_fmap, self.f_net, self.f_inp, fmap)
 
     def _score_eager(self, fmap):
-        ht, wd = fmap.shape[0], fmap.shape[1]
+        V, ht, wd = fmap.shape[0], fmap.shape[1], fmap.shape[2]
         u, v = jnp.meshgrid(
             jnp.arange(wd, dtype=jnp.float32),
             jnp.arange(ht, dtype=jnp.float32),
             indexing="xy",
         )
-        coords0 = jnp.stack([u, v], axis=-1)[None]
+        coords0 = jnp.broadcast_to(
+            jnp.stack([u, v], axis=-1)[None], (V, ht, wd, 2)
+        )
         pyr = corr_ops.corr_pyramid(
-            self.f_fmap[None].astype(jnp.float32), fmap[None].astype(jnp.float32)
+            self.f_fmap.astype(jnp.float32), fmap.astype(jnp.float32)
         )
         corr = corr_ops.corr_lookup_pyramid(pyr, coords0)
-        motn = jnp.zeros((1, ht, wd, 4), jnp.float32)
+        motn = jnp.zeros((V, ht, wd, 4), jnp.float32)
         _, delta, _, _ = self.update_fn(
-            self.params, self.f_net[None], self.f_inp[None], corr, motn,
-            jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32), 1,
+            self.params, self.f_net, self.f_inp, corr, motn,
+            jnp.zeros((V,), jnp.int32), jnp.zeros((V,), jnp.int32), 1,
         )
-        flow_mag = jnp.linalg.norm(delta[0], axis=-1)
+        flow_mag = jnp.linalg.norm(delta, axis=-1)
         if self.f_mask is not None:
             w = (~self.f_mask).astype(jnp.float32)
-            return jnp.mean(flow_mag * w) / (jnp.mean(w) + 1e-6)
-        return jnp.mean(flow_mag)
+            per_view = jnp.mean(flow_mag * w, axis=(1, 2)) / (
+                jnp.mean(w, axis=(1, 2)) + 1e-6
+            )
+        else:
+            per_view = jnp.mean(flow_mag, axis=(1, 2))
+        return jnp.min(per_view)
 
     def _promote(self, token: _Token):
         """Make the token's frame the new keyframe reference."""
-        net, inp = self.encode_context(self.params, token.image[None])
+        net, inp = self.encode_context(self.params, token.image)
         self.f_fmap = token.fmap
-        self.f_net, self.f_inp = net[0], inp[0]
+        self.f_net, self.f_inp = net, inp
         self.f_mask = token.mask
         self.kf_version += 1
 
@@ -144,8 +160,15 @@ class MotionFilter:
         return None
 
     def submit(self, image, buffer_mask=None) -> _Token:
-        """Enqueue the score computation for one frame (non-blocking)."""
-        fmap = self.encode_features(self.params, image[None])[0]
+        """Enqueue the score computation for one frame (non-blocking).
+
+        ``image``: (h, w, 3) single view or (V, h, w, 3) rig stack;
+        ``buffer_mask``: matching (ht, wd) / (V, ht, wd)."""
+        if image.ndim == 3:
+            image = image[None]
+            if buffer_mask is not None:
+                buffer_mask = buffer_mask[None]
+        fmap = self.encode_features(self.params, image)
         if not self.initialized:
             self.initialized = True
             tok = _Token(image, fmap, None, buffer_mask, self.kf_version)
@@ -183,4 +206,8 @@ class MotionFilter:
 
     @property
     def last_keyframe_features(self):
+        """(fmap, net, inp) of the current keyframe reference — V axis
+        stripped for single-view streams."""
+        if self.f_fmap.shape[0] == 1:
+            return self.f_fmap[0], self.f_net[0], self.f_inp[0]
         return self.f_fmap, self.f_net, self.f_inp

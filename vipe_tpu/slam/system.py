@@ -134,15 +134,39 @@ class SLAMSystem:
 
     def run(
         self,
-        video_stream: VideoStream,
+        video_stream,
         camera_type: cam.CameraType = cam.CameraType.PINHOLE,
+        rig: Optional[np.ndarray] = None,
     ) -> SLAMOutput:
+        """``video_stream``: a single VideoStream, or a MultiviewVideoList /
+        list of per-view streams with ``rig`` (V, 7) camera-to-rig SE3
+        (reference system.py:208-230 — rig required for V > 1)."""
+        from ..streams.base import MultiviewVideoList
+
         c = self.config
-        resizer = StandardResizeStreamProcessor(
-            target_area=c.get("resize_area", 384 * 512)
-        )
-        stream = ProcessedVideoStream(video_stream, [resizer])
+        if isinstance(video_stream, MultiviewVideoList):
+            raw_streams = [video_stream[i] for i in range(len(video_stream))]
+            rig = video_stream.rig if rig is None else rig
+        elif isinstance(video_stream, (list, tuple)):
+            raw_streams = list(video_stream)
+        else:
+            raw_streams = [video_stream]
+        V = len(raw_streams)
+        assert V == 1 or rig is not None, "need rig for multiple views"
+
+        area = c.get("resize_area", 384 * 512)
+        resizers = [
+            StandardResizeStreamProcessor(target_area=area) for _ in raw_streams
+        ]
+        streams = [
+            ProcessedVideoStream(s, [r])
+            for s, r in zip(raw_streams, resizers)
+        ]
+        stream = streams[0]
         h, w = stream.frame_size()
+        for s in streams[1:]:
+            assert s.frame_size() == (h, w)
+            assert len(s) == len(stream)
         total = len(stream)
         has_init_pose = FrameAttribute.POSE in stream.attributes()
         c = {**c, "has_init_pose": has_init_pose}
@@ -153,6 +177,8 @@ class SLAMSystem:
             init_disp=c.get("init_disp", 1.0),
             camera_type=camera_type,
             dense_disp_alpha=c.get("ba", {}).get("dense_disp_alpha", 0.001),
+            n_views=V,
+            rig=rig,
         )
         motion_filter = MotionFilter(
             self.encode_features, self.encode_context, self.update_fn,
@@ -171,18 +197,67 @@ class SLAMSystem:
             if profile:
                 tmarks[name] = tmarks.get(name, 0.0) + (time.perf_counter() - t0)
 
-        def _upload(frame):
-            """Host float RGB → device uint8 (4× smaller transfer)."""
-            rgb8 = (np.clip(frame.rgb, 0.0, 1.0) * 255).astype(np.uint8)
-            return jnp.asarray(rgb8)
+        def _upload(frames):
+            """Host float RGB → device uint8 (4× smaller transfer).
+            V=1: (h, w, 3); V>1: stacked (V, h, w, 3)."""
+            imgs = [
+                (np.clip(f.rgb, 0.0, 1.0) * 255).astype(np.uint8)
+                for f in frames
+            ]
+            return jnp.asarray(imgs[0] if V == 1 else np.stack(imgs))
+
+        def _masks(frames):
+            ms = [f.mask for f in frames]
+            if all(m is None for m in ms):
+                return None
+            built = [
+                self._mask_to_buffer(
+                    m if m is not None else np.ones((h, w), bool),
+                    buffer.ht, buffer.wd,
+                )
+                for m in ms
+            ]
+            return built[0] if V == 1 else jnp.stack(built)
 
         # deterministic keyframe cadence (benchmarking / reproducibility
         # knob; None = pure motion-filter gating like the reference)
         kf_stride = c.get("keyframe_stride")
 
+        def _encode_all(rgb_dev):
+            imgs = rgb_dev if V > 1 else rgb_dev[None]
+            fmap = self.encode_features(self.params, imgs)
+            net, inp = self.encode_context(self.params, imgs)
+            if V == 1:
+                return fmap[0], net[0], inp[0]
+            return fmap, net, inp
+
+        def _frame_meta(frames):
+            """(metric_depth, intrinsics) stacked over views."""
+            if V == 1:
+                return frames[0].metric_depth, frames[0].intrinsics
+            md = (
+                np.stack([f.metric_depth for f in frames])
+                if all(f.metric_depth is not None for f in frames) else None
+            )
+            intr = (
+                np.stack([np.asarray(f.intrinsics) for f in frames])
+                if all(f.intrinsics is not None for f in frames) else None
+            )
+            return md, intr
+
+        def _base_pose(frames):
+            """w2c of the rig base from the view-0 frame pose (reference
+            system.py:158-159: rig_v · pose_v⁻¹)."""
+            if frames[0].pose is None:
+                return None
+            w2c = lie.se3_inv(jnp.asarray(frames[0].pose, jnp.float32))
+            if V > 1:
+                w2c = lie.se3_mul(buffer.rig[0], w2c)
+            return np.asarray(w2c)
+
         def _process(entry, force_kf: bool):
             """Resolve a pipelined keyframe decision, add + track."""
-            frame_idx, frame, rgb_dev, bmask, token = entry
+            frame_idx, frames, rgb_dev, bmask, token = entry
             if kf_stride:
                 force_kf = force_kf or (frame_idx % kf_stride == 0)
             if token is None:
@@ -191,10 +266,8 @@ class SLAMSystem:
                 is_kf = force_kf
                 if is_kf:
                     if rgb_dev is None:
-                        rgb_dev = _upload(frame)
-                    fmap = self.encode_features(self.params, rgb_dev[None])[0]
-                    net, inp = self.encode_context(self.params, rgb_dev[None])
-                    net, inp = net[0], inp[0]
+                        rgb_dev = _upload(frames)
+                    fmap, net, inp = _encode_all(rgb_dev)
             else:
                 is_kf = motion_filter.resolve(token)
                 if is_kf:
@@ -203,22 +276,22 @@ class SLAMSystem:
                 elif force_kf:
                     is_kf = True
                     fmap = token.fmap  # computed at submit
-                    net, inp = self.encode_context(self.params, rgb_dev[None])
-                    net, inp = net[0], inp[0]
+                    if V == 1:
+                        fmap = fmap[0]
+                    imgs = rgb_dev if V > 1 else rgb_dev[None]
+                    net, inp = self.encode_context(self.params, imgs)
+                    if V == 1:
+                        net, inp = net[0], inp[0]
             if is_kf:
-                pose = None
-                if frame.pose is not None:
-                    pose = np.asarray(
-                        lie.se3_inv(jnp.asarray(frame.pose, jnp.float32))
-                    )
+                metric_depth, intrinsics = _frame_meta(frames)
                 buffer.append_keyframe(
                     frame_idx, rgb_dev, fmap, net, inp,
                     mask=bmask,
-                    metric_depth=frame.metric_depth,
-                    intrinsics=frame.intrinsics,
-                    pose=pose,
+                    metric_depth=metric_depth,
+                    intrinsics=intrinsics,
+                    pose=_base_pose(frames),
                 )
-                if self.metric_depth is not None and frame.metric_depth is None:
+                if self.metric_depth is not None and metric_depth is None:
                     buffer.update_disps_sens(
                         self.metric_depth, frame_idx=buffer.n_frames - 1
                     )
@@ -236,17 +309,14 @@ class SLAMSystem:
         skip_non_kf = bool(kf_stride) and motion_filter._decision_fixed is False
         pending = None
         t_pass1 = time.perf_counter()
-        for frame_idx, frame in enumerate(stream):
+        for frame_idx, frames in enumerate(zip(*streams)):
             if skip_non_kf and frame_idx % kf_stride != 0:
                 rgb_dev, bmask, token = None, None, None
             else:
                 t0 = time.perf_counter()
-                rgb_dev = _upload(frame)
+                rgb_dev = _upload(frames)
                 mark("upload", t0)
-                bmask = (
-                    self._mask_to_buffer(frame.mask, buffer.ht, buffer.wd)
-                    if frame.mask is not None else None
-                )
+                bmask = _masks(frames)
                 t0 = time.perf_counter()
                 token = motion_filter.submit(rgb_dev, bmask)
                 mark("mf_submit", t0)
@@ -254,7 +324,7 @@ class SLAMSystem:
                 t0 = time.perf_counter()
                 _process(pending, force_kf=False)
                 mark("process", t0)
-            pending = (frame_idx, frame, rgb_dev, bmask, token)
+            pending = (frame_idx, frames, rgb_dev, bmask, token)
         if pending is not None:
             _process(pending, force_kf=True)
         mark("pass1_total", t_pass1)
@@ -277,18 +347,27 @@ class SLAMSystem:
             if not batch:
                 return
             t0 = time.perf_counter()
-            rgbs = jnp.stack([b[2] for b in batch])
-            pad = ENC_BATCH - len(batch)
+            # V=1: (n, h, w, 3); V>1: (n·V, h, w, 3) flattened view-major
+            rgbs = (
+                jnp.stack([b[2] for b in batch]) if V == 1
+                else jnp.concatenate([b[2] for b in batch], 0)
+            )
+            pad = ENC_BATCH * V - rgbs.shape[0]
             if pad:
                 rgbs = jnp.concatenate([rgbs, jnp.repeat(rgbs[-1:], pad, 0)])
             fmaps = self.encode_features(self.params, rgbs)
             nets, inps = self.encode_context(self.params, rgbs)
             mark("p2_encode", t0)
-            for k, (frame_idx, frame, rgb_dev, bmask) in enumerate(batch):
+            for k, (frame_idx, frames, rgb_dev, bmask) in enumerate(batch):
                 t0 = time.perf_counter()
+                sl = slice(k * V, (k + 1) * V)
+                metric_depth, _ = _frame_meta(frames)
                 buffer.append_keyframe(
-                    frame_idx, rgb_dev, fmaps[k], nets[k], inps[k],
-                    mask=bmask, metric_depth=frame.metric_depth,
+                    frame_idx, rgb_dev,
+                    fmaps[sl][0] if V == 1 else fmaps[sl],
+                    nets[sl][0] if V == 1 else nets[sl],
+                    inps[sl][0] if V == 1 else inps[sl],
+                    mask=bmask, metric_depth=metric_depth,
                 )
                 mark("p2_append", t0)
                 if filler.check() or frame_idx == total - 1:
@@ -297,13 +376,10 @@ class SLAMSystem:
                     mark("p2_filler", t0)
             batch.clear()
 
-        for frame_idx, frame in enumerate(stream):
-            rgb_dev = _upload(frame)
-            bmask = (
-                self._mask_to_buffer(frame.mask, buffer.ht, buffer.wd)
-                if frame.mask is not None else None
-            )
-            batch.append((frame_idx, frame, rgb_dev, bmask))
+        for frame_idx, frames in enumerate(zip(*streams)):
+            rgb_dev = _upload(frames)
+            bmask = _masks(frames)
+            batch.append((frame_idx, frames, rgb_dev, bmask))
             if len(batch) == ENC_BATCH:
                 _flush_batch()
         _flush_batch()
@@ -321,7 +397,15 @@ class SLAMSystem:
             )
 
         slam_map = buffer.extract_slam_map(c.get("map_filter_thresh", 0.05))
-        intr_full = resizer.recover_intrinsics(np.asarray(buffer.intrinsics))
+        if V == 1:
+            intr_full = resizers[0].recover_intrinsics(
+                np.asarray(buffer.intrinsics)
+            )
+        else:
+            intr_full = np.stack([
+                r.recover_intrinsics(np.asarray(buffer.intrinsics[v]))
+                for v, r in enumerate(resizers)
+            ])
 
         trajectory = np.asarray(lie.se3_inv(jnp.asarray(filled.poses)))
         return SLAMOutput(
@@ -329,4 +413,5 @@ class SLAMSystem:
             intrinsics=intr_full,
             camera_type=camera_type,
             slam_map=slam_map,
+            rig=np.asarray(buffer.rig) if V > 1 else None,
         )

@@ -280,6 +280,41 @@ class AssignAttributesProcessor(StreamProcessor):
         return frame
 
 
+class MultiviewVideoList:
+    """Synchronized per-view streams of one rig capture (reference
+    base.py:293-326).  ``rig``: (V, 7) camera-to-rig SE3 (xyz + quat),
+    view v's camera pose = frame pose ∘ rig[v]."""
+
+    def __init__(self, name: str, video_streams: Sequence[VideoStream], rig):
+        import numpy as np
+
+        rig = np.asarray(rig, np.float32)
+        if rig.ndim == 1:
+            rig = rig[None]
+        assert rig.shape == (len(video_streams), 7)
+        self._name = name
+        self._streams = list(video_streams)
+        self.rig = rig
+        self._len = len(video_streams[0])
+        for vs in video_streams:
+            assert len(vs) == self._len
+
+    def __len__(self):
+        return len(self._streams)
+
+    def __iter__(self):
+        return iter(self._streams)
+
+    def __getitem__(self, idx: int) -> VideoStream:
+        return self._streams[idx]
+
+    def name(self) -> str:
+        return self._name
+
+    def num_frames(self) -> int:
+        return self._len
+
+
 class StreamList:
     """Multi-video collection + factory (reference base.py:486-503)."""
 
