@@ -172,12 +172,13 @@ class TestSparseTracks:
 
     def test_correspondences_and_splat(self):
         st = SparseTracks()
-        st.add_observation(1, 0, [8.0, 16.0])
-        st.add_observation(1, 1, [12.0, 16.0])
-        st.add_observation(2, 0, [40.0, 24.0])
-        assert st.get_correspondences(0, 1) == [1]
-        assert st.n_tracks(0) == 2
+        st.add_observation(0, 1, 0, [8.0, 16.0])
+        st.add_observation(0, 1, 1, [12.0, 16.0])
+        st.add_observation(0, 2, 0, [40.0, 24.0])
+        assert st.get_correspondences(0, 0, 1) == [1]
+        assert st.n_tracks(0, 0) == 2
         target, weight = st.compute_dense_disp_target_weight(
+            np.asarray([0]), np.asarray([0]),
             np.asarray([0]), np.asarray([1]),
             image_size=(64, 64), dense_disp_size=(8, 8),
         )
@@ -185,6 +186,17 @@ class TestSparseTracks:
         assert weight[0, 2, 1, 0] == 1.0
         np.testing.assert_allclose(target[0, 2, 1], [1.5, 2.0])
         assert weight.sum() == 2.0  # one cell, two channels
+
+    def test_cross_view_edges_skipped(self):
+        st = SparseTracks(n_views=2)
+        st.add_observation(0, 1, 0, [8.0, 16.0])
+        st.add_observation(0, 1, 1, [12.0, 16.0])
+        _, weight = st.compute_dense_disp_target_weight(
+            np.asarray([0]), np.asarray([0]),
+            np.asarray([1]), np.asarray([1]),  # view 0 → view 1
+            image_size=(64, 64), dense_disp_size=(8, 8),
+        )
+        assert weight.sum() == 0.0
 
     def test_unknown_backend_raises(self):
         with pytest.raises(ValueError):

@@ -782,7 +782,9 @@ class FactorGraph:
         frontend damping (1e-3/0.1); oracle update_fns (host_only) and the
         multi-view rig path fall back to the loop."""
         assert self.incremental and self.n_edges > 0
-        if getattr(self.update_fn, "host_only", False) or self.V > 1:
+        st = getattr(self.buffer, "sparse_tracks", None)
+        if (getattr(self.update_fn, "host_only", False) or self.V > 1
+                or (st is not None and st.enabled)):
             for _ in range(rounds):
                 self.update(t0=t0, t1=t1, itrs=itrs, use_inactive=use_inactive,
                             fixed_motion=fixed_motion)
@@ -1036,6 +1038,32 @@ class FactorGraph:
             jnp.asarray(sel_pad, jnp.int32), self.target, self.weight,
             jnp.float32(weight_dense_disp),
         )
+
+        # sparse-tracks flow term: duplicated edge rows with splatted
+        # keypoint targets (reference buffer.py:422-449 adds a second
+        # DenseDepthFlowTerm over the same edges, weight_tracks = 0.001)
+        st = getattr(buf, "sparse_tracks", None)
+        if st is not None and st.enabled and not motion_only:
+            weight_tracks = 0.001  # buffer.py:396
+            t_trk, w_trk = st.compute_dense_disp_target_weight(
+                source_view_inds=exp_pad[:, 1],
+                source_frame_inds=buf.tstamp[exp_pad[:, 0]],
+                target_view_inds=exp_pad[:, 4],
+                target_frame_inds=buf.tstamp[exp_pad[:, 3]],
+                image_size=(buf.height, buf.width),
+                dense_disp_size=(self.ht, self.wd),
+            )
+            trk_valid = ev & (w_trk.reshape(Eb, -1).sum(1) > 0)
+            target = jnp.concatenate(
+                [target, jnp.asarray(t_trk.reshape(Eb, P, 2))], 0
+            )
+            weight = jnp.concatenate(
+                [weight,
+                 jnp.asarray(w_trk.reshape(Eb, P, 2)) * weight_tracks], 0
+            )
+            exp_pad = np.concatenate([exp_pad, exp_pad], 0)
+            ev = np.concatenate([ev, trk_valid])
+            Eb = 2 * Eb
 
         # per-disp-variable slot grouping for the Schur assembly
         valid_rows = np.where(ev)[0]

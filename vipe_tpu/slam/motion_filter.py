@@ -76,17 +76,26 @@ class _Token:
     score: object           # () device scalar, or None for the init frame
     mask: object
     kf_version: int
+    frame_idx: int = 0
 
 
 class MotionFilter:
     def __init__(self, encode_features_fn: Callable, encode_context_fn: Callable,
-                 update_fn: Callable, params, thresh: float):
-        """``encode_*_fn(params, images_nhwc)``; ``update_fn`` as in FactorGraph."""
+                 update_fn: Callable, params, thresh: float,
+                 sparse_tracks=None):
+        """``encode_*_fn(params, images_nhwc)``; ``update_fn`` as in
+        FactorGraph; ``sparse_tracks``: optional SparseTracks whose
+        keypoint flow adds to the keyframe decision (reference
+        motion_filter.py:112-141)."""
         self.encode_features = encode_features_fn
         self.encode_context = encode_context_fn
         self.update_fn = update_fn
         self.params = params
         self.thresh = thresh
+        self.sparse_tracks = sparse_tracks
+        self.current_frame_idx = -1
+        self.last_kf_frame_idx = 0
+        self.last_n_sparse_tracks = 0
         self.initialized = False
         self.kf_version = 0
         self.f_fmap = None
@@ -169,34 +178,71 @@ class MotionFilter:
             if buffer_mask is not None:
                 buffer_mask = buffer_mask[None]
         fmap = self.encode_features(self.params, image)
+        self.current_frame_idx += 1
+        fi = self.current_frame_idx
         if not self.initialized:
             self.initialized = True
-            tok = _Token(image, fmap, None, buffer_mask, self.kf_version)
+            tok = _Token(image, fmap, None, buffer_mask, self.kf_version, fi)
             # the first frame is always a keyframe: promote NOW so the next
             # submit (which may precede our resolve in the pipeline) has a
             # reference to score against
             self._promote(tok)
             return tok
         if self._decision_fixed is not None:
-            return _Token(image, fmap, "fixed", buffer_mask, self.kf_version)
+            return _Token(image, fmap, "fixed", buffer_mask,
+                          self.kf_version, fi)
         score = self._score(fmap)
-        return _Token(image, fmap, score, buffer_mask, self.kf_version)
+        return _Token(image, fmap, score, buffer_mask, self.kf_version, fi)
+
+    def _sparse_score(self, frame_idx: int) -> float:
+        """Mean keypoint flow vs the last keyframe, plus the track-attrition
+        forcing bump (reference motion_filter.py:112-136: force a keyframe
+        when >20% of the tracks vanished)."""
+        st = self.sparse_tracks
+        if st is None or not st.enabled:
+            return 0.0
+        score = 0.0
+        n_tracks = 0
+        import numpy as np
+
+        for v in range(st.n_views):
+            kp = st.get_correspondences(v, frame_idx, self.last_kf_frame_idx)
+            n_tracks += len(kp)
+            if kp:
+                cur = st.get_observations(v, frame_idx, kp)
+                last = st.get_observations(v, self.last_kf_frame_idx, kp)
+                score += float(
+                    np.linalg.norm(cur - last, axis=-1).mean()
+                )
+        diff = n_tracks - self.last_n_sparse_tracks
+        if diff < 0 and self.last_n_sparse_tracks > 0:
+            if -diff / self.last_n_sparse_tracks > 0.2:
+                score += 100.0
+        self.last_n_sparse_tracks = n_tracks
+        return score
+
+    def _promote_kf(self, token: _Token):
+        self._promote(token)
+        self.last_kf_frame_idx = token.frame_idx
+        self.last_n_sparse_tracks = 0
 
     def resolve(self, token: _Token) -> bool:
         """Blockingly decide whether the submitted frame is a keyframe."""
         if token.score is None:  # first frame, already promoted at submit
+            self.last_kf_frame_idx = token.frame_idx
             return True
         fixed = self._decision_fixed
         if fixed is not None:
             if fixed:
-                self._promote(token)
+                self._promote_kf(token)
             return fixed
         if token.kf_version != self.kf_version:
             # keyframe reference changed after submission → recompute
             token.score = self._score(token.fmap)
             token.kf_version = self.kf_version
-        if float(token.score) > self.thresh:
-            self._promote(token)
+        sparse = self._sparse_score(token.frame_idx)
+        if float(token.score) > self.thresh or sparse > self.thresh * 2:
+            self._promote_kf(token)
             return True
         return False
 

@@ -180,9 +180,14 @@ class SLAMSystem:
             n_views=V,
             rig=rig,
         )
+        from .sparse_tracks import build_sparse_tracks
+
+        sparse_tracks = build_sparse_tracks(c.get("sparse_tracks"), V)
+        buffer.sparse_tracks = sparse_tracks
         motion_filter = MotionFilter(
             self.encode_features, self.encode_context, self.update_fn,
             self.params, thresh=c.get("filter_thresh", 2.4),
+            sparse_tracks=sparse_tracks,
         )
         frontend = SLAMFrontend(buffer, self.update_fn, self.params, c)
         backend = SLAMBackend(buffer, self.update_fn, self.params, c)
@@ -310,6 +315,7 @@ class SLAMSystem:
         pending = None
         t_pass1 = time.perf_counter()
         for frame_idx, frames in enumerate(zip(*streams)):
+            sparse_tracks.track_image(frame_idx, frames)
             if skip_non_kf and frame_idx % kf_stride != 0:
                 rgb_dev, bmask, token = None, None, None
             else:
