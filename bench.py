@@ -84,14 +84,24 @@ def main():
     from vipe_tpu.slam.system import SLAMSystem
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "48"))
-
-    def run(n):
+    # BENCH_MODE=real exercises the production decision path: a calibrated
+    # motion-filter threshold with live score readbacks instead of the
+    # deterministic stride fast path (the default stays deterministic for
+    # run-to-run comparability with random weights)
+    real_mode = os.environ.get("BENCH_MODE") == "real"
+    if real_mode:
+        thresh = calibrate_filter_thresh()
+        gate = dict(filter_thresh=thresh)
+    else:
         # untrained weights make the motion-filter score nearly constant
         # (content-insensitive), so gate keyframes deterministically at the
         # realistic trained-weights cadence of 1 in 3
+        gate = dict(filter_thresh=float("inf"), keyframe_stride=3)
+
+    def run(n):
         sys_ = SLAMSystem(config=dict(
             warmup=8, buffer=256, infill_chunk_size=16, backend_iters=4,
-            filter_thresh=float("inf"), keyframe_stride=3,
+            **gate,
         ))
         stream = synth_stream(n)
         return sys_.run(stream)
@@ -108,7 +118,10 @@ def main():
 
     fps = n_frames / dt
     print(json.dumps({
-        "metric": "slam_annotation_fps_720p",
+        "metric": (
+            "slam_annotation_fps_720p_real" if real_mode
+            else "slam_annotation_fps_720p"
+        ),
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 150.0, 4),

@@ -98,6 +98,86 @@ class TestFusedUpdateEquivalence:
                 err_msg=f"mismatch in {key}",
             )
 
+    def test_frontend_step_matches_sequence(self, tiny_droidnet):
+        """frontend_step_fused (one dispatch) must equal the sequential
+        iters1 → distance → iters2 → const-vel/disp-init path, including the
+        returned removal distance."""
+        from vipe_tpu.ops import geom
+        from vipe_tpu.slam.frontend import (
+            _jitted_const_velocity,
+            _jitted_mean_disp_init,
+        )
+
+        buf_a, g_a = _make_graph(tiny_droidnet, seed=9)
+        buf_b, g_b = _make_graph(tiny_droidnet, seed=9)
+        t1 = N  # next slot
+        kf_thresh = 0.0  # always keep (exercise the cond keep-branch)
+
+        # sequential reference path
+        g_a.update_fused(2, use_inactive=True)
+        d_ref = float(jnp.max(buf_a.frame_distance(
+            jnp.asarray([t1 - 3], jnp.int32), jnp.asarray([t1 - 2], jnp.int32),
+            beta=0.3, bidirectional=True,
+        )))
+        g_a.update_fused(1, use_inactive=True)
+        buf_a.poses = _jitted_const_velocity(buf_a.poses, jnp.int32(t1))
+        buf_a.disps = _jitted_mean_disp_init(buf_a.disps, jnp.int32(t1))
+
+        assert g_b.can_fuse_frontend_step
+        d = g_b.frontend_step_fused(
+            2, 1, d_pair=(t1 - 3, t1 - 2), kf_thresh=kf_thresh, beta=0.3,
+            slot_t1=t1, const_vel=True,
+        )
+        np.testing.assert_allclose(d, d_ref, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(buf_a.poses[: N + 1]), np.asarray(buf_b.poses[: N + 1]),
+            rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(buf_a.disps[: N + 1]), np.asarray(buf_b.disps[: N + 1]),
+            rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_a.weight[: g_a.n_edges]),
+            np.asarray(g_b.weight[: g_b.n_edges]),
+            rtol=2e-4, atol=2e-4,
+        )
+
+    def test_frontend_step_skip_branch(self, tiny_droidnet):
+        """A huge threshold takes the removal branch: iters2 and the slot
+        init must NOT run."""
+        buf_a, g_a = _make_graph(tiny_droidnet, seed=10)
+        buf_b, g_b = _make_graph(tiny_droidnet, seed=10)
+        t1 = N
+
+        g_a.update_fused(2, use_inactive=True)
+        d = g_b.frontend_step_fused(
+            2, 1, d_pair=(t1 - 3, t1 - 2), kf_thresh=1e9, beta=0.3,
+            slot_t1=t1, const_vel=True,
+        )
+        assert d < 1e9
+        np.testing.assert_allclose(
+            np.asarray(buf_a.poses[: N + 1]), np.asarray(buf_b.poses[: N + 1]),
+            rtol=2e-4, atol=2e-4,
+        )
+
+    def test_motion_only_fused_matches_loop(self, tiny_droidnet):
+        """The inner filler's fused motion-only rounds must equal the
+        sequential update() loop (disps untouched)."""
+        buf_a, g_a = _make_graph(tiny_droidnet, seed=12)
+        buf_b, g_b = _make_graph(tiny_droidnet, seed=12)
+        d0 = np.asarray(buf_b.disps[:N])
+
+        for _ in range(3):
+            g_a.update(1, N, motion_only=True, limited_disp=True)
+        g_b.update_fused(3, 1, N, motion_only=True, limited_disp=True)
+
+        np.testing.assert_allclose(
+            np.asarray(buf_a.poses[:N]), np.asarray(buf_b.poses[:N]),
+            rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(np.asarray(buf_b.disps[:N]), d0, atol=1e-6)
+
     def test_distance_token_matches_fresh(self, tiny_droidnet):
         buf, g = _make_graph(tiny_droidnet, seed=7)
         nb, tok = g.submit_distance_matrix(beta=0.3)

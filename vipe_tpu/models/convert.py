@@ -144,6 +144,11 @@ def convert_dinov2_vit(sd: Mapping, prefix: str = "pretrained") -> dict:
     if f"{prefix}.patch_embed.alpha_proj.weight" in sd:
         # PriorDA conditioned encoder (patch_embed.py:71-94)
         p["alpha_proj"] = _conv_entry(sd, f"{prefix}.patch_embed.alpha_proj")
+    if f"{prefix}.register_tokens" in sd:
+        # DINOv2-reg variants (Metric3D backbones)
+        p["register_tokens"] = np.asarray(
+            sd[f"{prefix}.register_tokens"], np.float32
+        )
     p["cls_token"] = np.asarray(sd[f"{prefix}.cls_token"], np.float32)
     p["pos_embed"] = np.asarray(sd[f"{prefix}.pos_embed"], np.float32)
     p["norm"] = _ln(sd, f"{prefix}.norm")
@@ -227,3 +232,102 @@ def load_dav2_checkpoint(path: str, variant: str):
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     return convert_dav2(sd)
+
+
+def convert_metric3d_decoder(sd: Mapping, prefix: str = "decoder") -> dict:
+    """torch RAFTDepthNormalDPT5 state_dict → flax Metric3DDecoder params
+    (reference metric3d/model/decode_heads/RAFTDepthNormalDPTDecoder5.py
+    :900-1325; module attribute names mirrored 1:1)."""
+    sd = {k.removeprefix("module."): _to_np(v) for k, v in sd.items()}
+    pf = f"{prefix}." if prefix else ""
+    p: dict = {}
+
+    def readout(base):
+        return {
+            "project_patch": _lin(sd, f"{base}.readoper.project_patch"),
+            "project_learn": {
+                "kernel": np.transpose(np.asarray(
+                    sd[f"{base}.readoper.project_learn.weight"], np.float32))
+            },
+        }
+
+    # EncoderFeature reads: scales 1, 1, 2(ConvT), 3.5(nearest + conv-in-seq)
+    for i in (2, 3):
+        p[f"read_{i}"] = {"readoper": readout(f"{pf}token2feature.read_{i}")}
+    p["read_1"] = {
+        "readoper": readout(f"{pf}token2feature.read_1"),
+        "sample": _convt(sd, f"{pf}token2feature.read_1.sample"),
+    }
+    p["read_0"] = {
+        "readoper": readout(f"{pf}token2feature.read_0"),
+        "sample": _conv_entry(sd, f"{pf}token2feature.read_0.sample.0"),
+    }
+
+    def conv_block(base):
+        return {"conv1": _conv_entry(sd, f"{base}.conv1"),
+                "conv2": _conv_entry(sd, f"{base}.conv2")}
+
+    for name, has_branch in (("upconv_3", False), ("upconv_2", True),
+                             ("upconv_1", True)):
+        base = f"{pf}decoder_mono.{name}"
+        entry = {
+            "way_trunk": conv_block(f"{base}.way_trunk"),
+            "out_conv": _conv_entry(sd, f"{base}.out_conv"),
+        }
+        if has_branch:
+            entry["way_branch"] = conv_block(f"{base}.way_branch")
+        p[name] = entry
+
+    p["depth_regressor_0"] = _conv_entry(sd, f"{pf}depth_regressor.0")
+    p["depth_regressor_2"] = _conv_entry(sd, f"{pf}depth_regressor.2")
+    for k in (0, 2, 4, 6):
+        p[f"normal_predictor_{k}"] = _conv_entry(
+            sd, f"{pf}normal_predictor.{k}"
+        )
+
+    def ctx_out(base):
+        entry = {
+            "res": {
+                "conv1": _conv_entry(sd, f"{base}.0.conv1"),
+                "norm1": _ln(sd, f"{base}.0.norm1"),
+                "conv2": _conv_entry(sd, f"{base}.0.conv2"),
+                "norm2": _ln(sd, f"{base}.0.norm2"),
+            },
+            "conv": _conv_entry(sd, f"{base}.1"),
+        }
+        if f"{base}.0.downsample.0.weight" in sd:
+            entry["res"]["downsample"] = _conv_entry(
+                sd, f"{base}.0.downsample.0"
+            )
+            entry["res"]["norm3"] = _ln(sd, f"{base}.0.norm3")
+        return entry
+
+    for lvl, tag in enumerate(("04", "08", "16")):
+        base = f"{pf}context_feature_encoder.outputs{tag}"
+        p[f"outputs{tag}_0"] = ctx_out(f"{base}.0")
+        p[f"outputs{tag}_1"] = ctx_out(f"{base}.1")
+        p[f"context_zqr_convs_{lvl}"] = _conv_entry(
+            sd, f"{pf}context_zqr_convs.{lvl}"
+        )
+
+    ub = f"{pf}update_block"
+    p["update_block"] = {
+        **{g: {c: _conv_entry(sd, f"{ub}.{g}.{c}")
+               for c in ("convz", "convr", "convq")}
+           for g in ("gru08", "gru16", "gru32")},
+        "flow_head": {c: _conv_entry(sd, f"{ub}.flow_head.{c}")
+                      for c in ("conv1d", "conv2d", "conv1n", "conv2n")},
+        "mask0": _conv_entry(sd, f"{ub}.mask.0"),
+        "mask2": _conv_entry(sd, f"{ub}.mask.2"),
+    }
+    return {"params": p}
+
+
+def convert_metric3d(state_dict: Mapping,
+                     encoder_prefix: str = "depth_model.encoder",
+                     decoder_prefix: str = "depth_model.decoder") -> dict:
+    """Full Metric3D checkpoint → {"vit": ..., "decoder": ...}."""
+    return {
+        "vit": convert_dinov2_vit(state_dict, encoder_prefix),
+        "decoder": convert_metric3d_decoder(state_dict, decoder_prefix),
+    }

@@ -94,14 +94,17 @@ class DinoViT(nn.Module):
     # embedding (PriorDA's alpha_proj, reference
     # priors/depth/dav2/dinov2_layers/patch_embed.py:71-94)
     cond_dim: int = 0
+    # DINOv2-reg variants (Metric3D backbones): extra learned tokens inserted
+    # after cls, excluded from the positional embedding
+    num_register_tokens: int = 0
 
     @nn.compact
     def __call__(self, x, tap_layers: Sequence[int] = (), condition=None):
         """x: (B, H, W, 3) normalized image, H/W multiples of patch_size.
 
-        Returns list of (patch_tokens (B, N, D), cls (B, D)) per tap layer
-        (final norm applied), plus the final-layer pair appended if not
-        already tapped.
+        Returns list of (patch_tokens (B, N, D), extras (B, 1+R, D)) per tap
+        layer (final norm applied); extras = [cls | register tokens].  With
+        R = 0 the extras second axis squeezes to the former (B, D) cls.
         """
         B, H, W, _ = x.shape
         ph, pw = H // self.patch_size, W // self.patch_size
@@ -136,7 +139,16 @@ class DinoViT(nn.Module):
 
         x = x + pos_patch
         cls_tok = jnp.broadcast_to(cls + pos_cls, (B, 1, self.embed_dim))
-        x = jnp.concatenate([cls_tok, x], axis=1)
+        R = self.num_register_tokens
+        if R:
+            reg = self.param(
+                "register_tokens", nn.initializers.normal(0.02),
+                (1, R, self.embed_dim),
+            )
+            reg_tok = jnp.broadcast_to(reg, (B, R, self.embed_dim))
+            x = jnp.concatenate([cls_tok, reg_tok, x], axis=1)
+        else:
+            x = jnp.concatenate([cls_tok, x], axis=1)
 
         taps = {}
         norm = nn.LayerNorm(epsilon=1e-6, name="norm")
@@ -148,7 +160,10 @@ class DinoViT(nn.Module):
         outs = []
         for i in tap_layers:
             t = norm(taps[i])
-            outs.append((t[:, 1:], t[:, 0]))
+            if R:
+                outs.append((t[:, 1 + R:], t[:, : 1 + R]))
+            else:
+                outs.append((t[:, 1:], t[:, 0]))
         return outs
 
 

@@ -90,48 +90,70 @@ def _jitted_gru_step(update_fn, camera_type):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_fused_rounds(update_fn, cfg, rounds: int):
-    """K chained (GRU → dense BA) rounds in ONE compiled program.
-
-    The frontend runs iters1=4 then iters2=2 such rounds per keyframe
-    (reference frontend.py:97-117); issuing them as separate programs costs
-    a dispatch + dependency stall per round over the remote-TPU tunnel.
-    Fused, the whole per-keyframe optimization is a single dispatch whose
-    only host sync is the keyframe-removal decision afterwards.
-
-    Edge layout: BA consumes [inactive (K rows) ++ active (E rows)]; the
-    inactive block is bucket-padded by the caller so compile keys repeat.
-    """
-    camera_type = cfg.camera_type
+def _jitted_backend_chunk(update_fn, camera_type):
+    """One backend chunk refresh as a single program: chunk-row reprojection
+    + corr lookup from the cached pyramid + GRU — eagerly this is ~15 remote
+    dispatches (gathers + einsums) per chunk per step."""
 
     @functools.partial(jax.jit, static_argnums=(1,))
-    def run(params, Nb, poses, disps, intrinsics, corr_pyr, target, f_net,
-            inps, masks, ii_act, jj_act, ev_act, damping,
-            t_inac_full, w_inac_full, sel_inac, ii_ba, jj_ba, ev_ba, slot_edge,
-            src_rows, pose_mask, disp_mask, sens,
-            itrs, pose_damping, pose_ep):
-        from ..ops import cameras as cam_ops
-
-        # inactive rows gathered in-program (rows beyond the valid count are
-        # zero-weighted through ev_ba)
-        tgt_inac = t_inac_full[sel_inac]
-        wgt_inac = w_inac_full[sel_inac]
-
-        E = ii_act.shape[0]
+    def step(params, num_seg, poses, rig, disps, intr_grid, pyr_chunk,
+             f_net_full, target_full, inps, masks,
+             sl, pi, qi, di, pj, qj, evcv):
+        coords1, _ = geom.reproject_mv(
+            poses, rig, disps, intr_grid, camera_type, pi, qi, di, pj, qj
+        )
+        corr_feat = corr_ops.corr_lookup_pyramid(
+            [p.astype(jnp.float32) for p in pyr_chunk], coords1, CORR_RADIUS
+        )
         ht, wd = disps.shape[-2:]
-        P = ht * wd
         u, v = jnp.meshgrid(
             jnp.arange(wd, dtype=jnp.float32),
             jnp.arange(ht, dtype=jnp.float32), indexing="xy",
         )
         grid = jnp.stack([u, v], axis=-1)
-        weight_dense_disp = 0.001  # buffer.py:396
-        sens_mask = (jnp.sum(sens, axis=1) > 0).astype(jnp.float32)
-        # eta scatter: padding entries of src_rows point at the scratch row Nb
-        damping = jnp.concatenate([damping, jnp.zeros((1, ht, wd))], 0)
+        target_prev = target_full[sl]
+        motn = jnp.concatenate(
+            [coords1 - grid, target_prev - coords1], axis=-1
+        ).clip(-64.0, 64.0)
+        inp = inps[di].astype(jnp.float32)
+        ix = jnp.where(evcv, di, num_seg).astype(jnp.int32)
+        V = intr_grid.shape[0]
+        dj = pj * V + qj
+        net, delta, weight, eta = update_fn(
+            params, f_net_full[sl], inp, corr_feat, motn, ix, dj, num_seg + 1
+        )
+        bad = masks[di][..., None] | (~evcv)[:, None, None, None]
+        weight = jnp.where(bad, 0.0, weight)
+        return net, coords1 + delta, weight, eta[:num_seg]
 
-        weight = None
-        for _ in range(rounds):
+    return step
+
+
+def _make_round_runner(update_fn, cfg, params, Nb, corr_pyr, inps, masks,
+                       ii_act, jj_act, ev_act, tgt_inac, wgt_inac,
+                       ii_ba, jj_ba, ev_ba, slot_edge, src_rows,
+                       pose_mask, disp_mask, sens, itrs,
+                       pose_damping, pose_ep):
+    """Traceable closure running N chained (GRU -> dense BA) rounds over the
+    state tuple (poses, disps, intrinsics, f_net, target, weight, damping).
+    Shared by the fused-rounds and fused-frontend-step programs."""
+    from ..ops import cameras as cam_ops
+
+    camera_type = cfg.camera_type
+    ht = cfg.ht
+    wd = cfg.wd
+    P = ht * wd
+    u, v = jnp.meshgrid(
+        jnp.arange(wd, dtype=jnp.float32),
+        jnp.arange(ht, dtype=jnp.float32), indexing="xy",
+    )
+    grid = jnp.stack([u, v], axis=-1)
+    weight_dense_disp = 0.001  # buffer.py:396
+    sens_mask = (jnp.sum(sens, axis=1) > 0).astype(jnp.float32)
+
+    def run_rounds(state, n_rounds: int):
+        poses, disps, intrinsics, f_net, target, weight, damping = state
+        for _ in range(n_rounds):
             intr_grid = cam_ops.scaled_intrinsics(
                 camera_type, intrinsics, 1.0 / 8.0
             )
@@ -168,7 +190,118 @@ def _jitted_fused_rounds(update_fn, cfg, rounds: int):
                 itrs, pose_damping, pose_ep,
             )
             disps = disps_flat.reshape(Nb, ht, wd)
+        return (poses, disps, intrinsics, f_net, target, weight, damping)
+
+    return run_rounds
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_fused_rounds(update_fn, cfg, rounds: int):
+    """K chained (GRU -> dense BA) rounds in ONE compiled program.
+
+    The frontend runs iters1=4 then iters2=2 such rounds per keyframe
+    (reference frontend.py:97-117); issuing them as separate programs costs
+    a dispatch + dependency stall per round over the remote-TPU tunnel.
+
+    Edge layout: BA consumes [inactive (K rows) ++ active (E rows)]; the
+    inactive block is bucket-padded by the caller so compile keys repeat.
+    """
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(params, Nb, poses, disps, intrinsics, corr_pyr, target, f_net,
+            inps, masks, ii_act, jj_act, ev_act, damping,
+            t_inac_full, w_inac_full, sel_inac, ii_ba, jj_ba, ev_ba, slot_edge,
+            src_rows, pose_mask, disp_mask, sens,
+            itrs, pose_damping, pose_ep):
+        # inactive rows gathered in-program (rows beyond the valid count are
+        # zero-weighted through ev_ba)
+        tgt_inac = t_inac_full[sel_inac]
+        wgt_inac = w_inac_full[sel_inac]
+        ht, wd = disps.shape[-2:]
+        # eta scatter: padding entries of src_rows point at the scratch row Nb
+        damping = jnp.concatenate([damping, jnp.zeros((1, ht, wd))], 0)
+
+        run_rounds = _make_round_runner(
+            update_fn, cfg, params, Nb, corr_pyr, inps, masks,
+            ii_act, jj_act, ev_act, tgt_inac, wgt_inac,
+            ii_ba, jj_ba, ev_ba, slot_edge, src_rows,
+            pose_mask, disp_mask, sens, itrs, pose_damping, pose_ep,
+        )
+        state = (poses, disps, intrinsics, f_net, target,
+                 jnp.zeros_like(target), damping)
+        (poses, disps, intrinsics, f_net, target, weight, damping) = (
+            run_rounds(state, rounds)
+        )
         return poses, disps, intrinsics, f_net, target, weight, damping[:Nb]
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_frontend_step(update_fn, cfg, r1: int, r2: int, const_vel: bool):
+    """The ENTIRE per-keyframe frontend optimization as one dispatch:
+    iters1 rounds -> keyframe-removal distance -> (lax.cond) iters2 rounds +
+    next-slot constant-velocity/disp initialization (reference
+    frontend.py:97-124).  The only host sync left per keyframe is the
+    returned distance scalar."""
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(params, Nb, poses, disps, intrinsics, corr_pyr, target, f_net,
+            inps, masks, ii_act, jj_act, ev_act, damping,
+            t_inac_full, w_inac_full, sel_inac, ii_ba, jj_ba, ev_ba, slot_edge,
+            src_rows, pose_mask, disp_mask, sens,
+            itrs, pose_damping, pose_ep,
+            d_i, d_j, kf_thresh, beta, t1):
+        from ..ops import cameras as cam_ops
+        from ..ops import lie as lie_ops
+
+        tgt_inac = t_inac_full[sel_inac]
+        wgt_inac = w_inac_full[sel_inac]
+        ht, wd = disps.shape[-2:]
+        damping = jnp.concatenate([damping, jnp.zeros((1, ht, wd))], 0)
+
+        run_rounds = _make_round_runner(
+            update_fn, cfg, params, Nb, corr_pyr, inps, masks,
+            ii_act, jj_act, ev_act, tgt_inac, wgt_inac,
+            ii_ba, jj_ba, ev_ba, slot_edge, src_rows,
+            pose_mask, disp_mask, sens, itrs, pose_damping, pose_ep,
+        )
+        state = (poses, disps, intrinsics, f_net, target,
+                 jnp.zeros_like(target), damping)
+        state = run_rounds(state, r1)
+
+        # keyframe-removal distance on the in-flight state
+        pin = cam_ops.pinhole_equivalent(
+            cfg.camera_type, state[2]
+        ) / 8.0
+        pin2 = jnp.broadcast_to(pin, (Nb, 4))
+        dd = geom.frame_distance(
+            state[0], state[1], pin2, d_i, d_j, di=d_i, beta=beta
+        )
+        dd2 = geom.frame_distance(
+            state[0], state[1], pin2, d_j, d_i, di=d_j, beta=beta
+        )
+        d = jnp.max(0.5 * (dd + dd2))
+
+        def keep_branch(st):
+            st = run_rounds(st, r2)
+            poses_, disps_ = st[0], st[1]
+            if const_vel:
+                p1 = poses_[t1 - 2]
+                p2 = poses_[t1 - 1]
+                w = lie_ops.se3_log(
+                    lie_ops.se3_mul(p2, lie_ops.se3_inv(p1))
+                ) * 0.5
+                poses_ = poses_.at[t1].set(
+                    lie_ops.se3_mul(lie_ops.se3_exp(w), p2)
+                )
+            disps_ = disps_.at[t1].set(jnp.mean(disps_[t1 - 1]))
+            return (poses_, disps_) + st[2:]
+
+        state = jax.lax.cond(d >= kf_thresh, keep_branch, lambda st: st, state)
+        (poses, disps, intrinsics, f_net, target, weight, damping) = state
+        return (poses, disps, intrinsics, f_net, target, weight,
+                damping[:Nb], d)
 
     return run
 
@@ -775,8 +908,11 @@ class FactorGraph:
         itrs: int = 3,
         use_inactive: bool = False,
         fixed_motion: bool = False,
+        motion_only: bool = False,
+        limited_disp: bool = False,
     ):
-        """``rounds`` × (GRU → BA) as ONE device dispatch (frontend hot path).
+        """``rounds`` × (GRU → BA) as ONE device dispatch (frontend hot path
+        and the inner filler's 10 motion-only rounds).
 
         Semantically equal to ``rounds`` successive ``update()`` calls with
         frontend damping (1e-3/0.1); oracle update_fns (host_only) and the
@@ -787,9 +923,27 @@ class FactorGraph:
                 or (st is not None and st.enabled)):
             for _ in range(rounds):
                 self.update(t0=t0, t1=t1, itrs=itrs, use_inactive=use_inactive,
-                            fixed_motion=fixed_motion)
+                            fixed_motion=fixed_motion,
+                            motion_only=motion_only, limited_disp=limited_disp)
             return
 
+        buf = self.buffer
+        cfg, Nb, args = self._fused_prep(t0, t1, use_inactive, fixed_motion,
+                                         bucket_size(buf.n_frames),
+                                         motion_only=motion_only,
+                                         limited_disp=limited_disp)
+        run = _jitted_fused_rounds(self.update_fn, cfg, rounds)
+        (poses, disps, intr, f_net, target, weight, damping) = run(
+            self.params, Nb, *args, jnp.int32(itrs),
+            jnp.float32(1e-3), jnp.float32(0.1),
+        )
+        self._apply_fused(poses, disps, intr, f_net, target, weight, damping)
+        self.age[: self.n_edges] += rounds
+
+    def _fused_prep(self, t0, t1, use_inactive, fixed_motion, Nb,
+                    motion_only=False, limited_disp=False):
+        """Shared host-side argument assembly for the fused programs:
+        active/inactive edge blocks, per-source slots, masks, BAConfig."""
         act_ii = self.ii[: self.n_edges]
         act_jj = self.jj[: self.n_edges]
         if t0 is None:
@@ -799,7 +953,6 @@ class FactorGraph:
 
         buf = self.buffer
         E = self.max_factors
-        Nb = bucket_size(buf.n_frames)
         ii_d, jj_d, ev = self._active_arrays()
 
         # inactive block, bucket-padded so compile keys repeat across calls
@@ -853,7 +1006,12 @@ class FactorGraph:
             pose_mask = np.zeros(Nb, bool)
         else:
             pose_mask = (idx >= t0) & (idx < t1) & (idx < buf.n_frames)
-        disp_mask = idx < buf.n_frames
+        if motion_only:
+            disp_mask = np.zeros(Nb, bool)
+        elif limited_disp:
+            disp_mask = (idx >= t0) & (idx < t1) & (idx < buf.n_frames)
+        else:
+            disp_mask = idx < buf.n_frames
 
         src = np.unique(act_ii)
         src_rows = np.full(Nb, Nb, np.int64)
@@ -865,9 +1023,8 @@ class FactorGraph:
             alpha=buf.dense_disp_alpha, max_edges_per_frame=M,
             **self.ba_cfg_kwargs,
         )
-        run = _jitted_fused_rounds(self.update_fn, cfg, rounds)
-        (poses, disps, intr, f_net, target, weight, damping) = run(
-            self.params, Nb, buf.poses[:Nb], buf.disps[:Nb], buf.intrinsics,
+        args = (
+            buf.poses[:Nb], buf.disps[:Nb], buf.intrinsics,
             [p[:E] for p in self.corr_pyr], self.target[:E], self.f_net[:E],
             buf.inps[:Nb], buf.masks[:Nb], ii_d, jj_d, ev, self.damping[:Nb],
             self.target_inac, self.weight_inac, sel_d,
@@ -875,9 +1032,13 @@ class FactorGraph:
             jnp.asarray(ev_ba), jnp.asarray(slot_edge),
             jnp.asarray(src_rows, jnp.int32),
             jnp.asarray(pose_mask), jnp.asarray(disp_mask),
-            buf.disps_sens[:Nb].reshape(Nb, -1),
-            jnp.int32(itrs), jnp.float32(1e-3), jnp.float32(0.1),
+            (jnp.zeros((Nb, self.ht * self.wd)) if motion_only
+             else buf.disps_sens[:Nb].reshape(Nb, -1)),
         )
+        return cfg, Nb, args
+
+    def _apply_fused(self, poses, disps, intr, f_net, target, weight, damping):
+        buf = self.buffer
         buf.poses = jaxutil.set_prefix(buf.poses, poses)
         buf.disps = jaxutil.set_prefix(buf.disps, disps)
         if self.optimize_intrinsics:
@@ -886,7 +1047,56 @@ class FactorGraph:
         self.target = jaxutil.set_prefix(self.target, target)
         self.weight = jaxutil.set_prefix(self.weight, weight)
         self.damping = jaxutil.set_prefix(self.damping, damping)
-        self.age[: self.n_edges] += rounds
+
+    def frontend_step_fused(
+        self,
+        r1: int,
+        r2: int,
+        d_pair,
+        kf_thresh: float,
+        beta: float,
+        slot_t1: int,
+        const_vel: bool,
+        t0=None,
+        t1=None,
+        itrs: int = 3,
+        fixed_motion: bool = False,
+    ):
+        """One dispatch for the whole per-keyframe frontend optimization:
+        r1 rounds -> removal distance (d_pair, bidirectional max) ->
+        conditionally r2 more rounds + next-slot init (frontend.py:97-124).
+        Returns the distance as a python float — the ONE host sync.
+
+        Caller contract: only valid on the fast path (traceable update_fn,
+        V == 1, no sparse tracks); check ``can_fuse_frontend_step``."""
+        buf = self.buffer
+        # +1: the keep-branch initializes the NEXT keyframe slot in-program
+        Nb = bucket_size(buf.n_frames + 1)
+        cfg, Nb, args = self._fused_prep(t0, t1, True, fixed_motion, Nb)
+        run = _jitted_frontend_step(
+            self.update_fn, cfg, r1, r2, const_vel
+        )
+        (poses, disps, intr, f_net, target, weight, damping, d) = run(
+            self.params, Nb, *args, jnp.int32(itrs),
+            jnp.float32(1e-3), jnp.float32(0.1),
+            jnp.asarray([d_pair[0]], jnp.int32),
+            jnp.asarray([d_pair[1]], jnp.int32),
+            jnp.float32(kf_thresh), jnp.float32(beta), jnp.int32(slot_t1),
+        )
+        self._apply_fused(poses, disps, intr, f_net, target, weight, damping)
+        d = float(d)
+        self.age[: self.n_edges] += r1 + (r2 if d >= kf_thresh else 0)
+        return d
+
+    @property
+    def can_fuse_frontend_step(self) -> bool:
+        st = getattr(self.buffer, "sparse_tracks", None)
+        return (
+            self.incremental
+            and not getattr(self.update_fn, "host_only", False)
+            and self.V == 1
+            and (st is None or not st.enabled)
+        )
 
     def update_batch(
         self,
@@ -936,12 +1146,18 @@ class FactorGraph:
         rig, intr = self._rig_intr()
         buf = self.buffer
         chunk_cache = {}
+        fast = not getattr(self.update_fn, "host_only", False)
+        chunk_step = (
+            _jitted_backend_chunk(self.update_fn, buf.camera_type)
+            if fast else None
+        )
         for _ in range(steps):
             pi_d, qi_d, di_d, pj_d, qj_d, ev = self._active_expanded()
-            coords1, valid1 = geom.reproject_mv(
-                buf.poses, rig, buf.disps, intr, buf.camera_type,
-                pi_d, qi_d, di_d, pj_d, qj_d,
-            )
+            if not fast:
+                coords1, valid1 = geom.reproject_mv(
+                    buf.poses, rig, buf.disps, intr, buf.camera_type,
+                    pi_d, qi_d, di_d, pj_d, qj_d,
+                )
 
             for ci, sel in enumerate(frame_chunks):
                 sel_exp = (sel[:, None] * V + np.arange(V)).reshape(-1)
@@ -959,15 +1175,24 @@ class FactorGraph:
                         self.corr_levels, buf.fmaps, di_d[sl], dj_d[sl]
                     )
                 pyr = chunk_cache[ci]
-                corr_feat = corr_ops.corr_lookup_pyramid(
-                    [p.astype(jnp.float32) for p in pyr], coords1[sl],
-                    CORR_RADIUS,
-                )
-                dj_sl = pj_d[sl] * V + qj_d[sl]
-                net, target, weight, eta = self._run_update_fn(
-                    self.f_net[sl], coords1[sl], self.target[sl],
-                    di_d[sl], dj_sl, ev[sl] & cv, corr_feat, NbV,
-                )
+                if fast:
+                    net, target, weight, eta = chunk_step(
+                        self.params, NbV, buf.poses[:Nb], rig,
+                        buf.disps[:NbV], intr, pyr,
+                        self.f_net, self.target, buf.inps[:NbV],
+                        buf.masks[:NbV], sl, pi_d[sl], qi_d[sl], di_d[sl],
+                        pj_d[sl], qj_d[sl], ev[sl] & cv,
+                    )
+                else:
+                    corr_feat = corr_ops.corr_lookup_pyramid(
+                        [p.astype(jnp.float32) for p in pyr], coords1[sl],
+                        CORR_RADIUS,
+                    )
+                    dj_sl = pj_d[sl] * V + qj_d[sl]
+                    net, target, weight, eta = self._run_update_fn(
+                        self.f_net[sl], coords1[sl], self.target[sl],
+                        di_d[sl], dj_sl, ev[sl] & cv, corr_feat, NbV,
+                    )
                 self.f_net = jaxutil.set_rows_at(self.f_net, sl, net)
                 self.target = jaxutil.set_rows_at(self.target, sl, target)
                 self.weight = jaxutil.set_rows_at(self.weight, sl, weight)

@@ -100,24 +100,44 @@ class SLAMFrontend:
         )
         self._dist_token = None
 
-        g.update_fused(self.iters1, use_inactive=True,
-                       fixed_motion=self.has_init_pose)
-
-        d = buf.frame_distance(
-            jnp.asarray([self.t1 - 3], jnp.int32),
-            jnp.asarray([self.t1 - 2], jnp.int32),
-            beta=self.beta, bidirectional=True,
-        )
-        if float(jnp.max(d)) < self.keyframe_thresh:
-            g.rm_second_newest_keyframe(self.t1 - 2)
-            self.t1 -= 1
+        if g.can_fuse_frontend_step:
+            # ONE dispatch: iters1 rounds → removal distance → (cond) iters2
+            # rounds + next-slot init; the returned distance is the only
+            # per-keyframe host sync
+            d = g.frontend_step_fused(
+                self.iters1, self.iters2,
+                d_pair=(self.t1 - 3, self.t1 - 2),
+                kf_thresh=self.keyframe_thresh, beta=self.beta,
+                slot_t1=self.t1, const_vel=not self.has_init_pose,
+                fixed_motion=self.has_init_pose,
+            )
+            if d < self.keyframe_thresh:
+                g.rm_second_newest_keyframe(self.t1 - 2)
+                self.t1 -= 1
+                # the keep-branch slot init was skipped in-program; redo it
+                # for the shifted t1 (rare path)
+                if not self.has_init_pose:
+                    self._init_pose()
+                buf.disps = _jitted_mean_disp_init(
+                    buf.disps, jnp.int32(self.t1)
+                )
         else:
-            g.update_fused(self.iters2, use_inactive=True,
+            g.update_fused(self.iters1, use_inactive=True,
                            fixed_motion=self.has_init_pose)
-
-        if not self.has_init_pose:
-            self._init_pose()
-        buf.disps = _jitted_mean_disp_init(buf.disps, jnp.int32(self.t1))
+            d = buf.frame_distance(
+                jnp.asarray([self.t1 - 3], jnp.int32),
+                jnp.asarray([self.t1 - 2], jnp.int32),
+                beta=self.beta, bidirectional=True,
+            )
+            if float(jnp.max(d)) < self.keyframe_thresh:
+                g.rm_second_newest_keyframe(self.t1 - 2)
+                self.t1 -= 1
+            else:
+                g.update_fused(self.iters2, use_inactive=True,
+                               fixed_motion=self.has_init_pose)
+            if not self.has_init_pose:
+                self._init_pose()
+            buf.disps = _jitted_mean_disp_init(buf.disps, jnp.int32(self.t1))
         self._submit_distance()
 
     def _initialize(self):

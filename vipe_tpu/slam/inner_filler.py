@@ -87,8 +87,10 @@ class InnerFiller:
             graph.add_factors(infill, t0)
             graph.add_factors(infill, t1)
 
-        for _ in range(10):
-            graph.update(s, total, motion_only=not infill_disp, limited_disp=True)
+        # 10 motion-only rounds fused into one dispatch (falls back to the
+        # per-round loop for oracle update_fns / rigs / trackers)
+        graph.update_fused(10, s, total, motion_only=not infill_disp,
+                           limited_disp=True)
 
         self.filled_poses.append(np.asarray(buf.poses[s:total]))
         if infill_disp:
