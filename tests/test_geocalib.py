@@ -101,6 +101,46 @@ class TestLMOptimizer:
             assert abs(float(res.pitch[b]) - pitches[b]) < 0.01
 
 
+class TestDistortedLM:
+    @pytest.mark.parametrize("model,k1_gt", [
+        ("simple_radial", 0.08),
+        ("simple_divisional", -0.12),
+        ("simple_mei", 0.35),
+    ])
+    def test_recovers_k1_nonsquare(self, model, k1_gt):
+        """Synthetic-field recovery with k1 ≠ 0 on a NON-SQUARE grid
+        (reference lm_optimizer.py:519-609 distorted path)."""
+        h, w = 24, 40
+        focal_gt, roll_gt, pitch_gt = 36.0, 0.15, -0.1
+        up_gt = up_field(h, w, focal_gt, roll_gt, pitch_gt,
+                         k1=k1_gt, model=model)
+        lat_gt = latitude_field(h, w, focal_gt, roll_gt, pitch_gt,
+                                k1=k1_gt, model=model)
+        res = calibrate_from_fields(
+            up_gt, lat_gt, focal_init=float(w), model=model,
+        )
+        assert abs(float(res.focal) - focal_gt) / focal_gt < 0.05, res
+        assert abs(float(res.k1) - k1_gt) < 0.05, res
+        assert abs(float(res.roll[0]) - roll_gt) < 0.02
+        assert abs(float(res.pitch[0]) - pitch_gt) < 0.02
+
+    def test_distortion_roundtrip(self):
+        """undistort(distort_scale·uv) = uv for every model."""
+        from vipe_tpu.priors.geocalib.fields import (
+            distort_scale,
+            normalized_grid,
+            undistort,
+        )
+
+        uv = np.asarray(normalized_grid(12, 16, 20.0))
+        for model, k1 in (("simple_radial", 0.1),
+                          ("simple_divisional", -0.15),
+                          ("simple_mei", 0.4)):
+            s = np.asarray(distort_scale(model, uv, k1))
+            back = np.asarray(undistort(model, uv * s, k1))
+            np.testing.assert_allclose(back, uv, atol=2e-4, err_msg=model)
+
+
 class TestGeoCalibNet:
     def test_forward_shapes(self, rng):
         from vipe_tpu.priors.geocalib import GeoCalib

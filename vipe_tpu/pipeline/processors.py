@@ -45,7 +45,11 @@ class GeoCalibIntrinsicsProcessor(StreamProcessor):
                  sample_stream=None):
         from ..priors.geocalib import GeoCalib
 
-        self.model = GeoCalib(camera_type)
+        # SLAM camera type → geocalib model (reference processors.py:90-93)
+        model = {"pinhole": "pinhole", "mei": "simple_mei"}.get(
+            camera_type, camera_type
+        )
+        self.model = GeoCalib(model)
         self.camera_type = camera_type
         self.shared = shared_intrinsics
         self._intr = None

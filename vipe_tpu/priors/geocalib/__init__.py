@@ -30,10 +30,10 @@ class GeoCalib:
 
         from .network import GeoCalibNet
 
-        assert camera_type in ("pinhole",), (
-            "distorted GeoCalib variants pending (reference supports "
-            "simple_radial/simple_divisional/mei heads)"
-        )
+        assert camera_type in (
+            "pinhole", "simple_radial", "simple_divisional", "simple_mei",
+        ), camera_type
+        self.camera_type = camera_type
         self.net = GeoCalibNet()
         self.infer_size = infer_size
         if params is None:
@@ -70,18 +70,23 @@ class GeoCalib:
     def calibrate(self, frames: List[np.ndarray], shared_intrinsics: bool = True):
         """Calibrate from ≤3 sampled frames (reference processors.py:83-104).
 
-        Returns full-res (4,) pinhole intrinsics [fx, fy, cx, cy] with
-        fx = fy from the recovered FOV, principal point at the center.
+        Returns full-res intrinsics: pinhole → (4,) [fx, fy, cx, cy];
+        distorted models → (5,) with the recovered k1 appended (the
+        normalized-coordinate distortion is resolution independent).
         """
         fields = [self.predict_fields(f) for f in frames]
         ups = np.stack([f["up_field"] for f in fields])
         lats = np.stack([f["latitude_field"] for f in fields])
         ucs = np.stack([f["up_confidence"] for f in fields])
         lcs = np.stack([f["latitude_confidence"] for f in fields])
-        res = calibrate_from_fields(ups, lats, ucs, lcs)
+        res = calibrate_from_fields(ups, lats, ucs, lcs,
+                                    model=self.camera_type)
 
         h0, w0 = frames[0].shape[:2]
         # focal recovered at the (uniformly scaled) infer resolution; undo the
         # short-side scale factor (the /32 crop does not change focal)
         f_full = float(res.focal) * (min(h0, w0) / self.infer_size)
-        return np.asarray([f_full, f_full, w0 / 2.0, h0 / 2.0], np.float32)
+        intr = [f_full, f_full, w0 / 2.0, h0 / 2.0]
+        if self.camera_type != "pinhole":
+            intr.append(float(res.k1))
+        return np.asarray(intr, np.float32)

@@ -33,13 +33,15 @@ class LMResult(NamedTuple):
     focal: jnp.ndarray     # ()
     cost: jnp.ndarray      # ()
     n_iters: jnp.ndarray   # ()
+    k1: object = None  # () shared distortion (None/0 for pinhole)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def lm_calibrate(
     h: int,
     w: int,
     max_iters: int,
+    model: str,      # pinhole | simple_radial | simple_divisional | simple_mei
     up_obs,          # (B, h, w, 2) observed up field
     lat_obs,         # (B, h, w) observed latitude
     up_conf,         # (B, h, w) confidence weights
@@ -47,20 +49,23 @@ def lm_calibrate(
     focal_init,      # () initial focal (pixels)
     roll_init,       # (B,)
     pitch_init,      # (B,)
+    k1_init,         # () initial distortion
     lambda_init=0.1,
     atol=1e-8,
     rtol=1e-8,
 ):
     B = up_obs.shape[0]
+    has_dist = model != "pinhole"
 
     def residuals(theta):
         roll = theta[:B]
         pitch = theta[B: 2 * B]
         focal = theta[2 * B]
+        k1 = theta[2 * B + 1] if has_dist else None
 
         def per_frame(r, p, uo, lo, uc, lc):
-            up = up_field(h, w, focal, r, p)
-            lat = latitude_field(h, w, focal, r, p)
+            up = up_field(h, w, focal, r, p, k1=k1, model=model)
+            lat = latitude_field(h, w, focal, r, p, k1=k1, model=model)
             r_up = (up - uo) * jnp.sqrt(jnp.maximum(uc, 0.0))[..., None]
             r_lat = (lat - lo) * jnp.sqrt(jnp.maximum(lc, 0.0))
             return jnp.concatenate([r_up.reshape(-1), r_lat.reshape(-1)])
@@ -74,10 +79,11 @@ def lm_calibrate(
         r = residuals(theta)
         return jnp.sum(r * r)
 
-    theta0 = jnp.concatenate(
-        [jnp.atleast_1d(roll_init), jnp.atleast_1d(pitch_init),
-         jnp.atleast_1d(focal_init)]
-    ).astype(jnp.float32)
+    parts = [jnp.atleast_1d(roll_init), jnp.atleast_1d(pitch_init),
+             jnp.atleast_1d(focal_init)]
+    if has_dist:
+        parts.append(jnp.atleast_1d(k1_init))
+    theta0 = jnp.concatenate(parts).astype(jnp.float32)
 
     def body(state):
         theta, lamb, prev_cost, it, done = state
@@ -107,6 +113,7 @@ def lm_calibrate(
     return LMResult(
         roll=theta[:B], pitch=theta[B: 2 * B], focal=theta[2 * B],
         cost=cost, n_iters=it,
+        k1=theta[2 * B + 1] if has_dist else jnp.zeros(()),
     )
 
 
@@ -114,6 +121,8 @@ def calibrate_from_fields(
     up_obs, lat_obs, up_conf=None, lat_conf=None,
     focal_init: Optional[float] = None,
     max_iters: int = 30,
+    model: str = "pinhole",
+    k1_init: float = 0.0,
 ):
     """Convenience wrapper: observed fields (B, h, w, ·) → (focal, roll, pitch).
 
@@ -136,8 +145,9 @@ def calibrate_from_fields(
         focal_init = float(w)
 
     res = lm_calibrate(
-        h, w, max_iters, up_obs, lat_obs,
+        h, w, max_iters, model, up_obs, lat_obs,
         jnp.asarray(up_conf), jnp.asarray(lat_conf),
         jnp.float32(focal_init), jnp.zeros((B,)), jnp.zeros((B,)),
+        jnp.float32(k1_init),
     )
     return res
