@@ -80,9 +80,11 @@ class TestDAv2:
         assert fi == ci
 
 
-def make_synthetic_dav2_sd(rng, cond_dim: int = 0) -> dict:
+def make_synthetic_dav2_sd(rng, cond_dim: int = 0,
+                           head_prefix: str = "depth_head") -> dict:
     """Reference-shaped torch state_dict for a vits DAv2 (optionally the
-    PriorDA conditioned variant with patch_embed.alpha_proj)."""
+    PriorDA conditioned variant with patch_embed.alpha_proj; VDA checkpoints
+    use head_prefix="head")."""
     D, depth = 384, 12
     cfg = DAV2_CONFIGS["vits"]
     sd = {}
@@ -112,19 +114,19 @@ def make_synthetic_dav2_sd(rng, cond_dim: int = 0) -> dict:
     oc = cfg["out_channels"]
     feats = cfg["features"]
     for i in range(4):
-        add(f"depth_head.projects.{i}.weight", (oc[i], D, 1, 1))
-        add(f"depth_head.projects.{i}.bias", (oc[i],))
-        sd[f"depth_head.scratch.layer{i + 1}_rn.weight"] = (
+        add(f"{head_prefix}.projects.{i}.weight", (oc[i], D, 1, 1))
+        add(f"{head_prefix}.projects.{i}.bias", (oc[i],))
+        sd[f"{head_prefix}.scratch.layer{i + 1}_rn.weight"] = (
             rng.normal(size=(feats, oc[i], 3, 3)).astype(np.float32) * 0.02
         )
-    add("depth_head.resize_layers.0.weight", (oc[0], oc[0], 4, 4))
-    add("depth_head.resize_layers.0.bias", (oc[0],))
-    add("depth_head.resize_layers.1.weight", (oc[1], oc[1], 2, 2))
-    add("depth_head.resize_layers.1.bias", (oc[1],))
-    add("depth_head.resize_layers.3.weight", (oc[3], oc[3], 3, 3))
-    add("depth_head.resize_layers.3.bias", (oc[3],))
+    add(f"{head_prefix}.resize_layers.0.weight", (oc[0], oc[0], 4, 4))
+    add(f"{head_prefix}.resize_layers.0.bias", (oc[0],))
+    add(f"{head_prefix}.resize_layers.1.weight", (oc[1], oc[1], 2, 2))
+    add(f"{head_prefix}.resize_layers.1.bias", (oc[1],))
+    add(f"{head_prefix}.resize_layers.3.weight", (oc[3], oc[3], 3, 3))
+    add(f"{head_prefix}.resize_layers.3.bias", (oc[3],))
     for r in range(1, 5):
-        rn = f"depth_head.scratch.refinenet{r}"
+        rn = f"{head_prefix}.scratch.refinenet{r}"
         for u in (1, 2):
             add(f"{rn}.resConfUnit{u}.conv1.weight", (feats, feats, 3, 3))
             add(f"{rn}.resConfUnit{u}.conv1.bias", (feats,))
@@ -132,12 +134,12 @@ def make_synthetic_dav2_sd(rng, cond_dim: int = 0) -> dict:
             add(f"{rn}.resConfUnit{u}.conv2.bias", (feats,))
         add(f"{rn}.out_conv.weight", (feats, feats, 1, 1))
         add(f"{rn}.out_conv.bias", (feats,))
-    add("depth_head.scratch.output_conv1.weight", (feats // 2, feats, 3, 3))
-    add("depth_head.scratch.output_conv1.bias", (feats // 2,))
-    add("depth_head.scratch.output_conv2.0.weight", (32, feats // 2, 3, 3))
-    add("depth_head.scratch.output_conv2.0.bias", (32,))
-    add("depth_head.scratch.output_conv2.2.weight", (1, 32, 1, 1))
-    add("depth_head.scratch.output_conv2.2.bias", (1,))
+    add(f"{head_prefix}.scratch.output_conv1.weight", (feats // 2, feats, 3, 3))
+    add(f"{head_prefix}.scratch.output_conv1.bias", (feats // 2,))
+    add(f"{head_prefix}.scratch.output_conv2.0.weight", (32, feats // 2, 3, 3))
+    add(f"{head_prefix}.scratch.output_conv2.0.bias", (32,))
+    add(f"{head_prefix}.scratch.output_conv2.2.weight", (1, 32, 1, 1))
+    add(f"{head_prefix}.scratch.output_conv2.2.bias", (1,))
 
     return sd
 
@@ -151,6 +153,58 @@ class TestVDA:
         out = net(clip)
         assert out.shape == (4, 70, 70)
         assert float(jnp.min(out)) >= 0.0
+
+    def test_vda_converter_tree_parity(self, rng):
+        """VDA checkpoint (pretrained + head.* incl. motion modules)
+        converts to the exact flax tree."""
+        from vipe_tpu.priors.depth.videodepthanything import (
+            VideoDepthAnythingNet,
+        )
+
+        sd = make_synthetic_dav2_sd(rng, head_prefix="head")
+        D = 384
+        oc = DAV2_CONFIGS["vits"]["out_channels"]
+        feats = DAV2_CONFIGS["vits"]["features"]
+        motion_ch = (oc[2], oc[3], feats, feats)
+
+        def add(key, shape):
+            sd[key] = rng.normal(size=shape).astype(np.float32) * 0.02
+
+        for m, C in enumerate(motion_ch):
+            t = f"head.motion_modules.{m}.temporal_transformer"
+            add(f"{t}.norm.weight", (C,)); add(f"{t}.norm.bias", (C,))
+            add(f"{t}.proj_in.weight", (C, C)); add(f"{t}.proj_in.bias", (C,))
+            b = f"{t}.transformer_blocks.0"
+            for i in range(2):
+                a = f"{b}.attention_blocks.{i}"
+                add(f"{a}.to_q.weight", (C, C))
+                add(f"{a}.to_k.weight", (C, C))
+                add(f"{a}.to_v.weight", (C, C))
+                add(f"{a}.to_out.0.weight", (C, C))
+                add(f"{a}.to_out.0.bias", (C,))
+                add(f"{b}.norms.{i}.weight", (C,))
+                add(f"{b}.norms.{i}.bias", (C,))
+            add(f"{b}.ff_norm.weight", (C,)); add(f"{b}.ff_norm.bias", (C,))
+            add(f"{b}.ff.net.0.proj.weight", (8 * C, C))
+            add(f"{b}.ff.net.0.proj.bias", (8 * C,))
+            add(f"{b}.ff.net.2.weight", (C, 4 * C))
+            add(f"{b}.ff.net.2.bias", (C,))
+            add(f"{t}.proj_out.weight", (C, C))
+            add(f"{t}.proj_out.bias", (C,))
+
+        converted = mconvert.convert_vda(sd)
+        fresh = VideoDepthAnythingNet("vits", num_frames=4)
+        fi = {jax.tree_util.keystr(p): v.shape
+              for p, v in jax.tree_util.tree_leaves_with_path(fresh.params)}
+        ci = {jax.tree_util.keystr(p): np.shape(v)
+              for p, v in jax.tree_util.tree_leaves_with_path(converted)}
+        assert fi == ci, (
+            sorted(set(fi) - set(ci))[:6], sorted(set(ci) - set(fi))[:6]
+        )
+
+        net = VideoDepthAnythingNet("vits", num_frames=4, params=converted)
+        out = net(jnp.asarray(rng.random((4, 70, 70, 3)), jnp.float32))
+        assert out.shape == (4, 70, 70)
 
     def test_stitching_recovers_affine_drift(self, rng):
         """Windows differing by an affine transform stitch into a consistent

@@ -31,6 +31,116 @@ class TestSam:
         assert m.shape == (50, 120)
 
 
+class TestSamConverter:
+    def test_synthetic_state_dict_tree_parity(self, rng):
+        """Meta-SAM-shaped state_dict converts to the exact flax tree
+        (img_size 128 keeps the init fast; shapes scale with the grid)."""
+        import jax
+
+        from vipe_tpu.models import convert as mconvert
+        from vipe_tpu.priors.track_anything.sam import SAM_CONFIGS
+
+        cfg = SAM_CONFIGS["vit_b"]
+        D, depth, heads = cfg["embed_dim"], cfg["depth"], cfg["num_heads"]
+        g = 128 // 16
+        ws = 14
+        P = 256  # prompt dim
+        sd = {}
+
+        def add(key, shape):
+            sd[key] = rng.normal(size=shape).astype(np.float32) * 0.02
+
+        e = "image_encoder"
+        add(f"{e}.patch_embed.proj.weight", (D, 3, 16, 16))
+        add(f"{e}.patch_embed.proj.bias", (D,))
+        add(f"{e}.pos_embed", (1, g, g, D))
+        hd = D // heads
+        for i in range(depth):
+            b = f"{e}.blocks.{i}"
+            r = g if i in cfg["global_attn"] else ws
+            add(f"{b}.norm1.weight", (D,)); add(f"{b}.norm1.bias", (D,))
+            add(f"{b}.attn.qkv.weight", (3 * D, D))
+            add(f"{b}.attn.qkv.bias", (3 * D,))
+            add(f"{b}.attn.proj.weight", (D, D))
+            add(f"{b}.attn.proj.bias", (D,))
+            add(f"{b}.attn.rel_pos_h", (2 * r - 1, hd))
+            add(f"{b}.attn.rel_pos_w", (2 * r - 1, hd))
+            add(f"{b}.norm2.weight", (D,)); add(f"{b}.norm2.bias", (D,))
+            add(f"{b}.mlp.lin1.weight", (4 * D, D))
+            add(f"{b}.mlp.lin1.bias", (4 * D,))
+            add(f"{b}.mlp.lin2.weight", (D, 4 * D))
+            add(f"{b}.mlp.lin2.bias", (D,))
+        add(f"{e}.neck.0.weight", (P, D, 1, 1))
+        add(f"{e}.neck.1.weight", (P,)); add(f"{e}.neck.1.bias", (P,))
+        add(f"{e}.neck.2.weight", (P, P, 3, 3))
+        add(f"{e}.neck.3.weight", (P,)); add(f"{e}.neck.3.bias", (P,))
+
+        pr = "prompt_encoder"
+        add(f"{pr}.pe_layer.positional_encoding_gaussian_matrix", (2, P // 2))
+        for i in range(4):
+            add(f"{pr}.point_embeddings.{i}.weight", (1, P))
+        add(f"{pr}.no_mask_embed.weight", (1, P))
+
+        d = "mask_decoder"
+        add(f"{d}.iou_token.weight", (1, P))
+        add(f"{d}.mask_tokens.weight", (4, P))
+
+        def tw(base, internal):
+            add(f"{base}.q_proj.weight", (internal, P))
+            add(f"{base}.q_proj.bias", (internal,))
+            add(f"{base}.k_proj.weight", (internal, P))
+            add(f"{base}.k_proj.bias", (internal,))
+            add(f"{base}.v_proj.weight", (internal, P))
+            add(f"{base}.v_proj.bias", (internal,))
+            add(f"{base}.out_proj.weight", (P, internal))
+            add(f"{base}.out_proj.bias", (P,))
+
+        for i in range(2):
+            b = f"{d}.transformer.layers.{i}"
+            tw(f"{b}.self_attn", P)
+            tw(f"{b}.cross_attn_token_to_image", P // 2)
+            tw(f"{b}.cross_attn_image_to_token", P // 2)
+            for n in (1, 2, 3, 4):
+                add(f"{b}.norm{n}.weight", (P,)); add(f"{b}.norm{n}.bias", (P,))
+            add(f"{b}.mlp.lin1.weight", (2048, P))
+            add(f"{b}.mlp.lin1.bias", (2048,))
+            add(f"{b}.mlp.lin2.weight", (P, 2048))
+            add(f"{b}.mlp.lin2.bias", (P,))
+        tw(f"{d}.transformer.final_attn_token_to_image", P // 2)
+        add(f"{d}.transformer.norm_final_attn.weight", (P,))
+        add(f"{d}.transformer.norm_final_attn.bias", (P,))
+        add(f"{d}.output_upscaling.0.weight", (P, P // 4, 2, 2))
+        add(f"{d}.output_upscaling.0.bias", (P // 4,))
+        add(f"{d}.output_upscaling.1.weight", (P // 4,))
+        add(f"{d}.output_upscaling.1.bias", (P // 4,))
+        add(f"{d}.output_upscaling.3.weight", (P // 4, P // 8, 2, 2))
+        add(f"{d}.output_upscaling.3.bias", (P // 8,))
+        for k in range(4):
+            dims = [(P, P), (P, P), (P // 8, P)]
+            for j, (o, i_) in enumerate(dims):
+                add(f"{d}.output_hypernetworks_mlps.{k}.layers.{j}.weight",
+                    (o, i_))
+                add(f"{d}.output_hypernetworks_mlps.{k}.layers.{j}.bias", (o,))
+        for j, (o, i_) in enumerate([(256, P), (256, 256), (4, 256)]):
+            add(f"{d}.iou_prediction_head.layers.{j}.weight", (o, i_))
+            add(f"{d}.iou_prediction_head.layers.{j}.bias", (o,))
+
+        converted = mconvert.convert_sam(sd)
+        fresh = SamPredictor("vit_b", img_size=128)
+        fi = {jax.tree_util.keystr(p): v.shape
+              for p, v in jax.tree_util.tree_leaves_with_path(fresh.params)}
+        ci = {jax.tree_util.keystr(p): np.shape(v)
+              for p, v in jax.tree_util.tree_leaves_with_path(converted)}
+        assert fi == ci, (
+            sorted(set(fi) - set(ci))[:5], sorted(set(ci) - set(fi))[:5]
+        )
+
+        pred = SamPredictor("vit_b", params=converted, img_size=128)
+        pred.set_image(rng.random((96, 128, 3)).astype(np.float32))
+        m = pred.segment_with_box([20, 15, 90, 70])
+        assert m.shape == (96, 128)
+
+
 class _FakeDetector:
     def run_grounding(self, rgb, phrases):
         h, w = rgb.shape[:2]

@@ -331,3 +331,142 @@ def convert_metric3d(state_dict: Mapping,
         "vit": convert_dinov2_vit(state_dict, encoder_prefix),
         "decoder": convert_metric3d_decoder(state_dict, decoder_prefix),
     }
+
+
+def convert_sam(sd: Mapping) -> dict:
+    """Meta segment-anything checkpoint → flax SamPredictor params
+    ({"encoder", "prompt", "decoder"}; vipe_tpu/priors/track_anything/sam.py,
+    reference vendored SAM under vipe/priors/track_anything/sam/)."""
+    sd = {k.removeprefix("module."): _to_np(v) for k, v in sd.items()}
+    enc: dict = {}
+    e = "image_encoder"
+    enc["patch_embed"] = _conv_entry(sd, f"{e}.patch_embed.proj")
+    enc["pos_embed"] = np.asarray(sd[f"{e}.pos_embed"], np.float32)
+    i = 0
+    while f"{e}.blocks.{i}.norm1.weight" in sd:
+        b = f"{e}.blocks.{i}"
+        enc[f"block{i}"] = {
+            "norm1": _ln(sd, f"{b}.norm1"),
+            "attn": {
+                "qkv": _lin(sd, f"{b}.attn.qkv"),
+                "proj": _lin(sd, f"{b}.attn.proj"),
+                "rel_pos_h": np.asarray(sd[f"{b}.attn.rel_pos_h"], np.float32),
+                "rel_pos_w": np.asarray(sd[f"{b}.attn.rel_pos_w"], np.float32),
+            },
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "mlp_lin1": _lin(sd, f"{b}.mlp.lin1"),
+            "mlp_lin2": _lin(sd, f"{b}.mlp.lin2"),
+        }
+        i += 1
+    enc["neck_conv1"] = _conv_entry(sd, f"{e}.neck.0")
+    enc["neck_ln1"] = _ln(sd, f"{e}.neck.1")
+    enc["neck_conv2"] = _conv_entry(sd, f"{e}.neck.2")
+    enc["neck_ln2"] = _ln(sd, f"{e}.neck.3")
+
+    pr = "prompt_encoder"
+    prompt = {
+        "pe_gaussian": np.asarray(
+            sd[f"{pr}.pe_layer.positional_encoding_gaussian_matrix"],
+            np.float32,
+        ),
+        # point_embeddings 2/3 are the box-corner embeddings (the flax
+        # predictor is box-prompted)
+        "point_embed_2": np.asarray(
+            sd[f"{pr}.point_embeddings.2.weight"], np.float32)[0],
+        "point_embed_3": np.asarray(
+            sd[f"{pr}.point_embeddings.3.weight"], np.float32)[0],
+        "no_mask_embed": np.asarray(
+            sd[f"{pr}.no_mask_embed.weight"], np.float32)[0],
+    }
+
+    d = "mask_decoder"
+
+    def twoway(base):
+        return {k: _lin(sd, f"{base}.{k}_proj")
+                for k in ("q", "k", "v")} | {"out_proj": _lin(sd, f"{base}.out_proj")}
+
+    def twoway_named(base):
+        t = twoway(base)
+        return {"q_proj": t["q"], "k_proj": t["k"], "v_proj": t["v"],
+                "out_proj": t["out_proj"]}
+
+    dec: dict = {
+        "iou_token": np.asarray(sd[f"{d}.iou_token.weight"], np.float32),
+        "mask_tokens": np.asarray(sd[f"{d}.mask_tokens.weight"], np.float32),
+    }
+    for i in range(2):
+        b = f"{d}.transformer.layers.{i}"
+        dec[f"layer{i}"] = {
+            "self_attn": twoway_named(f"{b}.self_attn"),
+            "norm1": _ln(sd, f"{b}.norm1"),
+            "cross_attn_t2i": twoway_named(f"{b}.cross_attn_token_to_image"),
+            "norm2": _ln(sd, f"{b}.norm2"),
+            "mlp_lin1": _lin(sd, f"{b}.mlp.lin1"),
+            "mlp_lin2": _lin(sd, f"{b}.mlp.lin2"),
+            "norm3": _ln(sd, f"{b}.norm3"),
+            "cross_attn_i2t": twoway_named(f"{b}.cross_attn_image_to_token"),
+            "norm4": _ln(sd, f"{b}.norm4"),
+        }
+    dec["final_attn"] = twoway_named(
+        f"{d}.transformer.final_attn_token_to_image"
+    )
+    dec["norm_final"] = _ln(sd, f"{d}.transformer.norm_final_attn")
+    dec["upscale1"] = _convt(sd, f"{d}.output_upscaling.0")
+    dec["upscale_ln"] = _ln(sd, f"{d}.output_upscaling.1")
+    dec["upscale2"] = _convt(sd, f"{d}.output_upscaling.3")
+    for k in range(4):
+        for j in range(3):
+            dec[f"hyper{k}_lin{j}"] = _lin(
+                sd, f"{d}.output_hypernetworks_mlps.{k}.layers.{j}"
+            )
+    for j in range(3):
+        dec[f"iou_lin{j}"] = _lin(sd, f"{d}.iou_prediction_head.layers.{j}")
+
+    return {"encoder": {"params": enc}, "prompt": {"params": prompt},
+            "decoder": {"params": dec}}
+
+
+def convert_vda(sd: Mapping) -> dict:
+    """VideoDepthAnything checkpoint → flax {"vit", "head"} params
+    (vipe_tpu/priors/depth/videodepthanything.py + models/temporal.py;
+    reference videodepthanything/dpt_temporal.py + motion_module/)."""
+    sd = {k.removeprefix("module."): _to_np(v) for k, v in sd.items()}
+    head = convert_dpt_head(sd, "head")["params"]
+
+    for m in range(4):
+        t = f"head.motion_modules.{m}.temporal_transformer"
+        blocks = {}
+        li = 0
+        while f"{t}.transformer_blocks.{li}.ff_norm.weight" in sd:
+            b = f"{t}.transformer_blocks.{li}"
+            entry = {}
+            ai = 0
+            while f"{b}.attention_blocks.{ai}.to_q.weight" in sd:
+                a = f"{b}.attention_blocks.{ai}"
+                entry[f"attn{ai}"] = {
+                    "to_q": {"kernel": np.asarray(
+                        sd[f"{a}.to_q.weight"], np.float32).T},
+                    "to_k": {"kernel": np.asarray(
+                        sd[f"{a}.to_k.weight"], np.float32).T},
+                    "to_v": {"kernel": np.asarray(
+                        sd[f"{a}.to_v.weight"], np.float32).T},
+                    "to_out": _lin(sd, f"{a}.to_out.0"),
+                }
+                entry[f"norm{ai}"] = _ln(sd, f"{b}.norms.{ai}")
+                ai += 1
+            entry["ff_norm"] = _ln(sd, f"{b}.ff_norm")
+            entry["ff_geglu"] = {"proj": _lin(sd, f"{b}.ff.net.0.proj")}
+            entry["ff_out"] = _lin(sd, f"{b}.ff.net.2")
+            blocks[f"block{li}"] = entry
+            li += 1
+        head[f"motion{m}"] = {
+            "norm": _ln(sd, f"{t}.norm"),
+            "proj_in": _lin(sd, f"{t}.proj_in"),
+            **blocks,
+            "proj_out": _lin(sd, f"{t}.proj_out"),
+        }
+
+    return {
+        "vit": convert_dinov2_vit(sd, "pretrained"),
+        "head": {"params": head},
+    }
