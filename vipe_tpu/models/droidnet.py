@@ -45,6 +45,7 @@ class ResidualBlock(nn.Module):
     planes: int
     norm_fn: str = "instance"
     stride: int = 1
+    dtype: object = jnp.bfloat16
 
     def _norm(self, x):
         if self.norm_fn == "instance":
@@ -55,12 +56,12 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.planes, (3, 3), strides=self.stride, name="conv1")(x)
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride, name="conv1", dtype=self.dtype)(x)
         y = nn.relu(self._norm(y))
-        y = nn.Conv(self.planes, (3, 3), name="conv2")(y)
+        y = nn.Conv(self.planes, (3, 3), name="conv2", dtype=self.dtype)(y)
         y = nn.relu(self._norm(y))
         if self.stride != 1 or x.shape[-1] != self.planes:
-            x = nn.Conv(self.planes, (1, 1), strides=self.stride, name="downsample")(x)
+            x = nn.Conv(self.planes, (1, 1), strides=self.stride, name="downsample", dtype=self.dtype)(x)
             x = self._norm(x)
         return nn.relu(x + y)
 
@@ -68,43 +69,45 @@ class ResidualBlock(nn.Module):
 class BasicEncoder(nn.Module):
     output_dim: int = 128
     norm_fn: str = "instance"
+    dtype: object = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         """x: (B, H, W, 3) ImageNet-normalized → (B, H/8, W/8, output_dim)."""
-        x = nn.Conv(DIM, (7, 7), strides=2, name="conv1")(x)
+        x = nn.Conv(DIM, (7, 7), strides=2, name="conv1", dtype=self.dtype)(x)
         if self.norm_fn == "instance":
             x = instance_norm(x)
         x = nn.relu(x)
         for i, (dim, stride) in enumerate([(DIM, 1), (2 * DIM, 2), (4 * DIM, 2)]):
-            x = ResidualBlock(dim, self.norm_fn, stride, name=f"layer{i + 1}_0")(x)
-            x = ResidualBlock(dim, self.norm_fn, 1, name=f"layer{i + 1}_1")(x)
-        return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
+            x = ResidualBlock(dim, self.norm_fn, stride, dtype=self.dtype, name=f"layer{i + 1}_0")(x)
+            x = ResidualBlock(dim, self.norm_fn, 1, dtype=self.dtype, name=f"layer{i + 1}_1")(x)
+        return nn.Conv(self.output_dim, (1, 1), name="conv2", dtype=self.dtype)(x)
 
 
 class ConvGRU(nn.Module):
     h_planes: int = 128
+    dtype: object = jnp.bfloat16
 
     @nn.compact
     def __call__(self, net, inp):
         """net: (B, H, W, 128) hidden; inp: (B, H, W, i_planes)."""
         net_inp = jnp.concatenate([net, inp], axis=-1)
-        glo = jax.nn.sigmoid(nn.Conv(self.h_planes, (1, 1), name="w")(net)) * net
+        glo = jax.nn.sigmoid(nn.Conv(self.h_planes, (1, 1), name="w", dtype=self.dtype)(net)) * net
         glo = glo.mean(axis=(1, 2), keepdims=True)  # (B,1,1,128)
 
         z = jax.nn.sigmoid(
-            nn.Conv(self.h_planes, (3, 3), name="convz")(net_inp)
-            + nn.Conv(self.h_planes, (1, 1), name="convz_glo")(glo)
+            nn.Conv(self.h_planes, (3, 3), name="convz", dtype=self.dtype)(net_inp)
+            + nn.Conv(self.h_planes, (1, 1), name="convz_glo", dtype=self.dtype)(glo)
         )
         r = jax.nn.sigmoid(
-            nn.Conv(self.h_planes, (3, 3), name="convr")(net_inp)
-            + nn.Conv(self.h_planes, (1, 1), name="convr_glo")(glo)
+            nn.Conv(self.h_planes, (3, 3), name="convr", dtype=self.dtype)(net_inp)
+            + nn.Conv(self.h_planes, (1, 1), name="convr_glo", dtype=self.dtype)(glo)
         )
         q = jnp.tanh(
-            nn.Conv(self.h_planes, (3, 3), name="convq")(
+            nn.Conv(self.h_planes, (3, 3), name="convq", dtype=self.dtype)(
                 jnp.concatenate([r * net, inp], axis=-1)
             )
-            + nn.Conv(self.h_planes, (1, 1), name="convq_glo")(glo)
+            + nn.Conv(self.h_planes, (1, 1), name="convq_glo", dtype=self.dtype)(glo)
         )
         return (1 - z) * net + z * q
 
@@ -117,21 +120,28 @@ class GraphAgg(nn.Module):
     checkpoint keys).
     """
 
+    dtype: object = jnp.bfloat16
+
     @nn.compact
     def __call__(self, net, ix, num_frames: int):
         """net: (E, H, W, 128) hidden states; ix: (E,) source frame index."""
-        net = nn.relu(nn.Conv(128, (3, 3), name="conv1")(net))
+        net = nn.relu(nn.Conv(128, (3, 3), name="conv1", dtype=self.dtype)(net))
         # scatter_mean over edges per source frame (reference scatter_mean)
         ones = jnp.ones((net.shape[0],), net.dtype)
         counts = jax.ops.segment_sum(ones, ix, num_segments=num_frames)
         summed = jax.ops.segment_sum(net, ix, num_segments=num_frames)
         net = summed / jnp.maximum(counts, 1.0)[:, None, None, None]
-        net = nn.relu(nn.Conv(128, (3, 3), name="conv2")(net))
-        eta = jax.nn.softplus(nn.Conv(1, (3, 3), name="eta")(net))
+        net = nn.relu(nn.Conv(128, (3, 3), name="conv2", dtype=self.dtype)(net))
+        eta = jax.nn.softplus(nn.Conv(1, (3, 3), name="eta", dtype=self.dtype)(net).astype(jnp.float32))
         return 0.01 * eta[..., 0]  # (num_frames, H, W)
 
 
 class UpdateModule(nn.Module):
+    # bf16 compute, f32 outputs — the reference runs the whole update under
+    # CUDA fp16 autocast (droid_net.py @autocast); the GRU convs are ~350
+    # GFLOP per fused round and dominate the frontend at f32
+    dtype: object = jnp.bfloat16
+
     @nn.compact
     def __call__(self, net, inp, corr, flow, ix=None, num_frames: int = 0):
         """One RAFT-SLAM update.
@@ -139,32 +149,39 @@ class UpdateModule(nn.Module):
         net/inp: (E, H, W, 128); corr: (E, H, W, 196); flow: (E, H, W, 4).
         Returns (net', delta (E,H,W,2), weight (E,H,W,2)[, eta (N,H,W)]).
         """
-        c = nn.relu(nn.Conv(128, (1, 1), name="corr_enc1")(corr))
-        c = nn.relu(nn.Conv(128, (3, 3), name="corr_enc2")(c))
-        f = nn.relu(nn.Conv(128, (7, 7), name="flow_enc1")(flow))
-        f = nn.relu(nn.Conv(64, (3, 3), name="flow_enc2")(f))
+        c = nn.relu(nn.Conv(128, (1, 1), name="corr_enc1", dtype=self.dtype)(corr))
+        c = nn.relu(nn.Conv(128, (3, 3), name="corr_enc2", dtype=self.dtype)(c))
+        f = nn.relu(nn.Conv(128, (7, 7), name="flow_enc1", dtype=self.dtype)(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), name="flow_enc2", dtype=self.dtype)(f))
 
         gru_inp = jnp.concatenate([inp, c, f], axis=-1)
-        net = ConvGRU(name="gru")(net, gru_inp)
+        net = ConvGRU(dtype=self.dtype, name="gru")(net, gru_inp)
 
-        d = nn.relu(nn.Conv(128, (3, 3), name="delta1")(net))
-        delta = nn.Conv(2, (3, 3), name="delta2")(d)
-        wgt = nn.relu(nn.Conv(128, (3, 3), name="weight1")(net))
-        weight = jax.nn.sigmoid(nn.Conv(2, (3, 3), name="weight2")(wgt))
+        d = nn.relu(nn.Conv(128, (3, 3), name="delta1", dtype=self.dtype)(net))
+        delta = nn.Conv(2, (3, 3), name="delta2", dtype=self.dtype)(d).astype(jnp.float32)
+        wgt = nn.relu(nn.Conv(128, (3, 3), name="weight1", dtype=self.dtype)(net))
+        weight = jax.nn.sigmoid(
+            nn.Conv(2, (3, 3), name="weight2", dtype=self.dtype)(wgt)
+            .astype(jnp.float32)
+        )
 
         if ix is not None:
-            eta = GraphAgg(name="agg")(net, ix, num_frames)
-            return net, delta, weight, eta
-        return net, delta, weight
+            eta = GraphAgg(dtype=self.dtype, name="agg")(net, ix, num_frames)
+            return net.astype(jnp.float32), delta, weight, eta
+        return net.astype(jnp.float32), delta, weight
 
 
 class DroidNet(nn.Module):
     """Container exposing the three sub-networks as flax methods."""
 
+    dtype: object = jnp.bfloat16
+
     def setup(self):
-        self.fnet = BasicEncoder(output_dim=128, norm_fn="instance")
-        self.cnet = BasicEncoder(output_dim=256, norm_fn="none")
-        self.update = UpdateModule()
+        self.fnet = BasicEncoder(output_dim=128, norm_fn="instance",
+                                 dtype=self.dtype)
+        self.cnet = BasicEncoder(output_dim=256, norm_fn="none",
+                                 dtype=self.dtype)
+        self.update = UpdateModule(dtype=self.dtype)
 
     def encode_features(self, images):
         """images: (B, H, W, 3) RGB — uint8 or float in [0, 1] →

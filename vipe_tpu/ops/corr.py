@@ -145,14 +145,20 @@ def corr_lookup(vol, coords, radius: int = 3):
 
     k = 2 * radius + 1
     P = h1 * w1
-    volf = vol.reshape(E, P, h2, w2).astype(jnp.float32)
-    Wyf = Wy.reshape(E, P, k, h2)
-    Wxf = Wx.reshape(E, P, k, w2)
+    # contract in the VOLUME's dtype (bf16 for stored pyramids): casting the
+    # ~1 GB level-0 volume to f32 made the lookup HBM-bound (≈5 GB traffic,
+    # ~30 ms); bf16 reads with f32 accumulation are ~5× less traffic.  The
+    # reference computes correlation under fp16 autocast (droid_net.py:98).
+    volf = vol.reshape(E, P, h2, w2)
+    Wyf = Wy.reshape(E, P, k, h2).astype(vol.dtype)
+    Wxf = Wx.reshape(E, P, k, w2).astype(vol.dtype)
     # NOTE einsum, not explicit dot_general: with the (E, P) mega-batch of
     # tiny matmuls XLA lowers einsum ~17x faster here (measured 18 ms vs
     # 312 ms for the 48-edge frontend graph)
-    t = jnp.einsum("epkz,epzw->epkw", Wyf, volf)
-    out = jnp.einsum("epkw,eplw->epkl", t, Wxf)
+    t = jnp.einsum("epkz,epzw->epkw", Wyf, volf,
+                   preferred_element_type=vol.dtype)
+    out = jnp.einsum("epkw,eplw->epkl", t, Wxf,
+                     preferred_element_type=jnp.float32)
     return out.reshape(E, h1, w1, k * k)
 
 

@@ -63,7 +63,7 @@ def _jitted_gru_step(update_fn, camera_type):
             poses, rig, disps, intr_grid, camera_type, pi, qi, di, pj, qj
         )
         corr_feat = corr_ops.corr_lookup_pyramid(
-            [p.astype(jnp.float32) for p in corr_pyr], coords1, CORR_RADIUS
+            corr_pyr, coords1, CORR_RADIUS
         )
         ht, wd = disps.shape[-2:]
         u, v = jnp.meshgrid(
@@ -103,7 +103,7 @@ def _jitted_backend_chunk(update_fn, camera_type):
             poses, rig, disps, intr_grid, camera_type, pi, qi, di, pj, qj
         )
         corr_feat = corr_ops.corr_lookup_pyramid(
-            [p.astype(jnp.float32) for p in pyr_chunk], coords1, CORR_RADIUS
+            pyr_chunk, coords1, CORR_RADIUS
         )
         ht, wd = disps.shape[-2:]
         u, v = jnp.meshgrid(
@@ -152,8 +152,17 @@ def _make_round_runner(update_fn, cfg, params, Nb, corr_pyr, inps, masks,
     sens_mask = (jnp.sum(sens, axis=1) > 0).astype(jnp.float32)
 
     def run_rounds(state, n_rounds: int):
+        # lax.fori_loop, not python unroll: the frontend/filler programs run
+        # up to 10 rounds — unrolled, their HLO took minutes per shape bucket
+        # to compile over the remote tunnel
+        def one_round(_, st):
+            return _round_body(st)
+
+        return jax.lax.fori_loop(0, n_rounds, one_round, state)
+
+    def _round_body(state):
         poses, disps, intrinsics, f_net, target, weight, damping = state
-        for _ in range(n_rounds):
+        for _ in range(1):
             intr_grid = cam_ops.scaled_intrinsics(
                 camera_type, intrinsics, 1.0 / 8.0
             )
@@ -161,7 +170,7 @@ def _make_round_runner(update_fn, cfg, params, Nb, corr_pyr, inps, masks,
                 poses, disps, intr_grid, camera_type, ii_act, jj_act
             )
             corr_feat = corr_ops.corr_lookup_pyramid(
-                [p.astype(jnp.float32) for p in corr_pyr], coords1, CORR_RADIUS
+                corr_pyr, coords1, CORR_RADIUS
             )
             motn = jnp.concatenate(
                 [coords1 - grid, target - coords1], axis=-1
@@ -865,7 +874,7 @@ class FactorGraph:
                 pi_d, qi_d, di_d, pj_d, qj_d,
             )
             corr_feat = corr_ops.corr_lookup_pyramid(
-                [p[:EV].astype(jnp.float32) for p in self.corr_pyr],
+                [p[:EV] for p in self.corr_pyr],
                 coords1, CORR_RADIUS,
             )
             dj_d = pj_d * self.V + qj_d
@@ -1185,7 +1194,7 @@ class FactorGraph:
                     )
                 else:
                     corr_feat = corr_ops.corr_lookup_pyramid(
-                        [p.astype(jnp.float32) for p in pyr], coords1[sl],
+                        pyr, coords1[sl],
                         CORR_RADIUS,
                     )
                     dj_sl = pj_d[sl] * V + qj_d[sl]
