@@ -59,12 +59,21 @@ def infer(video, output, pipeline, visualize, overrides):
 @vipe.command()
 @click.argument("artifact_dir", type=click.Path(exists=True))
 @click.option("--port", default=8080)
-def visualize(artifact_dir, port):
-    """Interactive 3D viewer over saved artifacts (viser-based when
-    available; falls back to matplotlib trajectory plots)."""
-    from ..utils.viser import run_viser
+@click.option("--serve", is_flag=True,
+              help="interactive WebGL viewer (frustums + point clouds + "
+                   "playback) instead of the static trajectory plot")
+def visualize(artifact_dir, port, serve):
+    """3D viewer over saved artifacts: --serve starts the interactive web
+    app (reference viser.py behavior); default writes a static diagnostic
+    PNG."""
+    if serve:
+        from ..utils.web_viewer import serve as serve_viewer
 
-    run_viser(artifact_dir, port=port)
+        serve_viewer(artifact_dir, port=port)
+    else:
+        from ..utils.viser import run_viser
+
+        run_viser(artifact_dir, port=port)
 
 
 @vipe.command()
