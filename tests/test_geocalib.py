@@ -164,3 +164,114 @@ class TestGeoCalibNet:
         assert intr.shape == (4,)
         assert intr[2] == 36.0 and intr[3] == 24.0
         assert np.isfinite(intr).all() and intr[0] > 0
+
+
+def make_synthetic_geocalib_sd(rng):
+    """Reference-shaped GeoCalib checkpoint (geocalib.py:105-133 module tree:
+    MSCAN backbone + ll_enc + perspective_decoder heads)."""
+    sd = {}
+
+    def add(key, shape):
+        sd[key] = rng.normal(size=shape).astype(np.float32) * 0.02
+
+    def add_bn(key, c):
+        add(f"{key}.weight", (c,)); add(f"{key}.bias", (c,))
+        sd[f"{key}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{key}.running_var"] = np.ones(c, np.float32)
+
+    dims, depths, ratios = (64, 128, 320, 512), (3, 3, 12, 3), (8, 8, 4, 4)
+    bb = "backbone"
+    add(f"{bb}.patch_embed1.proj.0.weight", (32, 3, 3, 3))
+    add(f"{bb}.patch_embed1.proj.0.bias", (32,))
+    add_bn(f"{bb}.patch_embed1.proj.1", 32)
+    add(f"{bb}.patch_embed1.proj.3.weight", (64, 32, 3, 3))
+    add(f"{bb}.patch_embed1.proj.3.bias", (64,))
+    add_bn(f"{bb}.patch_embed1.proj.4", 64)
+    for i, (d, dep, mr) in enumerate(zip(dims, depths, ratios)):
+        if i > 0:
+            add(f"{bb}.patch_embed{i + 1}.proj.weight", (d, dims[i - 1], 3, 3))
+            add(f"{bb}.patch_embed{i + 1}.proj.bias", (d,))
+            add_bn(f"{bb}.patch_embed{i + 1}.norm", d)
+        for j in range(dep):
+            b = f"{bb}.block{i + 1}.{j}"
+            add_bn(f"{b}.norm1", d); add_bn(f"{b}.norm2", d)
+            add(f"{b}.layer_scale_1", (d,)); add(f"{b}.layer_scale_2", (d,))
+            add(f"{b}.attn.proj_1.weight", (d, d, 1, 1))
+            add(f"{b}.attn.proj_1.bias", (d,))
+            add(f"{b}.attn.proj_2.weight", (d, d, 1, 1))
+            add(f"{b}.attn.proj_2.bias", (d,))
+            sg = f"{b}.attn.spatial_gating_unit"
+            for nm, kk in (("conv0", (5, 5)), ("conv0_1", (1, 7)),
+                           ("conv0_2", (7, 1)), ("conv1_1", (1, 11)),
+                           ("conv1_2", (11, 1)), ("conv2_1", (1, 21)),
+                           ("conv2_2", (21, 1)), ("conv3", (1, 1))):
+                cin = d if nm == "conv3" else 1
+                add(f"{sg}.{nm}.weight", (d, cin) + kk)
+                add(f"{sg}.{nm}.bias", (d,))
+            hid = int(d * mr)
+            add(f"{b}.mlp.fc1.weight", (hid, d, 1, 1))
+            add(f"{b}.mlp.fc1.bias", (hid,))
+            add(f"{b}.mlp.dwconv.dwconv.weight", (hid, 1, 3, 3))
+            add(f"{b}.mlp.dwconv.dwconv.bias", (hid,))
+            add(f"{b}.mlp.fc2.weight", (d, hid, 1, 1))
+            add(f"{b}.mlp.fc2.bias", (d,))
+        add(f"{bb}.norm{i + 1}.weight", (d,))
+        add(f"{bb}.norm{i + 1}.bias", (d,))
+
+    add("ll_enc.conv1.conv.weight", (64, 3, 3, 3))
+    add("ll_enc.conv1.conv.bias", (64,))
+    add("ll_enc.conv2.conv.weight", (64, 64, 3, 3))
+    add("ll_enc.conv2.conv.bias", (64,))
+
+    def ham_head(prefix):
+        add(f"{prefix}.squeeze.conv.weight", (512, sum(dims), 1, 1))
+        add(f"{prefix}.squeeze.conv.bias", (512,))
+        add(f"{prefix}.hamburger.ham_in.conv.weight", (512, 512, 1, 1))
+        add(f"{prefix}.hamburger.ham_in.conv.bias", (512,))
+        add(f"{prefix}.hamburger.ham_out.conv.weight", (512, 512, 1, 1))
+        add(f"{prefix}.hamburger.ham_out.conv.bias", (512,))
+        add(f"{prefix}.align.conv.weight", (64, 512, 1, 1))
+        add(f"{prefix}.align.conv.bias", (64,))
+        add(f"{prefix}.out_conv.conv.weight", (64, 64, 3, 3))
+        for u in (1, 2):
+            add(f"{prefix}.ll_fusion.resConfUnit{u}.conv1.weight", (64, 64, 3, 3))
+            add(f"{prefix}.ll_fusion.resConfUnit{u}.conv1.bias", (64,))
+            add(f"{prefix}.ll_fusion.resConfUnit{u}.conv2.weight", (64, 64, 3, 3))
+            add(f"{prefix}.ll_fusion.resConfUnit{u}.conv2.bias", (64,))
+        add(f"{prefix}.linear_pred_uncertainty.0.conv.weight", (64, 64, 3, 3))
+        add(f"{prefix}.linear_pred_uncertainty.1.weight", (1, 64, 1, 1))
+        add(f"{prefix}.linear_pred_uncertainty.1.bias", (1,))
+
+    pd = "perspective_decoder"
+    ham_head(f"{pd}.up_head.decoder")
+    add(f"{pd}.up_head.linear_pred_up.weight", (2, 64, 1, 1))
+    add(f"{pd}.up_head.linear_pred_up.bias", (2,))
+    ham_head(f"{pd}.latitude_head.decoder")
+    add(f"{pd}.latitude_head.linear_pred_latitude.weight", (1, 64, 1, 1))
+    add(f"{pd}.latitude_head.linear_pred_latitude.bias", (1,))
+    return sd
+
+
+class TestGeoCalibConverter:
+    def test_synthetic_state_dict_tree_parity(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from vipe_tpu.models import convert as mconvert
+        from vipe_tpu.priors.geocalib import GeoCalib
+
+        sd = make_synthetic_geocalib_sd(rng)
+        converted = mconvert.convert_geocalib(sd)
+        fresh = GeoCalib("pinhole", infer_size=64)
+        fi = {jax.tree_util.keystr(p): v.shape
+              for p, v in jax.tree_util.tree_leaves_with_path(fresh.params)}
+        ci = {jax.tree_util.keystr(p): np.shape(v)
+              for p, v in jax.tree_util.tree_leaves_with_path(converted)}
+        assert fi == ci, (
+            sorted(set(fi) - set(ci))[:6], sorted(set(ci) - set(fi))[:6]
+        )
+
+        model = GeoCalib("pinhole", params=converted, infer_size=64)
+        fields = model.predict_fields(rng.random((64, 96, 3)).astype(np.float32))
+        assert fields["up_field"].shape[-1] == 2
+        assert np.isfinite(fields["latitude_field"]).all()

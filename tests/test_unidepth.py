@@ -62,3 +62,135 @@ class TestUniDepth:
         assert out.depth.shape == (60, 80)
         assert out.confidence.shape == (60, 80)
         assert bool(jnp.isfinite(out.depth).all())
+
+
+def make_synthetic_unidepth_sd(rng, D=384, hidden=512, depths=(2, 2, 2),
+                               n_levels=4, vit_depth=12):
+    """Reference-shaped UniDepthV2 state_dict (pixel_encoder DINOv2 +
+    pixel_decoder, models/unidepthv2/decoder.py module tree)."""
+    sd = {}
+
+    def add(key, shape):
+        sd[key] = rng.normal(size=shape).astype(np.float32) * 0.02
+
+    e = "pixel_encoder"
+    add(f"{e}.patch_embed.proj.weight", (D, 3, 14, 14))
+    add(f"{e}.patch_embed.proj.bias", (D,))
+    add(f"{e}.cls_token", (1, 1, D))
+    add(f"{e}.pos_embed", (1, 37 * 37 + 1, D))
+    add(f"{e}.norm.weight", (D,)); add(f"{e}.norm.bias", (D,))
+    for i in range(vit_depth):
+        b = f"{e}.blocks.{i}"
+        add(f"{b}.norm1.weight", (D,)); add(f"{b}.norm1.bias", (D,))
+        add(f"{b}.attn.qkv.weight", (3 * D, D))
+        add(f"{b}.attn.qkv.bias", (3 * D,))
+        add(f"{b}.attn.proj.weight", (D, D)); add(f"{b}.attn.proj.bias", (D,))
+        add(f"{b}.ls1.gamma", (D,)); add(f"{b}.ls2.gamma", (D,))
+        add(f"{b}.norm2.weight", (D,)); add(f"{b}.norm2.bias", (D,))
+        add(f"{b}.mlp.fc1.weight", (4 * D, D)); add(f"{b}.mlp.fc1.bias", (4 * D,))
+        add(f"{b}.mlp.fc2.weight", (D, 4 * D)); add(f"{b}.mlp.fc2.bias", (D,))
+
+    d = "pixel_decoder"
+    for i in range(n_levels):
+        add(f"{d}.input_adapter.input_adapters.{i}.weight", (hidden, D))
+        add(f"{d}.input_adapter.input_adapters.{i}.bias", (hidden,))
+        add(f"{d}.camera_token_adapter.input_adapters.{i}.weight", (hidden, D))
+        add(f"{d}.camera_token_adapter.input_adapters.{i}.bias", (hidden,))
+
+    def mlp(base, dim, expansion, out):
+        hid = dim * expansion
+        add(f"{base}.norm.weight", (dim,)); add(f"{base}.norm.bias", (dim,))
+        add(f"{base}.proj1.weight", (hid, dim)); add(f"{base}.proj1.bias", (hid,))
+        add(f"{base}.proj2.weight", (out, hid)); add(f"{base}.proj2.bias", (out,))
+
+    def attn(base, dim, bias=True, ls=True):
+        add(f"{base}.norm_attnx.weight", (dim,))
+        add(f"{base}.norm_attnx.bias", (dim,))
+        add(f"{base}.norm_attnctx.weight", (dim,))
+        add(f"{base}.norm_attnctx.bias", (dim,))
+        add(f"{base}.kv.weight", (2 * dim, dim))
+        add(f"{base}.q.weight", (dim, dim))
+        add(f"{base}.out.weight", (dim, dim))
+        if bias:
+            add(f"{base}.kv.bias", (2 * dim,))
+            add(f"{base}.q.bias", (dim,))
+            add(f"{base}.out.bias", (dim,))
+        if ls:
+            add(f"{base}.ls1.gamma", (dim,)); add(f"{base}.ls2.gamma", (dim,))
+        mlp(f"{base}.mlp", dim, 4, dim)
+
+    cl = f"{d}.camera_layer"
+    add(f"{cl}.latents_pos", (1, 4, hidden))
+    mlp(f"{cl}.project", hidden, 1, hidden)
+    attn(f"{cl}.aggregate1", hidden, bias=False)
+    attn(f"{cl}.aggregate2", hidden, bias=False)
+    mlp(f"{cl}.out_pinhole", hidden, 1, 1)
+
+    dl = f"{d}.depth_layer"
+    add(f"{dl}.to_latents.weight", (hidden, hidden))
+    add(f"{dl}.to_latents.bias", (hidden,))
+    for lvl in range(n_levels):
+        attn(f"{dl}.prompt_camera.{lvl}.layers.0", hidden, bias=False,
+             ls=False)
+    mult = 2
+    for i, dep in enumerate(depths):
+        cur = min(hidden, mult * hidden // (2 ** i))
+        nxt = mult * hidden // (2 ** (i + 1))
+        out = max(nxt, 32)
+        k = max(1, 2 * i)
+        add(f"{dl}.process_features.{i}.weight", (hidden, cur, k, k))
+        add(f"{dl}.process_features.{i}.bias", (cur,))
+        for j in range(dep):
+            add(f"{dl}.ups.{i}.convs.{j}.conv1.weight", (cur, cur, 7, 7))
+            add(f"{dl}.ups.{i}.convs.{j}.conv1.bias", (cur,))
+            add(f"{dl}.ups.{i}.convs.{j}.conv2.weight", (cur, cur, 7, 7))
+            add(f"{dl}.ups.{i}.convs.{j}.conv2.bias", (cur,))
+            add(f"{dl}.ups.{i}.convs.{j}.gamma", (1, cur, 1, 1))
+        add(f"{dl}.ups.{i}.up.0.weight", (out, cur, 1, 1))
+        add(f"{dl}.ups.{i}.up.0.bias", (out,))
+    last = len(depths) - 1
+    nd = max(mult * hidden // (2 ** len(depths)), 32)
+    add(f"{dl}.depth_mlp.{last}.0.weight", (nd,))
+    add(f"{dl}.depth_mlp.{last}.0.bias", (nd,))
+    add(f"{dl}.depth_mlp.{last}.1.weight", (nd, nd))
+    add(f"{dl}.depth_mlp.{last}.1.bias", (nd,))
+    add(f"{dl}.confidence_mlp.0.weight", (nd,))
+    add(f"{dl}.confidence_mlp.0.bias", (nd,))
+    add(f"{dl}.confidence_mlp.1.weight", (nd, nd))
+    add(f"{dl}.confidence_mlp.1.bias", (nd,))
+    add(f"{dl}.to_depth_lr.weight", (nd // 2, nd, 3, 3))
+    add(f"{dl}.to_depth_lr.bias", (nd // 2,))
+    add(f"{dl}.to_depth_hr.0.weight", (32, nd // 2, 3, 3))
+    add(f"{dl}.to_depth_hr.0.bias", (32,))
+    add(f"{dl}.to_depth_hr.2.weight", (1, 32, 1, 1))
+    add(f"{dl}.to_depth_hr.2.bias", (1,))
+    add(f"{dl}.to_confidence_lr.weight", (nd // 2, nd, 3, 3))
+    add(f"{dl}.to_confidence_lr.bias", (nd // 2,))
+    add(f"{dl}.to_confidence_hr.0.weight", (32, nd // 2, 3, 3))
+    add(f"{dl}.to_confidence_hr.0.bias", (32,))
+    add(f"{dl}.to_confidence_hr.2.weight", (1, 32, 1, 1))
+    add(f"{dl}.to_confidence_hr.2.bias", (1,))
+    return sd
+
+
+class TestUniDepthConverter:
+    def test_synthetic_state_dict_tree_parity(self, rng):
+        import jax
+
+        from vipe_tpu.models import convert as mconvert
+
+        sd = make_synthetic_unidepth_sd(rng)
+        converted = mconvert.convert_unidepth(sd)
+        fresh = UniDepthNet("vits")
+        fi = {jax.tree_util.keystr(p): v.shape
+              for p, v in jax.tree_util.tree_leaves_with_path(fresh.params)}
+        ci = {jax.tree_util.keystr(p): np.shape(v)
+              for p, v in jax.tree_util.tree_leaves_with_path(converted)}
+        assert fi == ci, (
+            sorted(set(fi) - set(ci))[:6], sorted(set(ci) - set(fi))[:6]
+        )
+
+        net = UniDepthNet("vits", params=converted)
+        out = net(jnp.asarray(rng.random((1, 70, 84, 3)), jnp.float32))
+        assert out["depth"].shape == (1, 70, 84)
+        assert np.isfinite(np.asarray(out["depth"])).all()

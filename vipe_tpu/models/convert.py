@@ -470,3 +470,218 @@ def convert_vda(sd: Mapping) -> dict:
         "vit": convert_dinov2_vit(sd, "pretrained"),
         "head": {"params": head},
     }
+
+
+def _mlp_ud(sd, base):
+    return {"norm": _ln(sd, f"{base}.norm"),
+            "proj1": _lin(sd, f"{base}.proj1"),
+            "proj2": _lin(sd, f"{base}.proj2")}
+
+
+def _attn_block_ud(sd, base, use_bias=True, layer_scale=True):
+    def lin(key):
+        e = {"kernel": np.asarray(sd[f"{key}.weight"], np.float32).T}
+        if use_bias:
+            e["bias"] = np.asarray(sd[f"{key}.bias"], np.float32)
+        return e
+
+    entry = {
+        "norm_attnx": _ln(sd, f"{base}.norm_attnx"),
+        "norm_attnctx": _ln(sd, f"{base}.norm_attnctx"),
+        "kv": lin(f"{base}.kv"),
+        "q": lin(f"{base}.q"),
+        "out": lin(f"{base}.out"),
+        "mlp": _mlp_ud(sd, f"{base}.mlp"),
+    }
+    if layer_scale:
+        entry["ls1_gamma"] = np.asarray(sd[f"{base}.ls1.gamma"], np.float32)
+        entry["ls2_gamma"] = np.asarray(sd[f"{base}.ls2.gamma"], np.float32)
+    return entry
+
+
+def convert_unidepth_decoder(sd: Mapping,
+                             prefix: str = "pixel_decoder") -> dict:
+    """torch UniDepthV2 Decoder state_dict → flax UniDepthDecoder params
+    (reference models/unidepthv2/decoder.py:40-529; the unused
+    ``level_embeds`` buffer and per-level pos embeds have no flax
+    counterpart — the forward never consumes them)."""
+    sd = {k.removeprefix("module."): _to_np(v) for k, v in sd.items()}
+    pf = f"{prefix}." if prefix else ""
+    p: dict = {}
+    i = 0
+    while f"{pf}input_adapter.input_adapters.{i}.weight" in sd:
+        p[f"input_adapter{i}"] = _lin(
+            sd, f"{pf}input_adapter.input_adapters.{i}"
+        )
+        p[f"camera_token_adapter{i}"] = _lin(
+            sd, f"{pf}camera_token_adapter.input_adapters.{i}"
+        )
+        i += 1
+    n_levels = i
+
+    cl = f"{pf}camera_layer"
+    p["camera_layer"] = {
+        "latents_pos": np.asarray(sd[f"{cl}.latents_pos"], np.float32),
+        "project": _mlp_ud(sd, f"{cl}.project"),
+        "aggregate1": _attn_block_ud(sd, f"{cl}.aggregate1", use_bias=False),
+        "aggregate2": _attn_block_ud(sd, f"{cl}.aggregate2", use_bias=False),
+        "out_pinhole": _mlp_ud(sd, f"{cl}.out_pinhole"),
+    }
+
+    dl = f"{pf}depth_layer"
+    depth_layer: dict = {"to_latents": _lin(sd, f"{dl}.to_latents")}
+    for lvl in range(n_levels):
+        depth_layer[f"prompt_camera{lvl}"] = {
+            "block0": _attn_block_ud(
+                sd, f"{dl}.prompt_camera.{lvl}.layers.0",
+                use_bias=False, layer_scale=False,
+            )
+        }
+    stage = 0
+    while f"{dl}.process_features.{stage}.weight" in sd:
+        depth_layer[f"process_features{stage}"] = _convt(
+            sd, f"{dl}.process_features.{stage}"
+        )
+        ups: dict = {}
+        j = 0
+        while f"{dl}.ups.{stage}.convs.{j}.conv1.weight" in sd:
+            ups[f"rcu{j}"] = {
+                "conv1": _conv_entry(sd, f"{dl}.ups.{stage}.convs.{j}.conv1"),
+                "conv2": _conv_entry(sd, f"{dl}.ups.{stage}.convs.{j}.conv2"),
+                "gamma": np.asarray(
+                    sd[f"{dl}.ups.{stage}.convs.{j}.gamma"], np.float32
+                ).reshape(-1),
+            }
+            j += 1
+        ups["up_conv"] = _conv_entry(sd, f"{dl}.ups.{stage}.up.0")
+        depth_layer[f"ups{stage}"] = ups
+        stage += 1
+    last = stage - 1
+    depth_layer["depth_mlp_norm"] = _ln(sd, f"{dl}.depth_mlp.{last}.0")
+    depth_layer["depth_mlp_lin"] = _lin(sd, f"{dl}.depth_mlp.{last}.1")
+    depth_layer["confidence_mlp_norm"] = _ln(sd, f"{dl}.confidence_mlp.0")
+    depth_layer["confidence_mlp_lin"] = _lin(sd, f"{dl}.confidence_mlp.1")
+    depth_layer["to_depth_lr"] = _conv_entry(sd, f"{dl}.to_depth_lr")
+    depth_layer["to_depth_hr0"] = _conv_entry(sd, f"{dl}.to_depth_hr.0")
+    depth_layer["to_depth_hr2"] = _conv_entry(sd, f"{dl}.to_depth_hr.2")
+    depth_layer["to_confidence_lr"] = _conv_entry(sd, f"{dl}.to_confidence_lr")
+    depth_layer["to_confidence_hr0"] = _conv_entry(
+        sd, f"{dl}.to_confidence_hr.0"
+    )
+    depth_layer["to_confidence_hr2"] = _conv_entry(
+        sd, f"{dl}.to_confidence_hr.2"
+    )
+    p["depth_layer"] = depth_layer
+    return {"params": p}
+
+
+def convert_unidepth(state_dict: Mapping) -> dict:
+    """Full UniDepthV2 checkpoint → {"vit", "decoder"} flax params."""
+    return {
+        "vit": convert_dinov2_vit(state_dict, "pixel_encoder"),
+        "decoder": convert_unidepth_decoder(state_dict, "pixel_decoder"),
+    }
+
+
+def convert_geocalib(state_dict: Mapping) -> dict:
+    """torch GeoCalib checkpoint → flax GeoCalibNet variables
+    ({"params", "batch_stats"}; reference geocalib.py:105-133 +
+    modules.py:23-620).  NMF2D is parameter-free; ConvModules in this model
+    all run use_norm=False so only conv weights appear."""
+    sd = {k.removeprefix("module."): _to_np(v) for k, v in sd_items(state_dict)}
+    params: dict = {}
+    stats: dict = {}
+
+    def bn(dst_p, dst_s, key):
+        dst_p.update({"scale": np.asarray(sd[f"{key}.weight"], np.float32),
+                      "bias": np.asarray(sd[f"{key}.bias"], np.float32)})
+        dst_s.update({"mean": np.asarray(sd[f"{key}.running_mean"], np.float32),
+                      "var": np.asarray(sd[f"{key}.running_var"], np.float32)})
+
+    # ---------------- backbone (MSCAN, modules.py:560-620)
+    bb_p: dict = {}
+    bb_s: dict = {}
+    bb = "backbone"
+    bb_p["stem_conv1"] = _conv_entry(sd, f"{bb}.patch_embed1.proj.0")
+    bb_p["stem_bn1"], bb_s["stem_bn1"] = {}, {}
+    bn(bb_p["stem_bn1"], bb_s["stem_bn1"], f"{bb}.patch_embed1.proj.1")
+    bb_p["stem_conv2"] = _conv_entry(sd, f"{bb}.patch_embed1.proj.3")
+    bb_p["stem_bn2"], bb_s["stem_bn2"] = {}, {}
+    bn(bb_p["stem_bn2"], bb_s["stem_bn2"], f"{bb}.patch_embed1.proj.4")
+    depths = (3, 3, 12, 3)
+    for i in range(4):
+        if i > 0:
+            bb_p[f"patch_embed{i + 1}"] = _conv_entry(
+                sd, f"{bb}.patch_embed{i + 1}.proj"
+            )
+            bb_p[f"patch_bn{i + 1}"], bb_s[f"patch_bn{i + 1}"] = {}, {}
+            bn(bb_p[f"patch_bn{i + 1}"], bb_s[f"patch_bn{i + 1}"],
+               f"{bb}.patch_embed{i + 1}.norm")
+        for j in range(depths[i]):
+            b = f"{bb}.block{i + 1}.{j}"
+            blk_p: dict = {
+                "layer_scale_1": np.asarray(sd[f"{b}.layer_scale_1"], np.float32),
+                "layer_scale_2": np.asarray(sd[f"{b}.layer_scale_2"], np.float32),
+                "attn_proj1": _conv_entry(sd, f"{b}.attn.proj_1"),
+                "attn_proj2": _conv_entry(sd, f"{b}.attn.proj_2"),
+                "attn_gate": {
+                    nm: _conv_entry(sd, f"{b}.attn.spatial_gating_unit.{nm}")
+                    for nm in ("conv0", "conv0_1", "conv0_2", "conv1_1",
+                               "conv1_2", "conv2_1", "conv2_2", "conv3")
+                },
+                "mlp": {
+                    "fc1": _conv_entry(sd, f"{b}.mlp.fc1"),
+                    "dwconv": {"dwconv": _conv_entry(sd, f"{b}.mlp.dwconv.dwconv")},
+                    "fc2": _conv_entry(sd, f"{b}.mlp.fc2"),
+                },
+            }
+            blk_s: dict = {"norm1": {}, "norm2": {}}
+            blk_p["norm1"], blk_p["norm2"] = {}, {}
+            bn(blk_p["norm1"], blk_s["norm1"], f"{b}.norm1")
+            bn(blk_p["norm2"], blk_s["norm2"], f"{b}.norm2")
+            bb_p[f"stage{i + 1}_block{j}"] = blk_p
+            bb_s[f"stage{i + 1}_block{j}"] = blk_s
+        bb_p[f"norm{i + 1}"] = _ln(sd, f"{bb}.norm{i + 1}")
+    params["backbone"] = bb_p
+    stats["backbone"] = bb_s
+
+    # ---------------- low-level encoder
+    params["ll_conv1"] = {"conv": _conv_entry(sd, "ll_enc.conv1.conv")}
+    params["ll_conv2"] = {"conv": _conv_entry(sd, "ll_enc.conv2.conv")}
+
+    # ---------------- decoders
+    def ham_head(prefix):
+        return {
+            "squeeze": {"conv": _conv_entry(sd, f"{prefix}.squeeze.conv")},
+            "hamburger": {
+                "ham_in": {"conv": _conv_entry(sd, f"{prefix}.hamburger.ham_in.conv")},
+                "ham_out": {"conv": _conv_entry(sd, f"{prefix}.hamburger.ham_out.conv")},
+            },
+            "align": {"conv": _conv_entry(sd, f"{prefix}.align.conv")},
+            "out_conv": {"conv": _conv_entry(sd, f"{prefix}.out_conv.conv")},
+            "ll_rcu1": {
+                "conv1": _conv_entry(sd, f"{prefix}.ll_fusion.resConfUnit1.conv1"),
+                "conv2": _conv_entry(sd, f"{prefix}.ll_fusion.resConfUnit1.conv2"),
+            },
+            "ll_rcu2": {
+                "conv1": _conv_entry(sd, f"{prefix}.ll_fusion.resConfUnit2.conv1"),
+                "conv2": _conv_entry(sd, f"{prefix}.ll_fusion.resConfUnit2.conv2"),
+            },
+            "unc_conv": {
+                "conv": _conv_entry(sd, f"{prefix}.linear_pred_uncertainty.0.conv")
+            },
+            "unc_pred": _conv_entry(sd, f"{prefix}.linear_pred_uncertainty.1"),
+        }
+
+    pd = "perspective_decoder"
+    params["up_decoder"] = ham_head(f"{pd}.up_head.decoder")
+    params["linear_pred_up"] = _conv_entry(sd, f"{pd}.up_head.linear_pred_up")
+    params["lat_decoder"] = ham_head(f"{pd}.latitude_head.decoder")
+    params["linear_pred_latitude"] = _conv_entry(
+        sd, f"{pd}.latitude_head.linear_pred_latitude"
+    )
+    return {"params": params, "batch_stats": stats}
+
+
+def sd_items(state_dict: Mapping):
+    return state_dict.items()

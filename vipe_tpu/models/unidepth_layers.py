@@ -121,23 +121,19 @@ def position_embedding_sine(h: int, w: int, dim: int):
 
 
 def fourier_features(x, dim: int, max_freq: float, use_log: bool = True):
-    """Fourier positional features (decoder.embed_rays helper): x (..., C) →
-    (..., dim) with log-spaced frequencies, sin+cos."""
+    """Fourier positional features (positional_embedding.py:218-256,
+    use_cos=False): x (..., C) → (..., dim), SIN of log-spaced frequencies
+    × π, dim // C bands per input channel."""
     C = x.shape[-1]
-    n_freq = dim // (2 * C)
+    n_freq = dim // C
     if use_log:
-        freqs = jnp.exp(
-            jnp.linspace(0.0, jnp.log(max(max_freq, 2.0)), n_freq)
+        freqs = 2.0 ** jnp.linspace(
+            0.0, jnp.log2(max(float(max_freq), 2.0)), n_freq
         )
     else:
-        freqs = jnp.linspace(1.0, max(max_freq, 2.0), n_freq)
-    ang = x[..., None] * freqs  # (..., C, F)
-    feats = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
-    feats = feats.reshape(x.shape[:-1] + (2 * C * n_freq,))
-    pad = dim - feats.shape[-1]
-    if pad > 0:
-        feats = jnp.concatenate([feats, jnp.zeros(x.shape[:-1] + (pad,))], -1)
-    return feats
+        freqs = jnp.linspace(1.0, max(float(max_freq), 2.0) / 2.0, n_freq)
+    ang = x[..., None] * freqs * jnp.pi  # (..., C, F)
+    return jnp.sin(ang).reshape(x.shape[:-1] + (C * n_freq,))
 
 
 class ResidualConvUnit(nn.Module):

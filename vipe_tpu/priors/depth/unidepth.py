@@ -54,7 +54,7 @@ class UniDepthConfig:
     hidden_dim: int = 512
     num_heads: int = 8
     expansion: int = 4
-    depths: Sequence[int] = (2, 2, 2, 2)   # ResUpsample layers per stage
+    depths: Sequence[int] = (2, 2, 2)      # ResUpsample layers per stage
     out_dim: int = 32
     kernel_size: int = 7
     layer_scale: float = 1.0
@@ -115,18 +115,17 @@ class DepthHead(nn.Module):
 
         mult = 2
         out_feats = []
-        for i in range(4):
+        for i in range(len(cfg.depths)):  # 3 up stages (decoder.py:166-191)
             current = min(d, mult * d // (2 ** i))
             next_dim = mult * d // (2 ** (i + 1))
             output_dim = max(next_dim, cfg.out_dim)
             k = max(1, 2 * i)
-            feat_i = conditioned[min(i + 1, len(conditioned) - 1)].reshape(-1, h, w, d)
+            feat_i = conditioned[i + 1].reshape(-1, h, w, d)
             proc = nn.ConvTranspose(
                 current, (k, k), strides=(k, k), name=f"process_features{i}"
             )(feat_i)
-            latents = latents + proc if latents.shape == proc.shape else (
-                jax.image.resize(latents, proc.shape, "bilinear") + proc
-            )
+            assert latents.shape == proc.shape, (latents.shape, proc.shape)
+            latents = latents + proc
             latents = ResUpsampleBil(
                 current, output_dim, cfg.depths[i], cfg.kernel_size,
                 cfg.layer_scale, name=f"ups{i}",
@@ -140,20 +139,28 @@ class DepthHead(nn.Module):
         conf = nn.LayerNorm(name="confidence_mlp_norm")(last)
         conf = nn.Dense(nd, name="confidence_mlp_lin")(conf)
 
-        logdepth = nn.Conv(nd // 2, (3, 3), name="to_depth_lr")(logdepth)
+        def reflect_conv(x, ch, kk, name):
+            if kk > 1:
+                pad = kk // 2
+                x = jnp.pad(
+                    x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), "reflect"
+                )
+            return nn.Conv(ch, (kk, kk), padding="VALID", name=name)(x)
+
+        logdepth = reflect_conv(logdepth, nd // 2, 3, "to_depth_lr")
         B = logdepth.shape[0]
         logdepth = jax.image.resize(
             logdepth, (B,) + tuple(image_hw) + (logdepth.shape[-1],), "bilinear"
         )
-        logdepth = nn.Conv(32, (3, 3), name="to_depth_hr0")(logdepth)
+        logdepth = reflect_conv(logdepth, 32, 3, "to_depth_hr0")
         logdepth = nn.leaky_relu(logdepth, 0.01)
         logdepth = nn.Conv(1, (1, 1), name="to_depth_hr2")(logdepth)
 
-        conf = nn.Conv(nd // 2, (3, 3), name="to_confidence_lr")(conf)
+        conf = reflect_conv(conf, nd // 2, 3, "to_confidence_lr")
         conf = jax.image.resize(
             conf, (B,) + tuple(image_hw) + (conf.shape[-1],), "bilinear"
         )
-        conf = nn.Conv(32, (3, 3), name="to_confidence_hr0")(conf)
+        conf = reflect_conv(conf, 32, 3, "to_confidence_hr0")
         conf = nn.leaky_relu(conf, 0.01)
         conf = nn.Conv(1, (1, 1), name="to_confidence_hr2")(conf)
         return logdepth[..., 0], conf[..., 0]
@@ -199,7 +206,7 @@ class UniDepthDecoder(nn.Module):
 
         # ray embedding at the latent grid (decoder.embed_rays)
         rays_lr = jax.image.resize(
-            rays, (rays.shape[0], h, w, 3), "bilinear"
+            rays, (rays.shape[0], h, w, 3), "bilinear", antialias=True
         )
         rays_lr = rays_lr / jnp.maximum(
             jnp.linalg.norm(rays_lr, axis=-1, keepdims=True), 1e-4
