@@ -692,16 +692,24 @@ class FactorGraph:
         buf = self.buffer
         Nb = bucket_size(n_frames if n_frames is not None else buf.n_frames)
         if self.V > 1:
-            return Nb, _jitted_distance_matrix_mv(
+            d = _jitted_distance_matrix_mv(
                 Nb, self.V, buf.poses[:Nb], buf.rig,
                 buf.disps[: Nb * self.V],
                 buf.pinhole_grid_intrinsics, jnp.float32(beta),
             )
-        return Nb, _jitted_distance_matrix(
-            Nb, buf.poses[:Nb], buf.disps[:Nb],
-            jnp.broadcast_to(buf.pinhole_grid_intrinsics, (Nb, 4)),
-            jnp.float32(beta),
-        )
+        else:
+            d = _jitted_distance_matrix(
+                Nb, buf.poses[:Nb], buf.disps[:Nb],
+                jnp.broadcast_to(buf.pinhole_grid_intrinsics, (Nb, 4)),
+                jnp.float32(beta),
+            )
+        try:
+            # start the device→host transfer NOW so resolving the token a
+            # few frames later doesn't pay the tunnel round-trip
+            d.copy_to_host_async()
+        except Exception:
+            pass
+        return Nb, d
 
     def add_proximity_factors(
         self,

@@ -192,6 +192,12 @@ class MotionFilter:
             return _Token(image, fmap, "fixed", buffer_mask,
                           self.kf_version, fi)
         score = self._score(fmap)
+        try:
+            # start the device→host transfer now; resolve() a frame later
+            # then doesn't pay the tunnel round-trip
+            score.copy_to_host_async()
+        except Exception:
+            pass
         return _Token(image, fmap, score, buffer_mask, self.kf_version, fi)
 
     def _sparse_score(self, frame_idx: int) -> float:
