@@ -178,9 +178,54 @@ class TestFusedUpdateEquivalence:
         )
         np.testing.assert_allclose(np.asarray(buf_b.disps[:N]), d0, atol=1e-6)
 
+    def test_windowed_base_offset_matches_sequential(self, tiny_droidnet):
+        """When the oldest frames have NO edges, the fused path shifts its
+        window (base > 0); results must match the unwindowed sequential
+        path exactly."""
+        buf_a, g_a = _make_graph(tiny_droidnet, seed=21)
+        buf_b, g_b = _make_graph(tiny_droidnet, seed=21)
+        for g in (g_a, g_b):
+            # drop every edge touching frames 0-2 → window starts at 3
+            m = (g.ii[: g.n_edges] < 3) | (g.jj[: g.n_edges] < 3)
+            g.rm_factors(m, store=False)
+            assert g.ii[: g.n_edges].min() >= 3
+
+        # confirm the fused prep actually windows
+        _, Nb, base, _ = g_b._fused_prep(None, None, False, False)
+        assert base == 3  # Nb stays at the 16 bucket minimum at this scale
+
+        for _ in range(2):
+            g_a.update(use_inactive=False)
+        g_b.update_fused(2, use_inactive=False)
+
+        np.testing.assert_allclose(
+            np.asarray(buf_a.poses[:N]), np.asarray(buf_b.poses[:N]),
+            rtol=2e-4, atol=2e-4,
+        )
+        # looser: under the 8-virtual-device test env, XLA partitions the two
+        # program structures differently and the bf16 GRU amplifies the
+        # rounding over 2 rounds (exact to 5e-7 on a single device)
+        np.testing.assert_allclose(
+            np.asarray(buf_a.disps[:N]), np.asarray(buf_b.disps[:N]),
+            rtol=5e-3, atol=5e-3,
+        )
+
     def test_distance_token_matches_fresh(self, tiny_droidnet):
         buf, g = _make_graph(tiny_droidnet, seed=7)
-        nb, tok = g.submit_distance_matrix(beta=0.3)
-        fresh = np.asarray(g.submit_distance_matrix(beta=0.3)[1])
+        nb, w0, tok = g.submit_distance_matrix(beta=0.3)
+        fresh = np.asarray(g.submit_distance_matrix(beta=0.3)[2])
         np.testing.assert_allclose(np.asarray(tok), fresh, rtol=1e-5)
-        assert nb >= buf.n_frames
+        assert w0 == 0 and nb >= buf.n_frames
+
+    def test_windowed_distance_matrix(self, tiny_droidnet):
+        """A windowed matrix must equal the corresponding block of the
+        full one."""
+        buf, g = _make_graph(tiny_droidnet, seed=8)
+        _, _, full = g.submit_distance_matrix(beta=0.3)
+        nb, w0, win = g.submit_distance_matrix(beta=0.3, window=4)
+        assert w0 == buf.n_frames - 4
+        span = buf.n_frames - w0
+        np.testing.assert_allclose(
+            np.asarray(win)[:span, :span],
+            np.asarray(full)[w0: w0 + span, w0: w0 + span], rtol=1e-5,
+        )

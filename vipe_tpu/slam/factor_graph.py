@@ -684,22 +684,31 @@ class FactorGraph:
         keep = (np.abs(ii - jj) > 0) & (np.abs(ii - jj) <= r)
         self.add_factors(ii[keep], jj[keep])
 
-    def submit_distance_matrix(self, beta: float = 0.25, n_frames=None):
-        """Enqueue the full distance-matrix computation WITHOUT reading it
-        back — the frontend submits this speculatively at the end of one
-        keyframe so the ~25 ms device→host transfer overlaps the next
-        frames' work (readback happens in add_proximity_factors)."""
+    def submit_distance_matrix(self, beta: float = 0.25, n_frames=None,
+                               window: Optional[int] = None):
+        """Enqueue the distance-matrix computation WITHOUT reading it back —
+        the frontend submits this speculatively at the end of one keyframe so
+        the ~25 ms device→host transfer overlaps the next frames' work
+        (readback happens in add_proximity_factors).
+
+        ``window``: only the last ``window`` frames participate (the frontend
+        proposes within frontend_window — without this the matrix grows
+        O(total²) per pow2 bucket).  Returns (Nb, w0, device-matrix) where
+        entry (i, j) covers absolute frames (i + w0, j + w0)."""
         buf = self.buffer
-        Nb = bucket_size(n_frames if n_frames is not None else buf.n_frames)
+        n = n_frames if n_frames is not None else buf.n_frames
+        w0 = max(0, n - window) if window is not None else 0
+        Nb = bucket_size(n - w0)
+        Nb = min(Nb, buf.buffer_size - w0)
         if self.V > 1:
             d = _jitted_distance_matrix_mv(
-                Nb, self.V, buf.poses[:Nb], buf.rig,
-                buf.disps[: Nb * self.V],
+                Nb, self.V, buf.poses[w0: w0 + Nb], buf.rig,
+                buf.disps[w0 * self.V: (w0 + Nb) * self.V],
                 buf.pinhole_grid_intrinsics, jnp.float32(beta),
             )
         else:
             d = _jitted_distance_matrix(
-                Nb, buf.poses[:Nb], buf.disps[:Nb],
+                Nb, buf.poses[w0: w0 + Nb], buf.disps[w0: w0 + Nb],
                 jnp.broadcast_to(buf.pinhole_grid_intrinsics, (Nb, 4)),
                 jnp.float32(beta),
             )
@@ -709,7 +718,7 @@ class FactorGraph:
             d.copy_to_host_async()
         except Exception:
             pass
-        return Nb, d
+        return Nb, w0, d
 
     def add_proximity_factors(
         self,
@@ -733,16 +742,19 @@ class FactorGraph:
         t = self.buffer.n_frames
         if t - max(t0, t1) <= 0:
             return
-        if dist_token is not None and dist_token[0] >= t:
-            d_dev = dist_token[1]
+        if (dist_token is not None and dist_token[1] + dist_token[0] >= t
+                and dist_token[1] <= min(t0, t1)):
+            Nbw, w0, d_dev = dist_token
         else:
-            d_dev = self.submit_distance_matrix(beta)[1]
+            Nbw, w0, d_dev = self.submit_distance_matrix(
+                beta, window=t - min(t0, t1)
+            )
         d_full = np.asarray(d_dev).astype(np.float64)
         ix = np.arange(t0, t)
         jx = np.arange(t1, t)
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
         ii, jj = ii.reshape(-1), jj.reshape(-1)
-        d = d_full[t0:t, t1:t].copy()
+        d = d_full[t0 - w0: t - w0, t1 - w0: t - w0].copy()
         n_i, n_j = t - t0, t - t1
 
         def _suppress(i, j):
@@ -945,22 +957,31 @@ class FactorGraph:
             return
 
         buf = self.buffer
-        cfg, Nb, args = self._fused_prep(t0, t1, use_inactive, fixed_motion,
-                                         bucket_size(buf.n_frames),
-                                         motion_only=motion_only,
-                                         limited_disp=limited_disp)
+        cfg, Nb, base, args = self._fused_prep(
+            t0, t1, use_inactive, fixed_motion,
+            motion_only=motion_only, limited_disp=limited_disp,
+        )
         run = _jitted_fused_rounds(self.update_fn, cfg, rounds)
         (poses, disps, intr, f_net, target, weight, damping) = run(
             self.params, Nb, *args, jnp.int32(itrs),
             jnp.float32(1e-3), jnp.float32(0.1),
         )
-        self._apply_fused(poses, disps, intr, f_net, target, weight, damping)
+        self._apply_fused(base, poses, disps, intr, f_net, target, weight,
+                          damping)
         self.age[: self.n_edges] += rounds
 
-    def _fused_prep(self, t0, t1, use_inactive, fixed_motion, Nb,
-                    motion_only=False, limited_disp=False):
+    def _fused_prep(self, t0, t1, use_inactive, fixed_motion, Nb=None,
+                    motion_only=False, limited_disp=False,
+                    extra_slots: int = 0):
         """Shared host-side argument assembly for the fused programs:
-        active/inactive edge blocks, per-source slots, masks, BAConfig."""
+        active/inactive edge blocks, per-source slots, masks, BAConfig.
+
+        WINDOWED: frame indices are shifted by ``base`` (the smallest frame
+        any BA edge touches) so the program size follows the live window,
+        not the total keyframe count — the reference's sparse solver only
+        materializes variables present in the edge list (buffer.py:373-430);
+        a dense system over all frames would grow per pow2 bucket forever.
+        Returns (cfg, Nb, base, args)."""
         act_ii = self.ii[: self.n_edges]
         act_jj = self.jj[: self.n_edges]
         if t0 is None:
@@ -970,7 +991,6 @@ class FactorGraph:
 
         buf = self.buffer
         E = self.max_factors
-        ii_d, jj_d, ev = self._active_arrays()
 
         # inactive block, bucket-padded so compile keys repeat across calls
         if use_inactive:
@@ -992,24 +1012,44 @@ class FactorGraph:
             sel_d = jnp.zeros((0,), jnp.int32)
             ii_in = jj_in = np.zeros((0,), np.int64)
 
+        # window base + size
+        frames_touched = np.concatenate(
+            [ii_in[:K], jj_in[:K], act_ii, act_jj]
+        )
+        base = int(frames_touched.min()) if len(frames_touched) else 0
+        top = int(frames_touched.max()) + 1 if len(frames_touched) else 1
+        top = max(top, t1) + extra_slots
+        if Nb is None:
+            Nb = bucket_size(top - base)
+        base = min(base, buf.buffer_size - Nb)
+        base = max(base, 0)
+
+        ii_act_w = np.where(np.arange(E) < self.n_edges, self.ii[:E], base) - base
+        jj_act_w = np.where(np.arange(E) < self.n_edges, self.jj[:E], base) - base
+        ii_d = jnp.asarray(ii_act_w, jnp.int32)
+        jj_d = jnp.asarray(jj_act_w, jnp.int32)
+        ev = jnp.asarray(np.arange(E) < self.n_edges)
+
         L = Kb + E  # combined BA edge count (static per (Kb,) bucket)
         ii_ba = np.zeros(L, np.int64)
         jj_ba = np.zeros(L, np.int64)
         ev_ba = np.zeros(L, bool)
-        ii_ba[:Kb] = ii_in
-        jj_ba[:Kb] = jj_in
+        ii_ba[:Kb] = ii_in - base
+        jj_ba[:Kb] = jj_in - base
         ev_ba[:K] = True
-        ii_ba[Kb:] = np.where(np.arange(E) < self.n_edges, self.ii[:E], 0)
-        jj_ba[Kb:] = np.where(np.arange(E) < self.n_edges, self.jj[:E], 0)
+        ii_ba[Kb:] = ii_act_w
+        jj_ba[Kb:] = jj_act_w
         ev_ba[Kb: Kb + self.n_edges] = True
+        ii_ba = np.clip(ii_ba, 0, Nb - 1)
+        jj_ba = np.clip(jj_ba, 0, Nb - 1)
 
-        valid_ii = np.concatenate([ii_in[:K], act_ii])
+        valid_ii = np.concatenate([ii_in[:K] - base, act_ii - base])
         fill = np.bincount(valid_ii, minlength=Nb).max() if len(valid_ii) else 1
         M = bucket_size(int(fill), minimum=8)
         # slots over the combined list: valid rows are [0:K] and [Kb:Kb+n_edges]
         slot_src = np.full(L, -1, np.int64)
-        slot_src[:K] = ii_in[:K]
-        slot_src[Kb: Kb + self.n_edges] = act_ii
+        slot_src[:K] = ii_in[:K] - base
+        slot_src[Kb: Kb + self.n_edges] = act_ii - base
         slot_edge = np.full((Nb, M), L, np.int32)
         fill_ct = np.zeros(Nb, np.int64)
         for e, i in enumerate(slot_src):
@@ -1018,19 +1058,24 @@ class FactorGraph:
             slot_edge[i, fill_ct[i]] = e
             fill_ct[i] += 1
 
-        idx = np.arange(Nb)
+        idx = np.arange(Nb) + base
         if fixed_motion:
             pose_mask = np.zeros(Nb, bool)
         else:
             pose_mask = (idx >= t0) & (idx < t1) & (idx < buf.n_frames)
+        # disps update ONLY where a BA edge sources from the frame — the
+        # reference materializes dense_disp variables from the edge list
+        # (buffer.py:373-430); anchoring edgeless frames to disps_sens each
+        # call would drift them
+        has_edge = fill_ct > 0
         if motion_only:
             disp_mask = np.zeros(Nb, bool)
         elif limited_disp:
-            disp_mask = (idx >= t0) & (idx < t1) & (idx < buf.n_frames)
+            disp_mask = has_edge & (idx >= t0) & (idx < t1) & (idx < buf.n_frames)
         else:
-            disp_mask = idx < buf.n_frames
+            disp_mask = has_edge & (idx < buf.n_frames)
 
-        src = np.unique(act_ii)
+        src = np.unique(act_ii - base)
         src_rows = np.full(Nb, Nb, np.int64)
         src_rows[: len(src)] = src
 
@@ -1040,30 +1085,33 @@ class FactorGraph:
             alpha=buf.dense_disp_alpha, max_edges_per_frame=M,
             **self.ba_cfg_kwargs,
         )
+        b = base
         args = (
-            buf.poses[:Nb], buf.disps[:Nb], buf.intrinsics,
+            buf.poses[b: b + Nb], buf.disps[b: b + Nb], buf.intrinsics,
             [p[:E] for p in self.corr_pyr], self.target[:E], self.f_net[:E],
-            buf.inps[:Nb], buf.masks[:Nb], ii_d, jj_d, ev, self.damping[:Nb],
+            buf.inps[b: b + Nb], buf.masks[b: b + Nb], ii_d, jj_d, ev,
+            self.damping[b: b + Nb],
             self.target_inac, self.weight_inac, sel_d,
             jnp.asarray(ii_ba, jnp.int32), jnp.asarray(jj_ba, jnp.int32),
             jnp.asarray(ev_ba), jnp.asarray(slot_edge),
             jnp.asarray(src_rows, jnp.int32),
             jnp.asarray(pose_mask), jnp.asarray(disp_mask),
             (jnp.zeros((Nb, self.ht * self.wd)) if motion_only
-             else buf.disps_sens[:Nb].reshape(Nb, -1)),
+             else buf.disps_sens[b: b + Nb].reshape(Nb, -1)),
         )
-        return cfg, Nb, args
+        return cfg, Nb, base, args
 
-    def _apply_fused(self, poses, disps, intr, f_net, target, weight, damping):
+    def _apply_fused(self, base, poses, disps, intr, f_net, target, weight,
+                     damping):
         buf = self.buffer
-        buf.poses = jaxutil.set_prefix(buf.poses, poses)
-        buf.disps = jaxutil.set_prefix(buf.disps, disps)
+        buf.poses = jaxutil.set_rows(buf.poses, base, poses)
+        buf.disps = jaxutil.set_rows(buf.disps, base, disps)
         if self.optimize_intrinsics:
             buf.intrinsics = intr
         self.f_net = jaxutil.set_prefix(self.f_net, f_net)
         self.target = jaxutil.set_prefix(self.target, target)
         self.weight = jaxutil.set_prefix(self.weight, weight)
-        self.damping = jaxutil.set_prefix(self.damping, damping)
+        self.damping = jaxutil.set_rows(self.damping, base, damping)
 
     def frontend_step_fused(
         self,
@@ -1086,21 +1134,27 @@ class FactorGraph:
 
         Caller contract: only valid on the fast path (traceable update_fn,
         V == 1, no sparse tracks); check ``can_fuse_frontend_step``."""
-        buf = self.buffer
-        # +1: the keep-branch initializes the NEXT keyframe slot in-program
-        Nb = bucket_size(buf.n_frames + 1)
-        cfg, Nb, args = self._fused_prep(t0, t1, True, fixed_motion, Nb)
+        # +2 slots: the distance check reads slot_t1-? and the keep-branch
+        # initializes the NEXT keyframe slot in-program
+        cfg, Nb, base, args = self._fused_prep(
+            t0, t1, True, fixed_motion, extra_slots=2,
+        )
+        assert base <= min(d_pair) and slot_t1 - base < Nb, (
+            base, d_pair, slot_t1, Nb
+        )
         run = _jitted_frontend_step(
             self.update_fn, cfg, r1, r2, const_vel
         )
         (poses, disps, intr, f_net, target, weight, damping, d) = run(
             self.params, Nb, *args, jnp.int32(itrs),
             jnp.float32(1e-3), jnp.float32(0.1),
-            jnp.asarray([d_pair[0]], jnp.int32),
-            jnp.asarray([d_pair[1]], jnp.int32),
-            jnp.float32(kf_thresh), jnp.float32(beta), jnp.int32(slot_t1),
+            jnp.asarray([d_pair[0] - base], jnp.int32),
+            jnp.asarray([d_pair[1] - base], jnp.int32),
+            jnp.float32(kf_thresh), jnp.float32(beta),
+            jnp.int32(slot_t1 - base),
         )
-        self._apply_fused(poses, disps, intr, f_net, target, weight, damping)
+        self._apply_fused(base, poses, disps, intr, f_net, target, weight,
+                          damping)
         d = float(d)
         self.age[: self.n_edges] += r1 + (r2 if d >= kf_thresh else 0)
         return d
@@ -1340,12 +1394,17 @@ class FactorGraph:
         else:
             pose_mask = (idx >= t0) & (idx < t1) & (idx < buf.n_frames)
         idv = np.arange(NbV) // V
+        # disps update ONLY where a BA edge sources from the variable — the
+        # reference materializes dense_disp variables from the edge list
+        # (buffer.py:373-430); anchoring edgeless frames to disps_sens each
+        # call would drift them
+        has_edge = fill_ct > 0
         if motion_only:
             disp_mask = np.zeros(NbV, bool)
         elif limited_disp:
-            disp_mask = (idv >= t0) & (idv < t1) & (idv < buf.n_frames)
+            disp_mask = has_edge & (idv >= t0) & (idv < t1) & (idv < buf.n_frames)
         else:
-            disp_mask = idv < buf.n_frames
+            disp_mask = has_edge & (idv < buf.n_frames)
 
         disp_damping = 0.2 * self.damping[:NbV].reshape(NbV, P) + 1e-7
         sens = buf.disps_sens[:NbV].reshape(NbV, P)

@@ -70,8 +70,10 @@ class SLAMFrontend:
 
     def _submit_distance(self):
         if not self.has_init_pose:
+            # +8 slack: t0 = t1-5 may reach below the window edge
             self._dist_token = self.graph.submit_distance_matrix(
-                beta=self.beta, n_frames=self.buffer.n_frames + 1
+                beta=self.beta, n_frames=self.buffer.n_frames + 1,
+                window=self.frontend_window + 8,
             )
 
     def _init_pose(self):
