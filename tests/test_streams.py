@@ -161,3 +161,29 @@ class TestProcessors:
         assert f2.mask.shape == (20, 24)
         assert f2.metric_depth.shape == (20, 24)
         np.testing.assert_allclose(f2.intrinsics[2], 32.0 / 2 - 4)
+
+
+class TestMultiviewStreamFactory:
+    def test_config_factory_builds_rig_list(self, tmp_path):
+        import cv2
+
+        from vipe_tpu.streams.base import MultiviewVideoList, StreamList
+
+        for name in ("cam0.mp4", "cam1.mp4"):
+            w = cv2.VideoWriter(str(tmp_path / name),
+                                cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+            for k in range(5):
+                w.write(np.full((48, 64, 3), k * 20, np.uint8))
+            w.release()
+        rig = [[0, 0, 0, 0, 0, 0, 1], [0.1, 0, 0, 0, 0, 0, 1]]
+        sl = StreamList.make({
+            "instance":
+                "vipe_tpu.streams.raw_mp4_stream.MultiviewMp4StreamList",
+            "videos": [str(tmp_path / "cam0.mp4"), str(tmp_path / "cam1.mp4")],
+            "rig": rig,
+        })
+        mv = list(sl)[0]
+        assert isinstance(mv, MultiviewVideoList)
+        assert len(mv) == 2 and mv.num_frames() == 5
+        np.testing.assert_allclose(mv.rig, np.asarray(rig, np.float32))
+        assert mv.cache() is mv  # run.py compatibility

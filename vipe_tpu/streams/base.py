@@ -314,6 +314,11 @@ class MultiviewVideoList:
     def num_frames(self) -> int:
         return self._len
 
+    def cache(self, *a, **k):
+        """No-op (run.py calls .cache() uniformly; the multiview pipeline
+        caches per view internally)."""
+        return self
+
 
 class StreamList:
     """Multi-video collection + factory (reference base.py:486-503)."""

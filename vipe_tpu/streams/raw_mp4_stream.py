@@ -76,3 +76,32 @@ class RawMp4StreamList(StreamList):
         else:
             files = [p]
         super().__init__([RawMp4Stream(f, seek_range) for f in files])
+
+
+class MultiviewMp4StreamList(StreamList):
+    """Synchronized rig capture from per-view mp4s (reference
+    MultiviewVideoList, base.py:293-326).
+
+    Config:
+        instance: vipe_tpu.streams.raw_mp4_stream.MultiviewMp4StreamList
+        videos: [cam0.mp4, cam1.mp4, ...]
+        rig: path to a (V, 7) .npy (xyz + quat camera-to-rig), or an inline
+             V×7 nested list; defaults to identity for every view.
+        name: capture name (defaults to the first video's stem)
+    """
+
+    def __init__(self, videos, rig=None, name=None, seek_range=None, **_):
+        import numpy as np
+
+        from .base import MultiviewVideoList
+
+        streams = [RawMp4Stream(pathlib.Path(v), seek_range) for v in videos]
+        if rig is None:
+            r = np.zeros((len(streams), 7), np.float32)
+            r[:, 6] = 1.0
+        elif isinstance(rig, str):
+            r = np.load(rig).astype(np.float32)
+        else:
+            r = np.asarray(rig, np.float32)
+        name = name or pathlib.Path(videos[0]).stem
+        super().__init__([MultiviewVideoList(name, streams, r)])
