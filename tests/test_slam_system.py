@@ -185,6 +185,9 @@ class TestSLAMSystemOracle:
         err = ate_rmse(out.trajectory, gt_c2w, align=True)
         # trajectory spans ~0.66 in x; demand cm-level recovery
         assert err < 0.02, f"ATE {err}"
+        # ba_residual is actually computed (the reference declares the field
+        # but always leaves it 0.0)
+        assert np.isfinite(out.ba_residual) and out.ba_residual >= 0.0
 
     def test_scale_is_metric(self, slam_result):
         """disps_sens anchoring keeps the metric scale (no Umeyama rescue)."""

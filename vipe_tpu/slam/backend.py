@@ -16,6 +16,7 @@ class SLAMBackend:
         self.params = params
         self.config = config
         self.depth_model = None
+        self.last_residual = 0.0
 
     def run(self, steps: int = 12, update_depth: bool = True):
         """Fresh graph + ``steps`` × update_batch (backend.py:75-110)."""
@@ -48,6 +49,7 @@ class SLAMBackend:
             else:
                 graph.update_batch(itrs=itrs, steps=steps,
                                    optimize_intrinsics=optimize_intrinsics)
+            self.last_residual = graph.current_residual()
         else:
             # single keyframe: adopt sensor depth directly (backend.py:104-109)
             buf.disps = buf.disps.at[0].set(

@@ -1169,6 +1169,24 @@ class FactorGraph:
             and (st is None or not st.enabled)
         )
 
+    def current_residual(self):
+        """Weighted flow residual Σ w·(reproj − target)² over the active
+        edges — fills SLAMOutput.ba_residual (the reference declares the
+        field but never computes it, interface.py:152-154)."""
+        if self.n_edges == 0:
+            return 0.0
+        pi_d, qi_d, di_d, pj_d, qj_d, ev = self._active_expanded()
+        buf = self.buffer
+        rig, intr = self._rig_intr()
+        coords, valid = geom.reproject_mv(
+            buf.poses, rig, buf.disps, intr, buf.camera_type,
+            pi_d, qi_d, di_d, pj_d, qj_d,
+        )
+        r = coords - self.target[: self.EV]
+        w = self.weight[: self.EV] * valid[..., None]
+        w = w * ev[:, None, None, None]
+        return float(jnp.sum(w * r * r))
+
     def update_batch(
         self,
         itrs: int,

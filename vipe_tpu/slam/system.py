@@ -196,6 +196,12 @@ class SLAMSystem:
 
         fbi = c.get("frontend_backend_iters", [16, 64, 256])
         profile = os.environ.get("VIPE_PROFILE") == "1"
+        trace_dir = os.environ.get("VIPE_TRACE")
+        if trace_dir:
+            try:  # device-side capture may be unsupported over the tunnel
+                jax.profiler.start_trace(trace_dir)
+            except Exception:
+                trace_dir = None
         tmarks = {}
 
         def mark(name, t0):
@@ -402,6 +408,11 @@ class SLAMSystem:
                 "try streams.cached=true"
             )
 
+        if trace_dir:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
         slam_map = buffer.extract_slam_map(c.get("map_filter_thresh", 0.05))
         if V == 1:
             intr_full = resizers[0].recover_intrinsics(
@@ -419,5 +430,6 @@ class SLAMSystem:
             intrinsics=intr_full,
             camera_type=camera_type,
             slam_map=slam_map,
+            ba_residual=backend.last_residual,
             rig=np.asarray(buffer.rig) if V > 1 else None,
         )
