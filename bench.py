@@ -64,17 +64,17 @@ def calibrate_filter_thresh(n: int = 12) -> float:
     import jax.numpy as jnp2
 
     _, params, ef, ec, uf = default_droidnet()
-    # promote EVERY frame so each score measures consecutive-frame motion
-    # (the live filter compares against the LAST KEYFRAME, so consecutive
-    # scores are the relevant distribution)
-    mf = MotionFilter(ef, ec, uf, params, thresh=-1.0)
+    # promote EVERY frame (manually) so each score measures consecutive-frame
+    # motion; a finite huge threshold keeps the score path live (±inf takes
+    # the fixed-decision fast path that skips scoring entirely)
+    mf = MotionFilter(ef, ec, uf, params, thresh=1e9)
     scores = []
     for frame in synth_stream(n, seed=7):
         rgb8 = (np.clip(frame.rgb, 0, 1) * 255).astype(np.uint8)
         tok = mf.submit(jnp2.asarray(rgb8))
         if tok.score is not None:
             scores.append(float(tok.score))
-        mf.resolve(tok)
+        mf._promote_kf(tok)
     return float(np.quantile(scores, 0.66))
 
 
