@@ -160,7 +160,7 @@ class DeAOTTracker:
         img = self._preprocess(rgb)
         oh = self._one_hot(instance, img.shape[1:3])
         params = self._ensure_params(img, oh)
-        layer_mems = self.net.apply(params, img, oh, method=_ref_step)
+        layer_mems = self._jit_ref(params, img, oh)
         if self.long_memory is None:
             self.long_memory = [[m["global"]] for m in layer_mems]
         else:
@@ -184,11 +184,12 @@ class DeAOTTracker:
         logits = resize_align_corners(logits, (h0, w0))
         slot_map = np.asarray(jnp.argmax(logits[0], -1)).astype(np.int32)
         self.curr_mem = currs
+        ids = self._slots_to_ids(slot_map)
         if update_memory:
-            oh = self._one_hot(self._slots_to_ids(slot_map), img.shape[1:3])
+            oh = self._one_hot(ids, img.shape[1:3])
             new_short = self._jit_update(self._params, currs, oh)
             self.short_memory = new_short
-        return self._slots_to_ids(slot_map)
+        return ids
 
 
 # --------------------------- model methods used through nn.Module.apply

@@ -52,7 +52,8 @@ def _jitted_frame_distance(poses, disps, intr, ii, jj, beta, bidirectional):
 @functools.partial(jax.jit, static_argnums=(7, 8))
 def _jitted_frame_distance_mv(poses, rig, disps, intr, ii, jj, beta,
                               V, bidirectional):
-    """Per-view same-view frame distances, (E·V,) view-major (reference
+    """Per-view same-view frame distances, (E·V,) EDGE-major (views
+    contiguous per edge — reshape (E, V); reference
     frame_distance_dense_disp, buffer.py:550-593 with cross=False)."""
     E = ii.shape[0]
     pi = jnp.repeat(ii, V)
@@ -285,8 +286,15 @@ class GraphBuffer:
                 ))
         if V > 1:
             self.cross_view_idx[ix] = self.cross_view_idx[ix + 1]
-            f = self.cross_view_idx[..., 0]
-            f[f >= ix + 1] -= 1  # frame ids shift down past the removed slot
+            # shift frame ids past the removed slot — ONLY for live rows;
+            # unused default rows (r, next view) beyond n_frames must keep
+            # pointing at themselves
+            f = self.cross_view_idx[: self.n_frames, ..., 0]
+            f[f >= ix + 1] -= 1
+            # the vacated last slot reverts to its same-frame default
+            last = self.n_frames - 1
+            self.cross_view_idx[last, :, 0] = last
+            self.cross_view_idx[last, :, 1] = (np.arange(V) + 1) % V
         self.tstamp[ix] = self.tstamp[ix + 1]
         self.n_frames -= 1
 

@@ -1251,7 +1251,9 @@ class FactorGraph:
             for ci, sel in enumerate(frame_chunks):
                 sel_exp = (sel[:, None] * V + np.arange(V)).reshape(-1)
                 Cb = bucket_size(len(sel_exp), minimum=min(BACKEND_CHUNK, 16))
-                sel_pad = np.zeros(Cb, np.int64)
+                # padding rows route to the SCRATCH row EV — padding with 0
+                # would scatter the masked rows' zero weight over edge 0
+                sel_pad = np.full(Cb, self.EV, np.int64)
                 sel_pad[: len(sel_exp)] = sel_exp
                 sl = jnp.asarray(sel_pad, jnp.int32)
                 cv = jnp.asarray(np.arange(Cb) < len(sel_exp))

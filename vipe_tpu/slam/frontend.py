@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import lie
+from ..utils import jaxutil
 from .buffer import GraphBuffer
 from .factor_graph import FactorGraph
 
@@ -28,10 +29,15 @@ def _jitted_const_velocity(poses, t1):
     return poses.at[t1].set(lie.se3_mul(lie.se3_exp(w), p2))
 
 
-@functools.partial(jax.jit, donate_argnums=0)
-def _jitted_mean_disp_init(disps, t1):
-    """disps[t1] = mean(disps[t1-1]) in one donated dispatch."""
-    return disps.at[t1].set(jnp.mean(disps[t1 - 1]))
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=2)
+def _jitted_mean_disp_init(disps, t1, V: int = 1):
+    """disps[slots of frame t1] = mean(previous frame's slots), one donated
+    dispatch.  disps is slot-flattened (frame·V + view) for rigs."""
+    if V == 1:
+        return disps.at[t1].set(jnp.mean(disps[t1 - 1]))
+    prev = jax.lax.dynamic_slice_in_dim(disps, (t1 - 1) * V, V)
+    fill = jnp.broadcast_to(jnp.mean(prev), prev.shape)
+    return jax.lax.dynamic_update_slice_in_dim(disps, fill, t1 * V, 0)
 
 
 class SLAMFrontend:
@@ -121,7 +127,7 @@ class SLAMFrontend:
                 if not self.has_init_pose:
                     self._init_pose()
                 buf.disps = _jitted_mean_disp_init(
-                    buf.disps, jnp.int32(self.t1)
+                    buf.disps, jnp.int32(self.t1), buf.n_views
                 )
         else:
             g.update_fused(self.iters1, use_inactive=True,
@@ -139,7 +145,9 @@ class SLAMFrontend:
                                fixed_motion=self.has_init_pose)
             if not self.has_init_pose:
                 self._init_pose()
-            buf.disps = _jitted_mean_disp_init(buf.disps, jnp.int32(self.t1))
+            buf.disps = _jitted_mean_disp_init(
+                buf.disps, jnp.int32(self.t1), buf.n_views
+            )
         self._submit_distance()
 
     def _initialize(self):
@@ -160,8 +168,13 @@ class SLAMFrontend:
 
         if not self.has_init_pose:
             self._init_pose()
-        buf.disps = buf.disps.at[self.t1].set(
-            jnp.mean(buf.disps[self.t1 - 4: self.t1])
+        V = buf.n_views
+        buf.disps = jaxutil.set_rows(
+            buf.disps, self.t1 * V,
+            jnp.broadcast_to(
+                jnp.mean(buf.disps[(self.t1 - 4) * V: self.t1 * V]),
+                (V,) + buf.disps.shape[1:],
+            ),
         )
         self.is_initialized = True
         g.rm_factors(g.ii[: g.n_edges] < self.warmup - 4, store=True)

@@ -278,6 +278,8 @@ class SLAMSystem:
                 if is_kf:
                     if rgb_dev is None:
                         rgb_dev = _upload(frames)
+                    if bmask is None:
+                        bmask = _masks(frames)
                     fmap, net, inp = _encode_all(rgb_dev)
             else:
                 is_kf = motion_filter.resolve(token)
