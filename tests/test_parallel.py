@@ -36,3 +36,54 @@ class TestSharding:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestTwoProcessSharding:
+    def test_disjoint_shard_coverage(self, tmp_path):
+        """SURVEY §4 item 5: two processes with num_shards=2 cover disjoint
+        videos and together produce every artifact (host-level DCN story —
+        per-video pipelines are embarrassingly parallel)."""
+        import os
+        import subprocess
+        import sys
+
+        import cv2
+
+        vids = tmp_path / "vids"
+        vids.mkdir()
+        rng = np.random.default_rng(0)
+        base = (rng.random((48 + 16, 64 + 16, 3)) * 255).astype(np.uint8)
+        for name in ("a.mp4", "b.mp4"):
+            w = cv2.VideoWriter(str(vids / name),
+                                cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+            for k in range(8):
+                w.write(base[k * 2: k * 2 + 48, k * 2: k * 2 + 64])
+            w.release()
+        out = tmp_path / "out"
+
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "run.py",
+                 f"streams.base_path={vids}",
+                 f"pipeline.output.path={out}",
+                 "pipeline.slam.resize_area=3072",
+                 "pipeline.slam.warmup=4",
+                 "pipeline.slam.backend_iters=1",
+                 "pipeline.slam.infill_chunk_size=8",
+                 "num_shards=2", f"shard_id={sid}"],
+                cwd="/root/repo", env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for sid in (0, 1)
+        ]
+        for p in procs:
+            out_b, _ = p.communicate(timeout=600)
+            assert p.returncode == 0, out_b.decode()[-2000:]
+        from vipe_tpu.utils import io as io_utils
+
+        names = sorted(a.name for a in io_utils.ArtifactPath.glob(out))
+        assert names == ["a", "b"]
