@@ -61,3 +61,26 @@ def pvmap(fn, mesh: Mesh):
 def host_shard_indices(n_items: int, num_shards: int, shard_id: int) -> Sequence[int]:
     """Round-robin multi-host work split (run.py's distributed backend)."""
     return [k for k in range(n_items) if k % num_shards == shard_id]
+
+
+def shard_prior_batch(mesh: Mesh, forward, params, batch):
+    """Batch-parallel vision prior over the mesh (SURVEY §2.6: ICI batch
+    sharding for the ViT zoo).
+
+    ``forward(params, batch)`` must be batch-leading and jittable (every
+    DepthAnythingV2Net/Metric3DNet/UniDepthNet._forward qualifies).  The
+    batch is placed along the mesh axis; XLA partitions the whole network
+    per-device with no collectives (pure data parallelism), so N chips
+    process N frames per step.
+    """
+    sharding = NamedSharding(mesh, P("video"))
+    batch_sharded = jax.device_put(batch, sharding)
+
+    @jax.jit
+    def run(p, x):
+        out = forward(p, x)
+        return jax.tree_util.tree_map(
+            lambda o: jax.lax.with_sharding_constraint(o, sharding), out
+        )
+
+    return run(params, batch_sharded)
