@@ -390,6 +390,11 @@ class GraphBuffer:
             intr_grid = self.scaled_intrinsics
         c2w = lie.se3_inv(poses)
         u, v = geom.pixel_grid(self.ht, self.wd)
+        if self.camera_type == cam.CameraType.PANORAMA:
+            # the panorama model expects NORMALIZED [0,1] coords
+            # (reference utils/cameras.py:376-379)
+            u = u / self.wd
+            v = v / self.ht
         pts_local = cam.iproj_disp(
             self.camera_type, intr_grid,
             jnp.broadcast_to(u, disps.shape), jnp.broadcast_to(v, disps.shape), disps,
