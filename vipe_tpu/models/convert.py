@@ -588,7 +588,7 @@ def convert_geocalib(state_dict: Mapping) -> dict:
     ({"params", "batch_stats"}; reference geocalib.py:105-133 +
     modules.py:23-620).  NMF2D is parameter-free; ConvModules in this model
     all run use_norm=False so only conv weights appear."""
-    sd = {k.removeprefix("module."): _to_np(v) for k, v in sd_items(state_dict)}
+    sd = {k.removeprefix("module."): _to_np(v) for k, v in state_dict.items()}
     params: dict = {}
     stats: dict = {}
 
@@ -682,6 +682,3 @@ def convert_geocalib(state_dict: Mapping) -> dict:
     )
     return {"params": params, "batch_stats": stats}
 
-
-def sd_items(state_dict: Mapping):
-    return state_dict.items()

@@ -107,6 +107,9 @@ class DefaultAnnotationPipeline(Pipeline):
 
         camera_type = CameraType(self.slam_cfg.get("camera_type", "pinhole"))
         V = len(video_list)
+        if V == 1:
+            # degenerate rig: run the ordinary single-view pipeline
+            return self.run(video_list[0])
         streams = []
         for v in range(V):
             init_procs = self._init_processors(video_list[v])

@@ -188,7 +188,12 @@ class AdaptiveDepthProcessor(StreamProcessor):
                 if not use_metric and self.priorda is None:
                     from ..priors.depth.priorda import PriorDAModel
 
-                    self.priorda = PriorDAModel()
+                    # coarse_only until real conditioned-net checkpoints are
+                    # available: with random weights the fine stage replaces
+                    # the prompt-aligned coarse depth with noise (and pays a
+                    # second full DAv2 inference); flip to the reference
+                    # default (fine) once convert_dav2 weights are loadable
+                    self.priorda = PriorDAModel(coarse_only=True)
             if use_metric:
                 focal = (
                     float(frame.intrinsics[0])

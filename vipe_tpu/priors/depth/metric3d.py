@@ -223,8 +223,9 @@ class FlowHead(nn.Module):
 
 
 def _pool2x(x):
+    # torch F.avg_pool2d default count_include_pad=True (decoder :486)
     return nn.avg_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                       count_include_pad=False)
+                       count_include_pad=True)
 
 
 class UpdateBlock(nn.Module):

@@ -147,19 +147,17 @@ class DepthHead(nn.Module):
                 )
             return nn.Conv(ch, (kk, kk), padding="VALID", name=name)(x)
 
+        from ...priors.track_anything.deaot.network import resize_align_corners
+
         logdepth = reflect_conv(logdepth, nd // 2, 3, "to_depth_lr")
-        B = logdepth.shape[0]
-        logdepth = jax.image.resize(
-            logdepth, (B,) + tuple(image_hw) + (logdepth.shape[-1],), "bilinear"
-        )
+        # align_corners=True per the reference depth_proj (decoder.py:305)
+        logdepth = resize_align_corners(logdepth, tuple(image_hw))
         logdepth = reflect_conv(logdepth, 32, 3, "to_depth_hr0")
         logdepth = nn.leaky_relu(logdepth, 0.01)
         logdepth = nn.Conv(1, (1, 1), name="to_depth_hr2")(logdepth)
 
         conf = reflect_conv(conf, nd // 2, 3, "to_confidence_lr")
-        conf = jax.image.resize(
-            conf, (B,) + tuple(image_hw) + (conf.shape[-1],), "bilinear"
-        )
+        conf = resize_align_corners(conf, tuple(image_hw))
         conf = reflect_conv(conf, 32, 3, "to_confidence_hr0")
         conf = nn.leaky_relu(conf, 0.01)
         conf = nn.Conv(1, (1, 1), name="to_confidence_hr2")(conf)

@@ -188,9 +188,10 @@ class GroundingDINOModel(nn.Module):
                 ),
                 memory, spatial_shapes, text, text_token_mask,
             )
-            # iterative box refinement (reference transformer.py:708-721,
-            # groundingdino.py:348-356: bbox_embed on the NORMED hidden state)
-            delta = bbox_embed(dec_norm(hs_last))
+            # iterative box refinement (reference transformer.py:708-721):
+            # bbox_embed consumes the RAW layer output; dec_norm applies only
+            # to the classification path (intermediate.append(self.norm(...)))
+            delta = bbox_embed(hs_last)
             reference = nn.sigmoid(delta + inverse_sigmoid(reference))
 
         hs_final = dec_norm(hs_last)

@@ -112,46 +112,28 @@ def save_intrinsics(path: ArtifactPath, intrinsics: np.ndarray, camera_type: str
 
 
 def save_depth_zip(path: ArtifactPath, depths: Iterator[np.ndarray]):
-    path.depth_path.parent.mkdir(parents=True, exist_ok=True)
-    with zipfile.ZipFile(path.depth_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for i, d in enumerate(depths):
-            buf = _io.BytesIO()
-            np.save(buf, np.asarray(d, np.float16))
-            zf.writestr(f"{i:05d}.npy", buf.getvalue())
+    w = StreamingArtifactWriter(path, write_rgb=False, write_mask=False)
+    for d in depths:
+        w.add_frame(depth=d)
+    w.close()
 
 
 def save_mask_zip(path: ArtifactPath, masks: Iterator[np.ndarray],
                   phrases: Optional[List[str]] = None):
-    import cv2
-
-    path.mask_path.parent.mkdir(parents=True, exist_ok=True)
-    with zipfile.ZipFile(path.mask_path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for i, m in enumerate(masks):
-            ok, png = cv2.imencode(".png", np.asarray(m, np.uint8))
-            assert ok
-            zf.writestr(f"{i:05d}.png", png.tobytes())
-    if phrases is not None:
-        path.mask_phrase_path.write_text("\n".join(phrases))
+    w = StreamingArtifactWriter(path, write_rgb=False, write_depth=False)
+    for m in masks:
+        w.add_frame(instance=m)
+    w.close(phrases=phrases)
 
 
 def save_rgb_video(path: ArtifactPath, frames: Iterator[np.ndarray], fps: float = 30.0):
     """frames: (H, W, 3) float [0,1] or uint8 RGB."""
-    import cv2
-
-    path.rgb_path.parent.mkdir(parents=True, exist_ok=True)
-    writer = None
+    w = StreamingArtifactWriter(
+        path, fps=fps, write_depth=False, write_mask=False
+    )
     for f in frames:
-        f = np.asarray(f)
-        if f.dtype != np.uint8:
-            f = (np.clip(f, 0, 1) * 255).astype(np.uint8)
-        if writer is None:
-            h, w = f.shape[:2]
-            writer = cv2.VideoWriter(
-                str(path.rgb_path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
-            )
-        writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
-    if writer is not None:
-        writer.release()
+        w.add_frame(rgb=f)
+    w.close()
 
 
 def save_info(path: ArtifactPath, info: dict):
@@ -164,7 +146,13 @@ class StreamingArtifactWriter:
     """Incremental per-frame artifact writer: rgb video, depth zip and mask
     zip entries are written as frames arrive, so a pipeline pass never holds
     more than one frame in memory (the reference streams artifacts through
-    lazy iterators the same way, io.py:338-378)."""
+    lazy iterators the same way, io.py:338-378).
+
+    Zip archives stay DENSE: once any depth/mask entry has been written,
+    every frame index gets an entry (NaN depth / zero mask fill-ins for
+    frames where the attribute was absent, including backfill of earlier
+    frames when the first value arrives mid-stream), so positional readers
+    that zip entries with the rgb video stay aligned."""
 
     def __init__(self, path: ArtifactPath, fps: float = 30.0,
                  write_rgb: bool = True, write_depth: bool = True,
@@ -177,9 +165,23 @@ class StreamingArtifactWriter:
         self._rgb_writer = None
         self._depth_zip = None
         self._mask_zip = None
+        self._depth_shape = None
+        self._mask_shape = None
         self.n_frames = 0
         self.wrote_depth = False
         self.wrote_mask = False
+
+    def _put_depth(self, i: int, depth):
+        buf = _io.BytesIO()
+        np.save(buf, np.asarray(depth, np.float16))
+        self._depth_zip.writestr(f"{i:05d}.npy", buf.getvalue())
+
+    def _put_mask(self, i: int, mask):
+        import cv2
+
+        ok, png = cv2.imencode(".png", np.asarray(mask, np.uint8))
+        assert ok
+        self._mask_zip.writestr(f"{i:05d}.png", png.tobytes())
 
     def add_frame(self, rgb=None, depth=None, instance=None):
         import cv2
@@ -197,25 +199,33 @@ class StreamingArtifactWriter:
                     self.fps, (w, h),
                 )
             self._rgb_writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
-        if depth is not None and self.write_depth:
-            if self._depth_zip is None:
+        if self.write_depth and (depth is not None or self._depth_zip is not None):
+            if depth is not None and self._depth_zip is None:
                 self.path.depth_path.parent.mkdir(parents=True, exist_ok=True)
                 self._depth_zip = zipfile.ZipFile(
                     self.path.depth_path, "w", zipfile.ZIP_DEFLATED
                 )
-            buf = _io.BytesIO()
-            np.save(buf, np.asarray(depth, np.float16))
-            self._depth_zip.writestr(f"{i:05d}.npy", buf.getvalue())
+                fill = np.full(np.asarray(depth).shape, np.nan, np.float16)
+                for k in range(i):  # backfill frames seen before first depth
+                    self._put_depth(k, fill)
+            if depth is None:
+                depth = np.full(self._depth_shape, np.nan, np.float16)
+            self._depth_shape = np.asarray(depth).shape
+            self._put_depth(i, depth)
             self.wrote_depth = True
-        if instance is not None and self.write_mask:
-            if self._mask_zip is None:
+        if self.write_mask and (instance is not None or self._mask_zip is not None):
+            if instance is not None and self._mask_zip is None:
                 self.path.mask_path.parent.mkdir(parents=True, exist_ok=True)
                 self._mask_zip = zipfile.ZipFile(
                     self.path.mask_path, "w", zipfile.ZIP_DEFLATED
                 )
-            ok, png = cv2.imencode(".png", np.asarray(instance, np.uint8))
-            assert ok
-            self._mask_zip.writestr(f"{i:05d}.png", png.tobytes())
+                fill = np.zeros(np.asarray(instance).shape, np.uint8)
+                for k in range(i):
+                    self._put_mask(k, fill)
+            if instance is None:
+                instance = np.zeros(self._mask_shape, np.uint8)
+            self._mask_shape = np.asarray(instance).shape
+            self._put_mask(i, instance)
             self.wrote_mask = True
         self.n_frames += 1
 

@@ -16,10 +16,13 @@ intrinsics artifacts exactly like the reference's ``vipe_artifacts_scene``.
 from __future__ import annotations
 
 import functools
+import io as _io
 import json
 import pathlib
 import struct
 import threading
+import zipfile
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional, Tuple
 from urllib.parse import parse_qs, urlparse
@@ -30,7 +33,12 @@ from . import io as io_utils
 
 
 class SceneStore:
-    """Lazy artifact loader + per-(artifact, subsample) cloud cache."""
+    """Lazy artifact loader with BOUNDED memory: per-scene metadata (poses,
+    intrinsics, depth-zip namelist) is cached, but rgb/depth frames are
+    decoded per request straight from the mp4/zip, and the assembled binary
+    clouds sit in a small LRU — a long video never gets fully resident."""
+
+    MAX_CLOUD_CACHE = 256  # LRU entries; ≲ tens of MB at viewer subsampling
 
     def __init__(self, root):
         self.root = pathlib.Path(root)
@@ -41,10 +49,21 @@ class SceneStore:
             raise FileNotFoundError(f"no artifacts under {root}")
         self._lock = threading.Lock()
         self._scenes: Dict[int, dict] = {}
-        self._clouds: Dict[Tuple[int, int, int], bytes] = {}
+        self._clouds: "OrderedDict[Tuple[int, int, int], bytes]" = OrderedDict()
 
     def names(self) -> List[str]:
         return [a.name for a in self.artifacts]
+
+    @staticmethod
+    def _decode_depth(data: bytes, name: str) -> np.ndarray:
+        if name.endswith(".npy"):
+            return np.load(_io.BytesIO(data)).astype(np.float32)
+        import cv2  # reference-written .exr archives
+
+        arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED)
+        if arr is None:
+            return np.full((1, 1), np.nan, np.float32)
+        return np.asarray(arr, np.float32)
 
     def scene(self, idx: int) -> dict:
         with self._lock:
@@ -53,33 +72,58 @@ class SceneStore:
         art = self.artifacts[idx]
         mats, inds = io_utils.read_pose_artifacts(art)
         intr, camera_type = io_utils.read_intrinsics_artifacts(art)
-        rgbs = None
-        if art.rgb_path.exists():
+        depth_names = None
+        size = [0, 0]
+        if art.depth_path.exists():
+            with zipfile.ZipFile(art.depth_path) as zf:
+                depth_names = sorted(zf.namelist())
+                if depth_names:
+                    d0 = self._decode_depth(
+                        zf.read(depth_names[0]), depth_names[0]
+                    )
+                    size = list(d0.shape[:2])
+        has_rgb = art.rgb_path.exists()
+        if has_rgb and size == [0, 0]:
             import cv2
 
             cap = cv2.VideoCapture(str(art.rgb_path))
-            frames = []
-            while True:
-                ok, f = cap.read()
-                if not ok:
-                    break
-                frames.append(f[..., ::-1].copy())  # BGR → RGB
+            size = [
+                int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+                int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            ]
             cap.release()
-            rgbs = frames
-        depths = None
-        if art.depth_path.exists():
-            depths = list(io_utils.read_depth_artifacts(art))
         sc = {
             "mats": np.asarray(mats, np.float32),
             "inds": np.asarray(inds),
             "intr": np.asarray(intr, np.float32).reshape(-1),
             "camera_type": camera_type,
-            "rgbs": rgbs,
-            "depths": depths,
+            "depth_names": depth_names,
+            "has_rgb": has_rgb,
+            "size": size,
         }
         with self._lock:
             self._scenes[idx] = sc
         return sc
+
+    def _depth_frame(self, idx: int, frame: int) -> Optional[np.ndarray]:
+        sc = self.scene(idx)
+        names = sc["depth_names"]
+        if names is None or frame >= len(names):
+            return None
+        with zipfile.ZipFile(self.artifacts[idx].depth_path) as zf:
+            return self._decode_depth(zf.read(names[frame]), names[frame])
+
+    def _rgb_frame(self, idx: int, frame: int) -> Optional[np.ndarray]:
+        sc = self.scene(idx)
+        if not sc["has_rgb"]:
+            return None
+        import cv2
+
+        cap = cv2.VideoCapture(str(self.artifacts[idx].rgb_path))
+        cap.set(cv2.CAP_PROP_POS_FRAMES, frame)
+        ok, f = cap.read()
+        cap.release()
+        return f[..., ::-1] if ok else None  # BGR → RGB
 
     def meta(self, idx: int) -> dict:
         sc = self.scene(idx)
@@ -89,12 +133,8 @@ class SceneStore:
             "traj": sc["mats"].reshape(-1).tolist(),
             "intrinsics": sc["intr"][:4].tolist(),
             "camera_type": sc["camera_type"],
-            "has_depth": sc["depths"] is not None,
-            "size": (
-                list(sc["depths"][0].shape[:2]) if sc["depths"]
-                else ([sc["rgbs"][0].shape[0], sc["rgbs"][0].shape[1]]
-                      if sc["rgbs"] else [0, 0])
-            ),
+            "has_depth": sc["depth_names"] is not None,
+            "size": sc["size"],
         }
 
     def cloud(self, idx: int, frame: int, ssub: int) -> bytes:
@@ -102,12 +142,14 @@ class SceneStore:
         key = (idx, frame, ssub)
         with self._lock:
             if key in self._clouds:
+                self._clouds.move_to_end(key)
                 return self._clouds[key]
         sc = self.scene(idx)
-        if sc["depths"] is None or frame >= len(sc["depths"]):
+        depth = self._depth_frame(idx, frame)
+        if depth is None:
             payload = struct.pack("<I", 0)
         else:
-            depth = np.asarray(sc["depths"][frame], np.float32)[::ssub, ::ssub]
+            depth = np.asarray(depth, np.float32)[::ssub, ::ssub]
             H, W = depth.shape
             fx, fy, cx, cy = sc["intr"][:4]
             u = (np.arange(0, W * ssub, ssub, dtype=np.float32) - cx) / fx
@@ -120,8 +162,9 @@ class SceneStore:
             pts_w = pts_cam @ m[:3, :3].T + m[:3, 3]
             mask = valid.reshape(-1)
             pts_w = pts_w[mask].astype(np.float32)
-            if sc["rgbs"] is not None and frame < len(sc["rgbs"]):
-                rgb = sc["rgbs"][frame][::ssub, ::ssub]
+            rgb = self._rgb_frame(idx, frame)
+            if rgb is not None:
+                rgb = rgb[::ssub, ::ssub]
                 cols = rgb.reshape(-1, 3)[mask].astype(np.uint8)
             else:
                 cols = np.full((len(pts_w), 3), 180, np.uint8)
@@ -132,6 +175,8 @@ class SceneStore:
             )
         with self._lock:
             self._clouds[key] = payload
+            while len(self._clouds) > self.MAX_CLOUD_CACHE:
+                self._clouds.popitem(last=False)
         return payload
 
 
