@@ -194,3 +194,38 @@ class TestSystemIntegration:
         )
         system.run(TinyStream())
         assert SpyTracker.calls == list(range(T))
+
+
+class TestLKSparseTracks:
+    def test_tracks_follow_translation(self):
+        from types import SimpleNamespace
+
+        from vipe_tpu.slam.sparse_tracks import (
+            LKSparseTracks,
+            build_sparse_tracks,
+        )
+
+        rng = np.random.default_rng(3)
+        tex = rng.random((H + 16, W + 16, 3)).astype(np.float32)
+        tracker = build_sparse_tracks(
+            {"name": "lk", "max_corners": 64, "min_distance": 4}
+        )
+        assert isinstance(tracker, LKSparseTracks) and tracker.enabled
+        for k in range(4):  # camera pans right 2px / frame
+            frame = SimpleNamespace(rgb=tex[0:H, 2 * k : 2 * k + W])
+            tracker.track_image(k, [frame])
+
+        kps = tracker.get_correspondences(0, 0, 3)
+        assert len(kps) >= 10
+        src = tracker.get_observations(0, 0, kps)
+        dst = tracker.get_observations(0, 3, kps)
+        flow = dst - src
+        # content moves LEFT by 2px/frame when panning right
+        med = np.median(flow, axis=0)
+        assert abs(med[0] + 6.0) < 1.0 and abs(med[1]) < 1.0
+
+        target, wgt = tracker.compute_dense_disp_target_weight(
+            np.zeros(1, int), np.asarray([0]), np.zeros(1, int),
+            np.asarray([3]), (H, W), (HT, WD),
+        )
+        assert wgt.max() > 0 and target.shape == (1, HT, WD, 2)

@@ -162,6 +162,52 @@ class TestKnn:
         assert out[7, 7] == 0.0  # beyond max dist
 
 
+class TestRectifyPane:
+    def test_pinhole_identity_and_mei(self, rng):
+        from vipe_tpu.utils.visualization import rectify_rgb
+
+        rgb = (rng.random((16, 24, 3)) * 255).astype(np.uint8)
+        pin = np.asarray([20.0, 20.0, 12.0, 8.0], np.float32)
+        assert rectify_rgb(rgb, pin, "pinhole") is rgb
+        mei = np.asarray([20.0, 20.0, 12.0, 8.0, 0.3], np.float32)
+        out = rectify_rgb(rgb, mei, "mei")
+        assert out.shape == rgb.shape and out.dtype == np.uint8
+        # center ray is distortion-invariant → center pixel preserved
+        assert abs(int(out[8, 12, 0]) - int(rgb[8, 12, 0])) <= 2
+
+
+class TestTelemetry:
+    def test_snapshot_roundtrip(self, tmp_path, rng):
+        import jax.numpy as jnp
+
+        from vipe_tpu.slam.buffer import GraphBuffer
+        from vipe_tpu.utils.telemetry import TelemetryWriter, read_snapshot
+
+        H, W = 16, 16
+        ht, wd = H // 8, W // 8
+        buf = GraphBuffer(height=H, width=W, buffer_size=8)
+        z = jnp.zeros((ht, wd, 128), jnp.float32)
+        for k in range(4):
+            img = jnp.asarray(
+                (rng.random((H, W, 3)) * 255).astype(np.uint8)
+            )
+            buf.append_keyframe(
+                k, img, z, z, z,
+                intrinsics=np.asarray([W, W, W / 2, H / 2], np.float32),
+            )
+
+        tele = TelemetryWriter(tmp_path, name="clip", every=2)
+        assert tele.update(buf)
+        assert not tele.update(buf)  # no new keyframes since
+        assert tele.update(buf, force=True)
+
+        snap = read_snapshot(tele.snapshot_path)
+        assert int(snap["n_keyframes"]) == 4
+        assert snap["poses_w2c"].shape == (4, 7)
+        assert snap["cloud_xyz"].shape[0] == snap["cloud_rgb"].shape[0] > 0
+        assert np.isfinite(snap["cloud_xyz"]).all()
+
+
 class TestEvaluateCLI:
     def test_evaluate_command(self, tmp_path, rng):
         import json
@@ -189,3 +235,43 @@ class TestEvaluateCLI:
         assert "clip" in res and res["clip"]["ate_rmse"] < 0.05
         assert res["clip"]["depth_abs_rel"] < 0.01
         assert res["clip"]["depth_delta1"] == 1.0
+
+    def test_evaluate_in_tree_gt_and_save(self, tmp_path, rng):
+        """GT read from the artifact tree's own eval/ paths (reference
+        eval_gt_* layout) + --save writes metrics pickle and traj PNG."""
+        import json
+        import pickle
+        import shutil
+
+        from click.testing import CliRunner
+
+        from vipe_tpu.cli.main import vipe as vipe_cli
+        from vipe_tpu.utils import io as io_utils
+        from vipe_tpu.utils.geometry import se3_to_matrix
+
+        art = io_utils.ArtifactPath(tmp_path, "clip")
+        traj = np.zeros((6, 7), np.float32)
+        traj[:, 0] = np.arange(6) * 0.1 + 0.01 * rng.normal(size=6)
+        traj[:, 6] = 1.0
+        io_utils.save_poses(art, traj)
+        io_utils.save_depth_zip(
+            art, iter([np.full((6, 8), 2.01, np.float32)] * 3)
+        )
+        gt = traj.copy()
+        gt[:, 0] = np.arange(6) * 0.1
+        art.eval_gt_pose_path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(art.eval_gt_pose_path, data=se3_to_matrix(gt))
+        stage = io_utils.ArtifactPath(tmp_path / "stage", "clip")
+        io_utils.save_depth_zip(
+            stage, iter([np.full((6, 8), 2.0, np.float32)] * 3)
+        )
+        shutil.move(stage.depth_path, art.eval_gt_depth_path)
+
+        r = CliRunner().invoke(vipe_cli, ["evaluate", str(tmp_path), "--save"])
+        assert r.exit_code == 0, r.output
+        res = json.loads(r.output)
+        assert res["clip"]["ate_rmse"] < 0.05
+        assert res["clip"]["depth_abs_rel"] < 0.01
+        with open(art.eval_metrics_path, "rb") as f:
+            assert pickle.load(f)["ate_rmse"] == res["clip"]["ate_rmse"]
+        assert art.eval_traj_vis_path.exists()

@@ -78,14 +78,22 @@ def visualize(artifact_dir, port, serve):
 
 @vipe.command()
 @click.argument("artifact_dir", type=click.Path(exists=True))
-@click.argument("gt_dir", type=click.Path(exists=True))
+@click.argument("gt_dir", type=click.Path(exists=True), required=False)
 @click.option("--no-align", is_flag=True, help="skip Umeyama alignment")
-def evaluate(artifact_dir, gt_dir, no_align):
+@click.option("--save", is_flag=True,
+              help="write eval/<name>_metrics.pkl + trajectory PNG")
+def evaluate(artifact_dir, gt_dir, no_align, save):
     """Compare artifacts against ground-truth artifacts (ATE RMSE, depth
     abs-rel / rmse-log / δ1).  The reference ships the metric functions but
     leaves 'Add instructions for benchmarking' as a TODO (README.md:94);
-    this closes that loop over the same artifact layout."""
+    this closes that loop over the same artifact layout.
+
+    GT_DIR may be omitted, in which case ground truth is read from the
+    artifact tree's own ``eval/`` paths (``<name>_pose_gt.npz`` /
+    ``<name>_depth_gt.zip``, the reference's eval_gt_* layout io.py:120-135).
+    """
     import json
+    import pickle
 
     import numpy as np
 
@@ -100,11 +108,17 @@ def evaluate(artifact_dir, gt_dir, no_align):
 
     results = {}
     for art in io_utils.ArtifactPath.glob(artifact_dir):
-        gt = io_utils.ArtifactPath(gt_dir, art.name)
-        if not gt.pose_path.exists():
+        if gt_dir is not None:
+            gt = io_utils.ArtifactPath(gt_dir, art.name)
+            gt_pose_path, gt_depth_path = gt.pose_path, gt.depth_path
+        else:
+            gt_pose_path = art.eval_gt_pose_path
+            gt_depth_path = art.eval_gt_depth_path
+        if not gt_pose_path.exists():
             continue
         mats, _ = io_utils.read_pose_artifacts(art)
-        gt_mats, _ = io_utils.read_pose_artifacts(gt)
+        z = np.load(gt_pose_path)
+        gt_mats = z["data"]
         n = min(len(mats), len(gt_mats))
         entry = {
             "ate_rmse": ate_rmse(
@@ -112,11 +126,11 @@ def evaluate(artifact_dir, gt_dir, no_align):
                 align=not no_align,
             )
         }
-        if art.depth_path.exists() and gt.depth_path.exists():
+        if art.depth_path.exists() and gt_depth_path.exists():
             absrel, rmselog, d1, count = 0.0, 0.0, 0.0, 0
             for pred, ref in zip(
                 io_utils.read_depth_artifacts(art),
-                io_utils.read_depth_artifacts(gt),
+                io_utils.read_depth_zip(gt_depth_path),
             ):
                 if pred.shape != ref.shape:
                     continue
@@ -133,6 +147,33 @@ def evaluate(artifact_dir, gt_dir, no_align):
                     "depth_rmse_log": rmselog / count,
                     "depth_delta1": d1 / count,
                 }
+        if save:
+            art.eval_metrics_path.parent.mkdir(parents=True, exist_ok=True)
+            with open(art.eval_metrics_path, "wb") as f:
+                pickle.dump(entry, f)
+            try:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                from ..utils.geometry import align_trajectories
+
+                pred = matrix_to_se3(mats[:n])
+                ref = matrix_to_se3(gt_mats[:n])
+                if not no_align:
+                    pred, _ = align_trajectories(pred, ref)
+                fig, ax = plt.subplots(figsize=(6, 6))
+                ax.plot(ref[:, 0], ref[:, 2], "k--", label="gt")
+                ax.plot(pred[:, 0], pred[:, 2], "b-", label="pred")
+                ax.set_aspect("equal")
+                ax.legend()
+                ax.set_title(f"{art.name}  ATE {entry['ate_rmse']:.4f}")
+                fig.savefig(art.eval_traj_vis_path, dpi=120,
+                            bbox_inches="tight")
+                plt.close(fig)
+            except ImportError:
+                pass
         results[art.name] = entry
     click.echo(json.dumps(results, indent=2, default=float))
 

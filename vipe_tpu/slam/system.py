@@ -194,6 +194,22 @@ class SLAMSystem:
         backend.depth_model = self.metric_depth
         filler = InnerFiller(buffer, self.update_fn, self.params, c)
 
+        # live telemetry (reference system.py:243-246 streams to rerun when
+        # slam.visualize=true; here: polled atomic npz snapshots)
+        tele = None
+        if c.get("visualize"):
+            from ..utils.telemetry import TelemetryWriter
+
+            try:
+                tele_name = raw_streams[0].name()
+            except Exception:
+                tele_name = "slam"
+            tele = TelemetryWriter(
+                c.get("visualize_path", "vipe_telemetry"),
+                name=tele_name,
+                every=c.get("visualize_every", 8),
+            )
+
         fbi = c.get("frontend_backend_iters", [16, 64, 256])
         profile = os.environ.get("VIPE_PROFILE") == "1"
         trace_dir = os.environ.get("VIPE_TRACE")
@@ -309,6 +325,8 @@ class SLAMSystem:
                         self.metric_depth, frame_idx=buffer.n_frames - 1
                     )
             frontend.run()
+            if tele is not None and is_kf:
+                tele.update(buffer)
             if buffer.n_frames in fbi and is_kf:
                 backend.run_if_necessary(5)
                 # backend moved poses/disps → speculative distances are stale
@@ -348,6 +366,8 @@ class SLAMSystem:
         backend.run(7)
         backend.run(c.get("backend_iters", 24), update_depth=False)
         mark("backend", t0)
+        if tele is not None:
+            tele.update(buffer, force=True)
 
         # ----------------------------------------------------------- pass 2
         # batch the per-frame encoders (8 frames per dispatch) — pass 2 runs

@@ -71,6 +71,46 @@ class ArtifactPath:
     def vis_path(self):
         return self.root / "vipe" / f"{self.name}_vis.mp4"
 
+    # Layout parity with the reference's extended artifact set (reference
+    # io.py:67-143): flow archives plus eval/aux paths consumed by external
+    # benchmark tooling.  Nothing in-tree writes these yet (same as the
+    # reference, where they have no in-repo producer either).
+    @property
+    def flow_path(self):
+        return self.root / "flow" / f"{self.name}.zip"
+
+    @property
+    def eval_metrics_path(self):
+        return self.root / "eval" / f"{self.name}_metrics.pkl"
+
+    @property
+    def eval_traj_vis_path(self):
+        return self.root / "eval" / f"{self.name}_trajectory_vis.png"
+
+    @property
+    def eval_gt_pose_path(self):
+        return self.root / "eval" / f"{self.name}_pose_gt.npz"
+
+    @property
+    def eval_gt_intrinsics_path(self):
+        return self.root / "eval" / f"{self.name}_intrinsics_gt.npz"
+
+    @property
+    def eval_gt_camera_type_path(self):
+        return self.root / "eval" / f"{self.name}_camera_gt.txt"
+
+    @property
+    def eval_gt_depth_path(self):
+        return self.root / "eval" / f"{self.name}_depth_gt.zip"
+
+    @property
+    def aux_vis_plot_path(self):
+        return self.root / "vipe_aux_vis" / f"{self.name}_plot.png"
+
+    @property
+    def aux_vis_traj_path(self):
+        return self.root / "vipe_aux_vis" / f"{self.name}_traj.mp4"
+
     def exists(self) -> bool:
         return self.pose_path.exists()
 
@@ -265,7 +305,11 @@ def read_intrinsics_artifacts(path: ArtifactPath):
 
 
 def read_depth_artifacts(path: ArtifactPath) -> Iterator[np.ndarray]:
-    with zipfile.ZipFile(path.depth_path) as zf:
+    yield from read_depth_zip(path.depth_path)
+
+
+def read_depth_zip(zip_path) -> Iterator[np.ndarray]:
+    with zipfile.ZipFile(zip_path) as zf:
         for name in sorted(zf.namelist()):
             data = zf.read(name)
             if name.endswith(".npy"):

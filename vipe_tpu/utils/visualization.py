@@ -74,6 +74,37 @@ class VideoWriter:
         self.close()
 
 
+def rectify_rgb(rgb8: np.ndarray, intrinsics, camera_type) -> np.ndarray:
+    """Undistorted (pinhole-equivalent) view of a frame (reference
+    save_projection_video 'rectified' pane, visualization.py:380-405):
+    unproject the pinhole grid at unit disparity, project the rays through
+    the ORIGINAL camera model, bilinearly sample.  Identity for pinhole."""
+    import cv2
+    import jax.numpy as jnp
+
+    from ..ops import cameras as cam
+    from ..ops.cameras import CameraType
+
+    ct = CameraType(camera_type) if isinstance(camera_type, str) else camera_type
+    if ct == CameraType.PINHOLE:
+        return rgb8
+    h, w = rgb8.shape[:2]
+    intr = jnp.asarray(np.asarray(intrinsics, np.float32).reshape(-1))
+    pin = cam.pinhole_equivalent(ct, intr)
+    u, v = np.meshgrid(
+        np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32)
+    )
+    pts = cam.iproj_disp(
+        CameraType.PINHOLE, pin, jnp.asarray(u), jnp.asarray(v),
+        jnp.ones((h, w), jnp.float32),
+    )
+    coords = np.asarray(cam.proj_points(ct, intr, pts), np.float32)
+    return cv2.remap(
+        rgb8, coords[..., 0], coords[..., 1], cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT,
+    )
+
+
 def render_projection_frame(frame, k, slam_output,
                             attributes=("rgb", "depth")) -> np.ndarray:
     """One visualization frame: horizontal grid of panes (reference
@@ -93,6 +124,10 @@ def render_projection_frame(frame, k, slam_output,
             panes.append(colorize_inv_depth(frame.metric_depth))
         elif attr == "instance" and frame.instance is not None:
             panes.append(colorize_instance(frame.instance))
+        elif attr == "rectified" and frame.intrinsics is not None:
+            panes.append(rectify_rgb(
+                rgb8, frame.intrinsics, slam_output.camera_type
+            ))
         elif attr == "pcd" and slam_output.slam_map is not None:
             w2c = np.asarray(lie.se3_inv(
                 jnp.asarray(slam_output.trajectory[k], np.float32)))
