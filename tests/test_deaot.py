@@ -193,9 +193,9 @@ class TestPipelineWithTracker:
         )
         pipe.seg_tracker.segmentor = SamPredictor("vit_b", img_size=128)
         frames = [rng.random((64, 96, 3)).astype(np.float32) for _ in range(3)]
-        m0 = pipe.track(0, frames[0])
-        m1 = pipe.track(1, frames[1])
-        m2 = pipe.track(2, frames[2])
+        m0, _ = pipe.track(0, frames[0])
+        m1, _ = pipe.track(1, frames[1])
+        m2, _ = pipe.track(2, frames[2])
         for m in (m0, m1, m2):
             assert m.shape == (64, 96)
         # frame 1 came from propagation, not a frozen copy

@@ -191,5 +191,5 @@ class TestDetectSegmentIntegration:
         )
         pipe = TrackAnythingPipeline(["person", "sky"], detector=det, sam_gap=2)
         pipe.seg_tracker.segmentor = SamPredictor("vit_b", img_size=128)
-        m0 = pipe.track(0, rng.random((64, 96, 3)).astype(np.float32))
+        m0, _ = pipe.track(0, rng.random((64, 96, 3)).astype(np.float32))
         assert m0.shape == (64, 96) and m0.dtype == np.int32

@@ -142,9 +142,12 @@ class TestSamConverter:
 
 
 class _FakeDetector:
-    def run_grounding(self, rgb, phrases):
+    def run_grounding(self, rgb, phrases, return_phrases=False):
         h, w = rgb.shape[:2]
-        return [[w * 0.1, h * 0.1, w * 0.5, h * 0.6]]
+        boxes = [[w * 0.1, h * 0.1, w * 0.5, h * 0.6]]
+        if return_phrases:
+            return boxes, [phrases[0]]
+        return boxes
 
 
 class TestTrackAnything:
@@ -163,10 +166,49 @@ class TestTrackAnything:
         )
         # shrink SAM for the test
         pipe.seg_tracker.segmentor = SamPredictor("vit_b", img_size=128)
-        m0 = pipe.track(0, rng.random((64, 96, 3)).astype(np.float32))
-        m1 = pipe.track(1, rng.random((64, 96, 3)).astype(np.float32))
+        m0, p0 = pipe.track(0, rng.random((64, 96, 3)).astype(np.float32))
+        m1, p1 = pipe.track(1, rng.random((64, 96, 3)).astype(np.float32))
         assert m0.shape == (64, 96) and m0.dtype == np.int32
         np.testing.assert_array_equal(m0, m1)  # held without tracker
+        # phrase map covers exactly the ids present (reference track returns
+        # (mask, dict[int, str]))
+        assert set(p0) == set(np.unique(m0)) - {0}
+        assert p0 == p1
+
+    def test_sky_mask_flow(self, rng):
+        """'sky' detections flow into VideoFrame.sky_mask; sky stays VALID
+        in the SLAM weight mask (reference processors.py:137-139) and a
+        sky-labelled frame reports a nonzero sky_mask (base.py:256-263)."""
+        from vipe_tpu.priors.track_anything import TrackAnythingPipeline
+        from vipe_tpu.priors.track_anything.sam import SamPredictor
+        from vipe_tpu.streams.base import VideoFrame
+
+        class _SkyDetector:
+            def run_grounding(self, rgb, phrases, return_phrases=False):
+                assert "sky" in phrases  # NOT stripped from detection
+                h, w = rgb.shape[:2]
+                boxes = [[0, 0, w * 0.9, h * 0.4]]
+                return (boxes, ["sky"]) if return_phrases else boxes
+
+        pipe = TrackAnythingPipeline(
+            ["person", "sky"], detector=_SkyDetector(), sam_gap=2,
+            use_tracker=False,
+        )
+        pipe.seg_tracker.segmentor = SamPredictor("vit_b", img_size=128)
+        rgb = rng.random((64, 96, 3)).astype(np.float32)
+        inst, phrases_map = pipe.track(0, rgb)
+        assert inst.any() and all(v == "sky" for v in phrases_map.values())
+        frame = VideoFrame(
+            raw_frame_idx=0, rgb=rgb, instance=inst,
+            instance_phrases=phrases_map,
+        )
+        np.testing.assert_array_equal(frame.sky_mask, inst > 0)
+        # sky kept valid: (instance == 0) | sky covers the whole frame
+        assert ((inst == 0) | frame.sky_mask).all()
+        # resize preserves the phrase mapping (dataclasses.replace)
+        small = frame.resize((32, 48))
+        assert small.instance_phrases == phrases_map
+        assert small.sky_mask.shape == (32, 48) and small.sky_mask.any()
 
     def test_merge_new_objects(self):
         # min_area scaled down to the 10x10 test grid

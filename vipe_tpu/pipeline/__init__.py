@@ -26,7 +26,8 @@ class AnnotationPipelineOutput:
     camera_type: str = "pinhole"
     depths: Optional[Iterator[np.ndarray]] = None    # per-frame metric depth
     instance_masks: Optional[Iterator[np.ndarray]] = None
-    mask_phrases: Optional[List[str]] = None
+    # id→phrase dict when instance ids were tracked, else the prompt list
+    mask_phrases: Optional[object] = None
     rgb_frames: Optional[Iterator[np.ndarray]] = None
     frame_inds: Optional[np.ndarray] = None
     fps: float = 30.0

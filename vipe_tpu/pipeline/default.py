@@ -196,10 +196,13 @@ class DefaultAnnotationPipeline(Pipeline):
 
         n_frames = 0
         any_instance = False
+        instance_phrases: dict = {}
         for k, f in enumerate(out_stream):
             inst = f.instance
             if inst is not None:
                 any_instance = True
+            if f.instance_phrases:
+                instance_phrases.update(f.instance_phrases)
             if writer is not None:
                 writer.add_frame(rgb=f.rgb, depth=f.metric_depth, instance=inst)
             if viz_writer is not None:
@@ -224,7 +227,9 @@ class DefaultAnnotationPipeline(Pipeline):
             slam_map=slam_out.slam_map,
         )
         if any_instance:
-            output.mask_phrases = phrases
+            # per-instance id→phrase map when available (reference saves
+            # "idx: phrase" lines, io.py:361-370); else the prompt list
+            output.mask_phrases = instance_phrases or phrases
         if mem_depths is not None:
             if depth_model_str:
                 output.depths = iter(mem_depths)
@@ -236,7 +241,10 @@ class DefaultAnnotationPipeline(Pipeline):
             output.rgb_frames = iter(mem_rgbs)
 
         if writer is not None:
-            writer.close(phrases=phrases if writer.wrote_mask else None)
+            writer.close(
+                phrases=(instance_phrases or phrases)
+                if writer.wrote_mask else None
+            )
             io_utils.save_poses(art, output.trajectory, output.frame_inds)
             io_utils.save_intrinsics(
                 art, output.intrinsics, output.camera_type, n_frames=n_frames

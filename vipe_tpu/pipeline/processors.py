@@ -94,9 +94,11 @@ class TrackAnythingProcessor(StreamProcessor):
     def __call__(self, frame_idx: int, frame: VideoFrame) -> VideoFrame:
         from ..ops.morph import erode
 
-        instance = self.pipeline.track(frame_idx, frame.rgb)
+        instance, phrases_map = self.pipeline.track(frame_idx, frame.rgb)
         frame.instance = instance
-        valid = instance == 0
+        frame.instance_phrases = phrases_map
+        # sky stays VALID for SLAM weighting (reference processors.py:137-139)
+        valid = (instance == 0) | frame.sky_mask
         frame.mask = np.asarray(erode(valid, self.mask_expand))
         return frame
 
@@ -217,8 +219,15 @@ class AdaptiveDepthProcessor(StreamProcessor):
                 # per-frame affine alignment of the temporally-stable VDA
                 # disparity to the prompt depth, 0.99-momentum EMA on
                 # (scale, bias) (reference processors.py:271-296)
+                align_mask = np.asarray(vda_disps[frame_idx]) > 1e-3
+                if frame.mask is not None:
+                    # exclude dynamic + sky pixels from the affine fit
+                    # (reference processors.py:274-276)
+                    align_mask &= np.asarray(frame.mask) & ~frame.sky_mask
                 try:
-                    s_, b_ = align_inv_depth_to_depth(vda_disps[frame_idx], depth)
+                    s_, b_ = align_inv_depth_to_depth(
+                        vda_disps[frame_idx], depth, align_mask
+                    )
                 except Exception:
                     s_ = self._ema_scale if self._ema_scale is not None else 1.0
                     b_ = self._ema_bias if self._ema_bias is not None else 0.0

@@ -34,19 +34,27 @@ class SegTracker:
         self.min_area = min_area
         self.curr_idx = 0  # next object id
 
-    def detect_and_seg(self, rgb: np.ndarray, phrases: List[str]) -> np.ndarray:
-        """Detect phrase boxes, segment each, compose an instance map."""
-        boxes = self.detector.run_grounding(rgb, phrases)
+    def detect_and_seg(self, rgb: np.ndarray, phrases: List[str]):
+        """Detect phrase boxes, segment each, compose an instance map.
+
+        Returns ``(instance, id2phrase)`` — the per-object phrase mapping
+        mirrors the reference's ``pred_phrase`` dict (seg_tracker.py detect
+        path), which downstream drives ``VideoFrame.sky_mask``."""
+        boxes, names = self.detector.run_grounding(
+            rgb, phrases, return_phrases=True
+        )
         h, w = rgb.shape[:2]
         instance = np.zeros((h, w), np.int32)
+        id2phrase: dict = {}
         self.segmentor.set_image(rgb)
-        for box in boxes:
+        for box, name in zip(boxes, names):
             mask = self.segmentor.segment_with_box(box)
             if mask.sum() < self.min_area:
                 continue
             self.curr_idx += 1
             instance[mask & (instance == 0)] = self.curr_idx
-        return instance
+            id2phrase[self.curr_idx] = name
+        return instance, id2phrase
 
     def merge_new_objects(self, instance: np.ndarray, tracked: np.ndarray,
                           min_new_obj_iou: float = 0.8) -> np.ndarray:
@@ -88,20 +96,29 @@ class TrackAnythingPipeline:
             from .deaot import DeAOTTracker
 
             tracker = DeAOTTracker()
-        self.phrases = [p for p in phrases if p != "sky"]
-        self.keep_sky = "sky" in phrases
+        # "sky" is detected like any other phrase (reference processors.py:
+        # 123-124 appends SKY_PROMPT); its ids flow into instance_phrases so
+        # VideoFrame.sky_mask can keep sky unmasked for SLAM and excluded
+        # from depth alignment.
+        self.phrases = list(phrases)
         segmentor = SamPredictor(sam_variant, params=sam_params)
         self.seg_tracker = SegTracker(detector, segmentor, tracker, sam_gap)
         self.sam_gap = sam_gap
         self.tracker = tracker
         self._frame_count = 0
         self._last_instance: Optional[np.ndarray] = None
+        self.instance_phrase: dict = {}
 
-    def track(self, frame_idx: int, rgb: np.ndarray) -> np.ndarray:
-        """(H, W) int32 instance ids (0 = background / static scene)."""
+    def track(self, frame_idx: int, rgb: np.ndarray):
+        """Returns ``(instance, instance_phrases)`` (reference
+        __init__.py:82-123): (H, W) int32 ids (0 = background / static
+        scene) plus the id→phrase mapping for the ids present."""
         rgb = np.asarray(rgb)
         if self._frame_count % self.sam_gap == 0:
-            detected = self.seg_tracker.detect_and_seg(rgb, self.phrases)
+            detected, id2phrase = self.seg_tracker.detect_and_seg(
+                rgb, self.phrases
+            )
+            self.instance_phrase.update(id2phrase)
             if self._last_instance is None or self.tracker is None:
                 instance = detected
             else:
@@ -122,4 +139,8 @@ class TrackAnythingPipeline:
                 instance = self.tracker.propagate(rgb)
         self._last_instance = instance
         self._frame_count += 1
-        return instance
+        present = {
+            int(k): self.instance_phrase.get(int(k), "")
+            for k in np.unique(instance) if k != 0
+        }
+        return instance, present

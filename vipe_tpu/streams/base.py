@@ -42,16 +42,31 @@ class VideoFrame:
     intrinsics: (D,) full-res intrinsics if known.
     """
 
+    SKY_PROMPT = "sky"
+
     raw_frame_idx: int
     rgb: np.ndarray
     mask: Optional[np.ndarray] = None
     instance: Optional[np.ndarray] = None
+    instance_phrases: Optional[dict] = None
     metric_depth: Optional[np.ndarray] = None
     pose: Optional[np.ndarray] = None
     intrinsics: Optional[np.ndarray] = None
 
     def size(self) -> tuple:
         return self.rgb.shape[0], self.rgb.shape[1]
+
+    @property
+    def sky_mask(self) -> np.ndarray:
+        """(H, W) bool, True where an instance labelled ``sky`` sits
+        (reference base.py:256-263).  Sky is kept valid for SLAM weights
+        but excluded from depth alignment."""
+        out = np.zeros(self.size(), bool)
+        if self.instance is not None and self.instance_phrases:
+            for instance_id, phrase in self.instance_phrases.items():
+                if phrase == self.SKY_PROMPT:
+                    out |= self.instance == instance_id
+        return out
 
     def resize(self, new_size: tuple) -> "VideoFrame":
         import cv2

@@ -159,7 +159,7 @@ def save_depth_zip(path: ArtifactPath, depths: Iterator[np.ndarray]):
 
 
 def save_mask_zip(path: ArtifactPath, masks: Iterator[np.ndarray],
-                  phrases: Optional[List[str]] = None):
+                  phrases=None):
     w = StreamingArtifactWriter(path, write_rgb=False, write_depth=False)
     for m in masks:
         w.add_frame(instance=m)
@@ -277,7 +277,15 @@ class StreamingArtifactWriter:
         if self._mask_zip is not None:
             self._mask_zip.close()
             if phrases is not None:
-                self.path.mask_phrase_path.write_text("\n".join(phrases))
+                if isinstance(phrases, dict):
+                    # "idx: phrase" mapping lines (reference io.py:361-377
+                    # save / read_instance_phrases:326-335)
+                    text = "\n".join(
+                        f"{int(k)}: {v}" for k, v in sorted(phrases.items())
+                    )
+                else:
+                    text = "\n".join(phrases)
+                self.path.mask_phrase_path.write_text(text)
 
     def __enter__(self):
         return self
@@ -335,6 +343,21 @@ def read_mask_artifacts(path: ArtifactPath) -> Iterator[np.ndarray]:
                 np.frombuffer(zf.read(name), np.uint8), cv2.IMREAD_UNCHANGED
             )
             yield np.asarray(arr)
+
+
+def read_instance_phrases(path: ArtifactPath) -> dict:
+    """Parse the ``idx: phrase`` mapping written alongside the mask zip
+    (reference io.py:326-335).  Plain phrase-list files (no ``:``) return
+    ``{}`` — callers fall back to positional semantics."""
+    out: dict = {}
+    if not path.mask_phrase_path.exists():
+        return out
+    for line in path.mask_phrase_path.read_text().splitlines():
+        if ":" not in line:
+            return {}
+        idx, phrase = line.split(":", 1)
+        out[int(idx)] = phrase.strip()
+    return out
 
 
 def read_info(path: ArtifactPath) -> dict:
