@@ -1,0 +1,147 @@
+"""End-to-end coverage of the FUSED frontend path with deferred keyframe
+removal.
+
+The oracle e2e tests (test_slam_system.py) run a host_only update_fn, which
+forces the sequential frontend path — so the fused single-dispatch step and
+its deferred removal-decision bookkeeping (frontend.resolve_pending) were
+only covered at the FactorGraph level.  These tests drive a full SLAMSystem
+with a real (random-weight) tiny DroidNet so can_fuse_frontend_step is True,
+and force both decision branches end-to-end:
+
+* keyframe_thresh=0   → every keyframe kept (pure deferral, no removals);
+* keyframe_thresh=1e9 → every post-warmup keyframe removed: resolve_pending
+  must shift topology/t1/slot-init retroactively on EVERY keyframe, the
+  hardest consistency case for the deferred design.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import vipe_tpu.slam.system as sysmod
+from vipe_tpu.slam.system import SLAMSystem, make_droidnet_fns
+from vipe_tpu.streams.base import FrameAttribute, VideoFrame, VideoStream
+
+H, W = 48, 64
+HT, WD = H // 8, W // 8
+T = 14
+
+
+class TextureStream(VideoStream):
+    """Panning window over one random texture → coherent synthetic motion."""
+
+    def __init__(self, seed=0):
+        rng = np.random.default_rng(seed)
+        self.tex = rng.random((H + 32, W + 32, 3)).astype(np.float32)
+
+    def __len__(self):
+        return T
+
+    def frame_size(self):
+        return (H, W)
+
+    def attributes(self):
+        return {FrameAttribute.RGB, FrameAttribute.INTRINSICS}
+
+    def __iter__(self):
+        for k in range(T):
+            o = 2 * k
+            yield VideoFrame(
+                raw_frame_idx=k,
+                rgb=self.tex[0:H, o: o + W],
+                intrinsics=np.asarray([W, W, W / 2, H / 2], np.float32),
+            )
+
+
+@pytest.fixture(scope="module")
+def droid_fns():
+    from vipe_tpu.models.droidnet import init_droidnet
+
+    model, params = init_droidnet(jax.random.PRNGKey(0), ht=HT, wd=WD)
+    return make_droidnet_fns(model), params
+
+
+def _run(droid_fns, keyframe_thresh):
+    (ef, ec, uf), params = droid_fns
+    frontends = []
+
+    class SpyFrontend(sysmod.SLAMFrontend):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            frontends.append(self)
+
+    orig = sysmod.SLAMFrontend
+    sysmod.SLAMFrontend = SpyFrontend
+    try:
+        system = SLAMSystem(
+            config=dict(
+                resize_area=H * W,
+                filter_thresh=-1.0,      # every frame a keyframe
+                keyframe_thresh=keyframe_thresh,
+                warmup=4,
+                buffer=32,
+                infill_chunk_size=6,
+                backend_iters=4,
+            ),
+            update_fn=uf,
+            params=params,
+            encode_features=ef,
+            encode_context=ec,
+        )
+        out = system.run(TextureStream())
+    finally:
+        sysmod.SLAMFrontend = orig
+    return out, frontends[0]
+
+
+class TestDeferredFrontend:
+    def test_keep_branch_end_to_end(self, droid_fns):
+        out, fe = _run(droid_fns, keyframe_thresh=0.0)
+        assert fe.graph.can_fuse_frontend_step  # the fused path really ran
+        assert fe._pending is None              # everything resolved
+        assert fe.n_removals == 0
+        assert fe.t1 == T                       # all keyframes kept
+        assert out.trajectory.shape == (T, 7)
+        assert np.isfinite(out.trajectory).all()
+
+    def test_remove_branch_end_to_end(self, droid_fns):
+        """Every post-warmup keyframe removed: each append must see the
+        previous pending decision applied (slot compaction + t1 shift +
+        re-init) before landing."""
+        out, fe = _run(droid_fns, keyframe_thresh=1e9)
+        assert fe.graph.can_fuse_frontend_step
+        assert fe._pending is None
+        # only the warmup keyframes survive: every post-warmup keyframe is
+        # removed when its pending decision resolves (successor append or
+        # pass-1 end for the last one)
+        assert fe.n_removals == T - 4
+        assert fe.t1 == fe.buffer.n_frames == 4
+        assert out.trajectory.shape == (T, 7)
+        assert np.isfinite(out.trajectory).all()
+
+    def test_deferred_matches_immediate(self, droid_fns):
+        """Deferral must be semantics-preserving: a run whose pending
+        decision is resolved immediately after every frontend step produces
+        bit-identical keyframe topology and (up to float tolerance) the same
+        trajectory."""
+        out_a, fe_a = _run(droid_fns, keyframe_thresh=0.35)
+
+        orig_run = sysmod.SLAMFrontend.run
+
+        def eager_run(self):
+            orig_run(self)
+            self.resolve_pending()  # kill the deferral window
+
+        sysmod.SLAMFrontend.run = eager_run
+        try:
+            out_b, fe_b = _run(droid_fns, keyframe_thresh=0.35)
+        finally:
+            sysmod.SLAMFrontend.run = orig_run
+
+        assert fe_a.n_removals == fe_b.n_removals
+        assert fe_a.t1 == fe_b.t1
+        np.testing.assert_allclose(
+            out_a.trajectory, out_b.trajectory, rtol=1e-4, atol=1e-4
+        )

@@ -1126,11 +1126,18 @@ class FactorGraph:
         t1=None,
         itrs: int = 3,
         fixed_motion: bool = False,
+        defer: bool = False,
     ):
         """One dispatch for the whole per-keyframe frontend optimization:
         r1 rounds -> removal distance (d_pair, bidirectional max) ->
         conditionally r2 more rounds + next-slot init (frontend.py:97-124).
         Returns the distance as a python float — the ONE host sync.
+
+        ``defer=True`` skips the blocking readback: the device scalar is
+        returned with an async copy in flight, and the caller MUST later pass
+        it to :meth:`finish_fused_step` (before any topology change) to apply
+        the edge-age bookkeeping.  Device state is already branch-correct
+        either way (the keep/remove split ran under ``lax.cond`` in-program).
 
         Caller contract: only valid on the fast path (traceable update_fn,
         V == 1, no sparse tracks); check ``can_fuse_frontend_step``."""
@@ -1155,6 +1162,18 @@ class FactorGraph:
         )
         self._apply_fused(base, poses, disps, intr, f_net, target, weight,
                           damping)
+        if defer:
+            try:
+                d.copy_to_host_async()
+            except Exception:
+                pass
+            return d
+        return self.finish_fused_step(d, r1, r2, kf_thresh)
+
+    def finish_fused_step(self, d, r1: int, r2: int,
+                          kf_thresh: float) -> float:
+        """Blockingly read a (possibly deferred) fused-step distance and
+        apply the decision-dependent edge-age bookkeeping."""
         d = float(d)
         self.age[: self.n_edges] += r1 + (r2 if d >= kf_thresh else 0)
         return d

@@ -70,9 +70,45 @@ class SLAMFrontend:
         # mutates poses/disps (disabled with GT init poses; dropped when the
         # backend runs).
         self._dist_token = None
+        # deferred keyframe-removal decision: (device distance scalar,
+        # t1 at submit).  The fused step's keep/remove branches already ran
+        # on-device; only the HOST bookkeeping (edge ages, topology shift on
+        # removal) waits for the readback, which resolve_pending() applies
+        # just before the next state-dependent operation (next keyframe
+        # append, backend run, pass-1 end).  This removes the per-keyframe
+        # blocking sync from the tracking loop.
+        self._pending = None
+        self.n_removals = 0
 
     def drop_cached_distance(self):
         self._dist_token = None
+
+    def resolve_pending(self):
+        """Apply a deferred keyframe-removal decision.  MUST run before the
+        next ``buffer.append_keyframe`` and before any backend run; no-op
+        when nothing is pending."""
+        if self._pending is None:
+            return
+        d_dev, t1s = self._pending
+        self._pending = None
+        g = self.graph
+        d = g.finish_fused_step(d_dev, self.iters1, self.iters2,
+                                self.keyframe_thresh)
+        if d < self.keyframe_thresh:
+            self.n_removals += 1
+            g.rm_second_newest_keyframe(t1s - 2)
+            self.t1 = t1s - 1
+            # the keep-branch slot init was skipped in-program; redo it for
+            # the shifted t1 (rare path)
+            if not self.has_init_pose:
+                self._init_pose()
+            self.buffer.disps = _jitted_mean_disp_init(
+                self.buffer.disps, jnp.int32(self.t1), self.buffer.n_views
+            )
+            # the optimistic distance matrix indexed the removed frame —
+            # resubmit against the compacted buffer
+            self._dist_token = None
+            self._submit_distance()
 
     def _submit_distance(self):
         if not self.has_init_pose:
@@ -89,6 +125,9 @@ class SLAMFrontend:
 
     def _update(self):
         """Per-new-keyframe update (frontend.py:78-124)."""
+        assert self._pending is None, (
+            "resolve_pending() must run before the keyframe append"
+        )
         self.t1 += 1
         g = self.graph
         buf = self.buffer
@@ -110,25 +149,19 @@ class SLAMFrontend:
 
         if g.can_fuse_frontend_step:
             # ONE dispatch: iters1 rounds → removal distance → (cond) iters2
-            # rounds + next-slot init; the returned distance is the only
-            # per-keyframe host sync
-            d = g.frontend_step_fused(
+            # rounds + next-slot init.  The distance readback is DEFERRED:
+            # resolve_pending() applies the host bookkeeping right before
+            # the next state-dependent operation, so the tracking loop never
+            # blocks on it here.
+            d_dev = g.frontend_step_fused(
                 self.iters1, self.iters2,
                 d_pair=(self.t1 - 3, self.t1 - 2),
                 kf_thresh=self.keyframe_thresh, beta=self.beta,
                 slot_t1=self.t1, const_vel=not self.has_init_pose,
                 fixed_motion=self.has_init_pose,
+                defer=True,
             )
-            if d < self.keyframe_thresh:
-                g.rm_second_newest_keyframe(self.t1 - 2)
-                self.t1 -= 1
-                # the keep-branch slot init was skipped in-program; redo it
-                # for the shifted t1 (rare path)
-                if not self.has_init_pose:
-                    self._init_pose()
-                buf.disps = _jitted_mean_disp_init(
-                    buf.disps, jnp.int32(self.t1), buf.n_views
-                )
+            self._pending = (d_dev, self.t1)
         else:
             g.update_fused(self.iters1, use_inactive=True,
                            fixed_motion=self.has_init_pose)
@@ -138,6 +171,7 @@ class SLAMFrontend:
                 beta=self.beta, bidirectional=True,
             )
             if float(jnp.max(d)) < self.keyframe_thresh:
+                self.n_removals += 1
                 g.rm_second_newest_keyframe(self.t1 - 2)
                 self.t1 -= 1
             else:

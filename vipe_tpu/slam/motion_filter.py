@@ -232,6 +232,28 @@ class MotionFilter:
         self.last_kf_frame_idx = token.frame_idx
         self.last_n_sparse_tracks = 0
 
+    def refresh(self, token: _Token) -> None:
+        """Re-score a submitted token whose keyframe reference went stale
+        (the frame before it was promoted after this token's submit).
+
+        Without this, resolve() recomputes the score synchronously — a full
+        dispatch + blocking readback for every first frame after a keyframe
+        (~1 in 3 frames at typical cadence).  Calling refresh right after the
+        promoting resolve turns that into an async dispatch whose readback
+        overlaps the next frame's decode + upload.  No-op when the token is
+        current; the recomputed score is bit-identical to what resolve()
+        would have produced."""
+        if token.score is None or isinstance(token.score, str):
+            return
+        if token.kf_version == self.kf_version:
+            return
+        token.score = self._score(token.fmap)
+        token.kf_version = self.kf_version
+        try:
+            token.score.copy_to_host_async()
+        except Exception:
+            pass
+
     def resolve(self, token: _Token) -> bool:
         """Blockingly decide whether the submitted frame is a keyframe."""
         if token.score is None:  # first frame, already promoted at submit

@@ -312,6 +312,9 @@ class SLAMSystem:
                     if V == 1:
                         net, inp = net[0], inp[0]
             if is_kf:
+                # apply any deferred keyframe-removal decision BEFORE the
+                # append (the append slot depends on it)
+                frontend.resolve_pending()
                 metric_depth, intrinsics = _frame_meta(frames)
                 buffer.append_keyframe(
                     frame_idx, rgb_dev, fmap, net, inp,
@@ -327,10 +330,17 @@ class SLAMSystem:
             frontend.run()
             if tele is not None and is_kf:
                 tele.update(buffer)
-            if buffer.n_frames in fbi and is_kf:
-                backend.run_if_necessary(5)
-                # backend moved poses/disps → speculative distances are stale
-                frontend.drop_cached_distance()
+            if is_kf and (
+                buffer.n_frames in fbi or buffer.n_frames - 1 in fbi
+            ):
+                # n_frames may be one high while a removal decision is
+                # pending — resolve first, then re-check the milestone
+                frontend.resolve_pending()
+                if buffer.n_frames in fbi:
+                    backend.run_if_necessary(5)
+                    # backend moved poses/disps → speculative distances are
+                    # stale
+                    frontend.drop_cached_distance()
 
         # ----------------------------------------------------------- pass 1
         # one-frame software pipeline: frame k's decision readback overlaps
@@ -356,12 +366,18 @@ class SLAMSystem:
                 t0 = time.perf_counter()
                 _process(pending, force_kf=False)
                 mark("process", t0)
+                if token is not None:
+                    # if _process promoted a keyframe, this frame's score was
+                    # submitted against the old reference — re-score it
+                    # asynchronously now instead of blocking at its resolve
+                    motion_filter.refresh(token)
             pending = (frame_idx, frames, rgb_dev, bmask, token)
         if pending is not None:
             _process(pending, force_kf=True)
         mark("pass1_total", t_pass1)
 
         # ------------------------------------------------------- global BA
+        frontend.resolve_pending()
         t0 = time.perf_counter()
         backend.run(7)
         backend.run(c.get("backend_iters", 24), update_depth=False)
