@@ -17,11 +17,34 @@ oracle (see tests/test_slam_system.py); DroidNet ignores ``jj``.
 from __future__ import annotations
 
 import functools
+import os
+import time
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# fine-grained phase attribution for the fused hot paths (the coarse
+# VIPE_PROFILE marks in system.py can't see inside update_batch)
+_PROF_FG = os.environ.get("VIPE_PROFILE_FG") == "1"
+_prof_acc: dict = {}
+
+
+def _pmark(name: str, t0: float, sync_val=None):
+    if not _PROF_FG:
+        return
+    if sync_val is not None:
+        # block_until_ready is a no-op over the axon tunnel — force a
+        # scalar fetch to delimit device completion
+        float(jnp.asarray(sync_val).reshape(-1)[0].astype(jnp.float32))
+    _prof_acc[name] = _prof_acc.get(name, 0.0) + time.perf_counter() - t0
+
+
+def _pdump(tag: str):
+    if _PROF_FG and _prof_acc:
+        print(tag, {k: round(v, 3) for k, v in _prof_acc.items()}, flush=True)
+        _prof_acc.clear()
 
 from ..ops import corr as corr_ops
 from ..ops import geom
@@ -127,6 +150,109 @@ def _jitted_backend_chunk(update_fn, camera_type):
         return net, coords1 + delta, weight, eta[:num_seg]
 
     return step
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_backend_steps(update_fn, cfg):
+    """The ENTIRE backend ``update_batch`` as ONE compiled program:
+    ``steps`` × (scan over edge chunks: on-the-fly corr pyramid → lookup →
+    GRU → row scatter → per-frame damping; then a full multi-view BA solve).
+
+    Replaces the per-step python loop (3 chunk programs + ~6 scatter
+    programs + BA prep/solve per step ≈ 0.4 s/step of per-program tunnel
+    overhead measured at ~5 ms of actual compute).  The chunk corr volumes
+    are RECOMPUTED inside the loop from the feature maps — the transient is
+    one chunk's pyramid (~Cb·P² bf16) instead of the cached-all-chunks
+    pyramids of the old path, whose footprint grew linearly with edge count
+    (reference AltCorrBlock recomputes for the same reason,
+    /root/reference/vipe/slam/networks/droid_net.py:121-176)."""
+    from ..ops import cameras as cam_ops
+
+    camera_type = cfg.camera_type
+    V = cfg.n_views
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(params, NbV, poses, rig, disps, intr, fmaps, inps, masks,
+            f_net, target, weight, damping,
+            pi_all, qi_all, di_all, pj_all, qj_all, ev_all,
+            sl_stk, cv_stk, src_stk,
+            slot_edge, pose_mask, disp_mask, sens, sens_mask,
+            steps, itrs, pose_damping, pose_ep):
+        ht, wd = disps.shape[-2:]
+        P = ht * wd
+        EV = pi_all.shape[0]
+        u, v = jnp.meshgrid(
+            jnp.arange(wd, dtype=jnp.float32),
+            jnp.arange(ht, dtype=jnp.float32), indexing="xy",
+        )
+        grid = jnp.stack([u, v], axis=-1)
+
+        def chunk_body(c2, chunk):
+            f_net, target, weight, damping, poses, rig_, disps, intr_grid = c2
+            sl, cv, src = chunk
+            pi = pi_all[sl]
+            qi = qi_all[sl]
+            di = di_all[sl]
+            pj = pj_all[sl]
+            qj = qj_all[sl]
+            evc = ev_all[sl] & cv
+            dj = (pj * V + qj).astype(jnp.int32)
+            pyr = [
+                p.astype(CORR_DTYPE)
+                for p in corr_ops.corr_pyramid(
+                    fmaps[di].astype(jnp.float32),
+                    fmaps[dj].astype(jnp.float32), CORR_LEVELS,
+                )
+            ]
+            coords1, _ = geom.reproject_mv(
+                poses, rig_, disps, intr_grid, camera_type, pi, qi, di, pj, qj
+            )
+            corr_feat = corr_ops.corr_lookup_pyramid(pyr, coords1, CORR_RADIUS)
+            motn = jnp.concatenate(
+                [coords1 - grid, target[sl] - coords1], axis=-1
+            ).clip(-64.0, 64.0)
+            inp = inps[di].astype(jnp.float32)
+            ix = jnp.where(evc, di, NbV).astype(jnp.int32)
+            net, delta, w8, eta = update_fn(
+                params, f_net[sl], inp, corr_feat, motn, ix, dj, NbV + 1
+            )
+            bad = masks[di][..., None] | (~evc)[:, None, None, None]
+            w8 = jnp.where(bad, 0.0, w8)
+            f_net = f_net.at[sl].set(net)
+            target = target.at[sl].set(coords1 + delta)
+            weight = weight.at[sl].set(w8)
+            # src is padded with NbV → writes land on damping's scratch row
+            damping = damping.at[src].set(eta[src])
+            return (f_net, target, weight, damping, poses, rig_, disps,
+                    intr_grid), None
+
+        def step_body(_, carry):
+            poses, rig_, disps, intr, f_net, target, weight, damping = carry
+            intr_grid = cam_ops.scaled_intrinsics(camera_type, intr, 1.0 / 8.0)
+            (f_net, target, weight, damping, *_rest), _ = jax.lax.scan(
+                chunk_body,
+                (f_net, target, weight, damping, poses, rig_, disps,
+                 intr_grid),
+                (sl_stk, cv_stk, src_stk),
+            )
+            tgt = target[:-1].reshape(EV, P, 2)
+            wgt = weight[:-1].reshape(EV, P, 2) * 0.001  # buffer.py:396
+            disp_damping = 0.2 * damping[:NbV].reshape(NbV, P) + 1e-7
+            poses, rig_, disps_flat, intr = ba.ba_solve_mv(
+                cfg, poses, rig_, disps.reshape(NbV, P), intr, tgt, wgt,
+                pi_all, qi_all, di_all, pj_all, qj_all, ev_all,
+                slot_edge, pose_mask, disp_mask, disp_damping, sens,
+                sens_mask, itrs, pose_damping, pose_ep,
+            )
+            return (poses, rig_, disps_flat.reshape(NbV, ht, wd), intr,
+                    f_net, target, weight, damping)
+
+        return jax.lax.fori_loop(
+            0, steps, step_body,
+            (poses, rig, disps, intr, f_net, target, weight, damping),
+        )
+
+    return run
 
 
 def _make_round_runner(update_fn, cfg, params, Nb, corr_pyr, inps, masks,
@@ -1246,21 +1372,32 @@ class FactorGraph:
             if cur:
                 frame_chunks.append(np.asarray(cur))
 
-        # volumes depend only on the (static) keyframe features — build the
-        # per-chunk pyramids ONCE and reuse across all steps (the reference's
-        # AltCorrBlock recomputes the dot products per query instead)
         V = self.V
         NbV = Nb * V
-        rig, intr = self._rig_intr()
         buf = self.buffer
-        chunk_cache = {}
+        st = getattr(buf, "sparse_tracks", None)
         fast = not getattr(self.update_fn, "host_only", False)
+        if fast and (st is None or not st.enabled):
+            # the whole multi-step refresh+BA as one dispatch
+            self._update_batch_fused(
+                itrs, steps, frame_chunks, optimize_intrinsics
+            )
+            return
+
+        # fallback (oracle update_fns / sparse tracks): per-step loop with
+        # cached materialized chunk pyramids
+        chunk_cache = {}
         chunk_step = (
             _jitted_backend_chunk(self.update_fn, buf.camera_type)
             if fast else None
         )
         for _ in range(steps):
+            t_prep = time.perf_counter()
+            # refresh per step: BA may have updated intrinsics/rig, and the
+            # reference reprojects with the CURRENT values each update
+            rig, intr = self._rig_intr()
             pi_d, qi_d, di_d, pj_d, qj_d, ev = self._active_expanded()
+            _pmark("ub_prep", t_prep)
             if not fast:
                 coords1, valid1 = geom.reproject_mv(
                     buf.poses, rig, buf.disps, intr, buf.camera_type,
@@ -1268,6 +1405,7 @@ class FactorGraph:
                 )
 
             for ci, sel in enumerate(frame_chunks):
+                t_ck = time.perf_counter()
                 sel_exp = (sel[:, None] * V + np.arange(V)).reshape(-1)
                 Cb = bucket_size(len(sel_exp), minimum=min(BACKEND_CHUNK, 16))
                 # padding rows route to the SCRATCH row EV — padding with 0
@@ -1309,7 +1447,11 @@ class FactorGraph:
                 src = np.unique(self.exp[sel_exp, 2])
                 src_d = jnp.asarray(src, jnp.int32)
                 self.damping = jaxutil.set_rows_at(self.damping, src_d, eta[src_d])
+                _pmark("ub_chunk_enq", t_ck)
+            t_sync = time.perf_counter()
+            _pmark("ub_chunks_sync", t_sync, sync_val=self.damping if _PROF_FG else None)
 
+            t_ba = time.perf_counter()
             self._bundle_adjustment(
                 1, t, itrs,
                 use_inactive=False, motion_only=False, fixed_motion=False,
@@ -1317,6 +1459,124 @@ class FactorGraph:
                 pose_damping=1e-5, pose_ep=1e-2,
                 optimize_intrinsics=optimize_intrinsics,
             )
+            _pmark("ub_ba_enq", t_ba)
+            t_sync = time.perf_counter()
+            _pmark("ub_ba_sync", t_sync,
+                   sync_val=self.buffer.poses if _PROF_FG else None)
+        _pdump(f"[update_batch t={t} E={self.n_edges} steps={steps} "
+               f"chunks={len(frame_chunks)}]")
+
+    def _update_batch_fused(self, itrs, steps, frame_chunks,
+                            optimize_intrinsics):
+        """Host-side argument assembly for ``_jitted_backend_steps`` — runs
+        the whole backend pass in one dispatch.  Topology is static across
+        steps, so every index array is built and uploaded exactly once."""
+        buf = self.buffer
+        V = self.V
+        t = buf.n_frames
+        Nb = bucket_size(t)
+        NbV = Nb * V
+        EV = self.EV
+        P = self.ht * self.wd
+        t_prep = time.perf_counter()
+
+        exp_chunks = [
+            (sel[:, None] * V + np.arange(V)).reshape(-1)
+            for sel in frame_chunks
+        ]
+        Cb = bucket_size(
+            max(len(c) for c in exp_chunks),
+            minimum=min(BACKEND_CHUNK, 16),
+        )
+        C = bucket_size(len(exp_chunks), minimum=1)
+        # padding rows route to the stores' scratch row EV / damping scratch
+        # row NbV; all-padding chunks compute garbage that lands there too
+        sl_stk = np.full((C, Cb), EV, np.int64)
+        cv_stk = np.zeros((C, Cb), bool)
+        srcs = [np.unique(self.exp[c, 2]) for c in exp_chunks]
+        Sb = bucket_size(max(len(s) for s in srcs), minimum=4)
+        src_stk = np.full((C, Sb), NbV, np.int64)
+        for k, c in enumerate(exp_chunks):
+            sl_stk[k, : len(c)] = c
+            cv_stk[k, : len(c)] = True
+            src_stk[k, : len(srcs[k])] = srcs[k]
+
+        # BA edge layout == the active store rows (use_inactive is never set
+        # on the backend path; empty-slot marker EV)
+        exp = np.where(
+            (np.arange(EV) < self.n_edges * V)[:, None], self.exp, 0
+        )
+        ev_all = np.arange(EV) < self.n_edges * V
+        fill = (
+            np.bincount(exp[ev_all, 2], minlength=NbV).max()
+            if self.n_edges else 1
+        )
+        M = bucket_size(int(fill), minimum=8)
+        slot_edge = np.full((NbV, M), EV, np.int32)
+        fill_ct = np.zeros(NbV, np.int64)
+        for r in np.where(ev_all)[0]:
+            d = exp[r, 2]
+            slot_edge[d, fill_ct[d]] = r
+            fill_ct[d] += 1
+
+        idx = np.arange(Nb)
+        pose_mask = (idx >= 1) & (idx < t)
+        idv = np.arange(NbV) // V
+        disp_mask = (fill_ct > 0) & (idv < t)
+
+        cfg = ba.BAConfig(
+            camera_type=buf.camera_type, ht=self.ht, wd=self.wd,
+            optimize_intrinsics=optimize_intrinsics,
+            alpha=buf.dense_disp_alpha, max_edges_per_frame=M, n_views=V,
+            optimize_rig=self.optimize_rig,
+            **self.ba_cfg_kwargs,
+        )
+        rig, _ = self._rig_intr()
+        intr = (
+            buf.intrinsics if buf.intrinsics.ndim == 2
+            else buf.intrinsics[None]
+        )
+        sens = buf.disps_sens[:NbV].reshape(NbV, P)
+        sens_mask = (jnp.sum(sens, axis=1) > 0).astype(jnp.float32)
+        damping = jnp.concatenate(
+            [self.damping[:NbV], jnp.zeros((1, self.ht, self.wd))], 0
+        )
+        cols = [jnp.asarray(exp[:, c], jnp.int32) for c in range(5)]
+        _pmark("ubf_prep", t_prep)
+
+        t_run = time.perf_counter()
+        run = _jitted_backend_steps(self.update_fn, cfg)
+        (poses, rig_new, disps, intr_new, f_net, target, weight, damping) = (
+            run(
+                self.params, NbV, buf.poses[:Nb], rig, buf.disps[:NbV], intr,
+                buf.fmaps[:NbV], buf.inps[:NbV], buf.masks[:NbV],
+                self.f_net, self.target, self.weight, damping,
+                *cols, jnp.asarray(ev_all),
+                jnp.asarray(sl_stk, jnp.int32), jnp.asarray(cv_stk),
+                jnp.asarray(src_stk, jnp.int32),
+                jnp.asarray(slot_edge), jnp.asarray(pose_mask),
+                jnp.asarray(disp_mask), sens, sens_mask,
+                jnp.int32(steps), jnp.int32(itrs),
+                jnp.float32(1e-5), jnp.float32(1e-2),
+            )
+        )
+        buf.poses = jaxutil.set_prefix(buf.poses, poses)
+        buf.disps = jaxutil.set_prefix(buf.disps, disps)
+        self.f_net = f_net
+        self.target = target
+        self.weight = weight
+        self.damping = jaxutil.set_prefix(self.damping, damping[:NbV])
+        if optimize_intrinsics:
+            buf.intrinsics = (
+                intr_new if buf.intrinsics.ndim == 2 else intr_new[0]
+            )
+        if cfg.optimize_rig:
+            buf.rig = rig_new
+        _pmark("ubf_run_enq", t_run)
+        t_sync = time.perf_counter()
+        _pmark("ubf_sync", t_sync, sync_val=buf.poses if _PROF_FG else None)
+        _pdump(f"[update_batch_fused t={t} E={self.n_edges} steps={steps} "
+               f"chunks={len(frame_chunks)}->{C}x{Cb}]")
 
     def _bundle_adjustment(
         self,
@@ -1341,6 +1601,7 @@ class FactorGraph:
         """
         buf = self.buffer
         V = self.V
+        t_bprep = time.perf_counter()
         weight_dense_disp = 0.001  # buffer.py:396
 
         act_exp = self.exp[: self.n_edges * V]
@@ -1452,6 +1713,8 @@ class FactorGraph:
         intr = buf.intrinsics if buf.intrinsics.ndim == 2 else buf.intrinsics[None]
 
         cols = [jnp.asarray(exp_pad[:, c], jnp.int32) for c in range(5)]
+        _pmark("ba_prep", t_bprep)
+        t_solve = time.perf_counter()
         poses, rig_new, disps, intr_new = ba.ba_solve_mv(
             cfg,
             buf.poses[:Nb],
@@ -1480,3 +1743,4 @@ class FactorGraph:
             buf.intrinsics = intr_new if buf.intrinsics.ndim == 2 else intr_new[0]
         if cfg.optimize_rig:
             buf.rig = rig_new
+        _pmark("ba_solve_enq", t_solve)
