@@ -275,3 +275,65 @@ class TestEvaluateCLI:
         with open(art.eval_metrics_path, "rb") as f:
             assert pickle.load(f)["ate_rmse"] == res["clip"]["ate_rmse"]
         assert art.eval_traj_vis_path.exists()
+
+
+class TestBufferCopyAppend:
+    def test_copy_rows_inplace(self, rng):
+        import jax.numpy as jnp
+
+        from vipe_tpu.utils import jaxutil
+
+        a = jnp.asarray(rng.random((6, 4, 3)).astype(np.float32))
+        ref = np.asarray(a)
+        out = jaxutil.copy_rows(a, 1, 4, 2)
+        exp = ref.copy()
+        exp[4:6] = ref[1:3]
+        np.testing.assert_array_equal(np.asarray(out), exp)
+
+    def test_append_keyframe_copy_matches_append(self, rng):
+        """Pass-2 copy-append must reproduce exactly what re-encoding the
+        same frame would have written (same image → same encoder outputs)."""
+        import jax.numpy as jnp
+
+        from vipe_tpu.slam.buffer import GraphBuffer
+
+        H, W = 16, 16
+        ht, wd = H // 8, W // 8
+        buf = GraphBuffer(height=H, width=W, buffer_size=8)
+        img = jnp.asarray((rng.random((H, W, 3)) * 255).astype(np.uint8))
+        fmap = jnp.asarray(rng.random((ht, wd, 128)).astype(np.float32))
+        net = jnp.asarray(rng.random((ht, wd, 128)).astype(np.float32))
+        inp = jnp.asarray(rng.random((ht, wd, 128)).astype(np.float32))
+        mask = jnp.asarray(rng.random((ht, wd)) > 0.5)
+        depth = np.full((H, W), 2.0, np.float32)
+        buf.append_keyframe(0, img, fmap, net, inp, mask=mask,
+                            metric_depth=depth)
+        # the reference append (what pass 2 would produce by re-encoding)
+        buf.append_keyframe(5, img, fmap, net, inp, mask=mask,
+                            metric_depth=depth)
+        # the copy append
+        buf.append_keyframe_copy(0, 5)
+        assert buf.n_frames == 3
+        assert buf.tstamp[2] == 5
+        for name in ("images", "fmaps", "nets", "inps", "masks",
+                     "disps_sens"):
+            arr = np.asarray(getattr(buf, name))
+            np.testing.assert_array_equal(arr[2], arr[1], err_msg=name)
+
+    def test_append_none_context_skips_write(self, rng):
+        import jax.numpy as jnp
+
+        from vipe_tpu.slam.buffer import GraphBuffer
+
+        H, W = 16, 16
+        ht, wd = H // 8, W // 8
+        buf = GraphBuffer(height=H, width=W, buffer_size=8)
+        img = jnp.zeros((H, W, 3), jnp.uint8)
+        fmap = jnp.ones((ht, wd, 128), jnp.float32)
+        buf.append_keyframe(0, img, fmap, None, None)
+        assert buf.n_frames == 1
+        np.testing.assert_array_equal(
+            np.asarray(buf.fmaps[0]), np.ones((ht, wd, 128), np.float32)
+        )
+        # context rows untouched (stay zero-initialized)
+        assert float(jnp.abs(buf.nets[0]).sum()) == 0.0

@@ -251,8 +251,10 @@ class GraphBuffer:
 
         self.images = _rows(self.images, img)
         self.fmaps = _rows(self.fmaps, fmap)
-        self.nets = _rows(self.nets, net)
-        self.inps = _rows(self.inps, inp)
+        if net is not None:  # None: caller knows the row is never read
+            self.nets = _rows(self.nets, net)
+        if inp is not None:
+            self.inps = _rows(self.inps, inp)
         if mask is not None:
             self.masks = _rows(self.masks, mask)
         if intrinsics is not None and k == 0:
@@ -267,6 +269,28 @@ class GraphBuffer:
             self.poses = jaxutil.set_row(
                 self.poses, k, jnp.asarray(pose, jnp.float32)
             )
+        self.n_frames += 1
+
+    def append_keyframe_copy(self, src_frame: int, frame_idx: int):
+        """Append a slot as a device-side copy of an existing frame's rows.
+
+        Pass 2 re-adds EVERY frame to the buffer (reference system.py:284-294
+        runs ``_add_keyframe`` again); frames that were pass-1 keyframes
+        already have their encoded features resident in slots < start_idx, so
+        copying those rows replaces the re-upload + re-encode entirely.  Must
+        write the same arrays ``append_keyframe`` writes: infill slots are
+        REUSED across filler chunks (inner_filler sets ``n_frames`` back), so
+        a skipped write would leak the previous chunk's rows."""
+        k = self.n_frames
+        V = self.n_views
+        assert k < self.buffer_size, "keyframe buffer exhausted"
+        assert src_frame < k
+        self.tstamp[k] = frame_idx
+        for name in ("images", "fmaps", "nets", "inps", "masks",
+                     "disps_sens"):
+            setattr(self, name, jaxutil.copy_rows(
+                getattr(self, name), src_frame * V, k * V, V
+            ))
         self.n_frames += 1
 
     def remove_second_newest(self):

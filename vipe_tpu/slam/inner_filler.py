@@ -141,6 +141,14 @@ class InnerFiller:
             and not self.config.get("infill_dense_disp", False)
         )
 
+    @property
+    def needs_context(self) -> bool:
+        """False when the fused path will run: infill rows' context
+        encodings (nets/inps) are never read there — GRU sources are always
+        keyframe rows — so pass 2 may skip the context encoder for
+        non-keyframe frames."""
+        return not self._can_fuse
+
     def compute(self):
         if self._can_fuse:
             self._compute_fused()

@@ -287,6 +287,7 @@ class SLAMSystem:
             frame_idx, frames, rgb_dev, bmask, token = entry
             if kf_stride:
                 force_kf = force_kf or (frame_idx % kf_stride == 0)
+            t0 = time.perf_counter()
             if token is None:
                 # frame was statically known to be a non-keyframe (fixed
                 # decision + stride) — no encode was run for it
@@ -299,6 +300,7 @@ class SLAMSystem:
                     fmap, net, inp = _encode_all(rgb_dev)
             else:
                 is_kf = motion_filter.resolve(token)
+                mark("mf_resolve", t0)
                 if is_kf:
                     # the filter already encoded this frame on promotion
                     fmap, net, inp = motion_filter.last_keyframe_features
@@ -314,7 +316,10 @@ class SLAMSystem:
             if is_kf:
                 # apply any deferred keyframe-removal decision BEFORE the
                 # append (the append slot depends on it)
+                t0 = time.perf_counter()
                 frontend.resolve_pending()
+                mark("fe_resolve_pending", t0)
+                t0 = time.perf_counter()
                 metric_depth, intrinsics = _frame_meta(frames)
                 buffer.append_keyframe(
                     frame_idx, rgb_dev, fmap, net, inp,
@@ -327,7 +332,10 @@ class SLAMSystem:
                     buffer.update_disps_sens(
                         self.metric_depth, frame_idx=buffer.n_frames - 1
                     )
+                mark("kf_append", t0)
+            t0 = time.perf_counter()
             frontend.run()
+            mark("fe_run", t0)
             if tele is not None and is_kf:
                 tele.update(buffer)
             if is_kf and (
@@ -390,35 +398,57 @@ class SLAMSystem:
         # them on EVERY frame, so per-call overhead dominates otherwise
         t_pass2 = time.perf_counter()
         filler.set_start_idx(buffer.n_frames)
+        # frames that were pass-1 keyframes: their encoded features are
+        # already resident in slots < start_idx — append by device-side row
+        # copy instead of re-upload + re-encode (~1/3 of pass-2 transfers
+        # at a 1-in-3 keyframe cadence)
+        kf_slot = {int(t): i for i, t in enumerate(buffer.tstamp[:buffer.n_frames])}
+        # in fused-filler mode infill rows' context encodings (nets/inps)
+        # are never read — GRU sources are always keyframe rows — so the
+        # context encoder can be skipped entirely for non-keyframes
+        need_ctx = filler.needs_context
         ENC_BATCH = 8
         batch = []
 
         def _flush_batch():
             if not batch:
                 return
-            t0 = time.perf_counter()
-            # V=1: (n, h, w, 3); V>1: (n·V, h, w, 3) flattened view-major
-            rgbs = (
-                jnp.stack([b[2] for b in batch]) if V == 1
-                else jnp.concatenate([b[2] for b in batch], 0)
-            )
-            pad = ENC_BATCH * V - rgbs.shape[0]
-            if pad:
-                rgbs = jnp.concatenate([rgbs, jnp.repeat(rgbs[-1:], pad, 0)])
-            fmaps = self.encode_features(self.params, rgbs)
-            nets, inps = self.encode_context(self.params, rgbs)
-            mark("p2_encode", t0)
-            for k, (frame_idx, frames, rgb_dev, bmask) in enumerate(batch):
+            enc = [b for b in batch if b[4] is None]
+            fmaps = nets = inps = None
+            if enc:
                 t0 = time.perf_counter()
-                sl = slice(k * V, (k + 1) * V)
-                metric_depth, _ = _frame_meta(frames)
-                buffer.append_keyframe(
-                    frame_idx, rgb_dev,
-                    fmaps[sl][0] if V == 1 else fmaps[sl],
-                    nets[sl][0] if V == 1 else nets[sl],
-                    inps[sl][0] if V == 1 else inps[sl],
-                    mask=bmask, metric_depth=metric_depth,
+                # V=1: (n, h, w, 3); V>1: (n·V, h, w, 3) flattened view-major
+                rgbs = (
+                    jnp.stack([b[2] for b in enc]) if V == 1
+                    else jnp.concatenate([b[2] for b in enc], 0)
                 )
+                pad = ENC_BATCH * V - rgbs.shape[0]
+                if pad:
+                    rgbs = jnp.concatenate(
+                        [rgbs, jnp.repeat(rgbs[-1:], pad, 0)]
+                    )
+                fmaps = self.encode_features(self.params, rgbs)
+                if need_ctx:
+                    nets, inps = self.encode_context(self.params, rgbs)
+                mark("p2_encode", t0)
+            k = 0
+            for frame_idx, frames, rgb_dev, bmask, src in batch:
+                t0 = time.perf_counter()
+                if src is not None:
+                    buffer.append_keyframe_copy(src, frame_idx)
+                else:
+                    sl = slice(k * V, (k + 1) * V)
+                    k += 1
+                    metric_depth, _ = _frame_meta(frames)
+                    buffer.append_keyframe(
+                        frame_idx, rgb_dev,
+                        fmaps[sl][0] if V == 1 else fmaps[sl],
+                        (nets[sl][0] if V == 1 else nets[sl])
+                        if need_ctx else None,
+                        (inps[sl][0] if V == 1 else inps[sl])
+                        if need_ctx else None,
+                        mask=bmask, metric_depth=metric_depth,
+                    )
                 mark("p2_append", t0)
                 if filler.check() or frame_idx == total - 1:
                     t0 = time.perf_counter()
@@ -427,9 +457,13 @@ class SLAMSystem:
             batch.clear()
 
         for frame_idx, frames in enumerate(zip(*streams)):
-            rgb_dev = _upload(frames)
-            bmask = _masks(frames)
-            batch.append((frame_idx, frames, rgb_dev, bmask))
+            src = kf_slot.get(frame_idx)
+            if src is not None:
+                batch.append((frame_idx, frames, None, None, src))
+            else:
+                rgb_dev = _upload(frames)
+                bmask = _masks(frames)
+                batch.append((frame_idx, frames, rgb_dev, bmask, None))
             if len(batch) == ENC_BATCH:
                 _flush_batch()
         _flush_batch()

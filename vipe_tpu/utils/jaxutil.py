@@ -59,6 +59,25 @@ def set_rows_at(arr, idx, val):
     return _scatter_rows(arr, jnp.asarray(idx, jnp.int32), val.astype(arr.dtype))
 
 
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=3)
+def _copy_rows_dyn(arr, src, dst, n):
+    rows = jax.lax.dynamic_slice(
+        arr, (src,) + (0,) * (arr.ndim - 1), (n,) + arr.shape[1:]
+    )
+    return jax.lax.dynamic_update_slice(
+        arr, rows, (dst,) + (0,) * (arr.ndim - 1)
+    )
+
+
+def copy_rows(arr, src: int, dst: int, n: int = 1):
+    """In-place ``arr[dst:dst+n] = arr[src:src+n]`` as ONE donated program.
+
+    The gather and the scatter must live in the same dispatch: an eager
+    ``arr[src]`` interleaved with a donated update serializes the pipeline
+    (measured 3× slower in rm_factors, see CLAUDE.md)."""
+    return _copy_rows_dyn(arr, jnp.int32(src), jnp.int32(dst), n)
+
+
 @functools.partial(jax.jit, donate_argnums=0)
 def _permute_rows(arr, perm):
     return arr[perm]
