@@ -75,6 +75,14 @@ def _jitted_reproject(poses, disps, intr_grid, camera_type, ii, jj):
     return geom.reproject(poses, disps, intr_grid, camera_type, ii, jj)
 
 
+@jax.jit
+def _depth_to_sens(depth):
+    """Full-res metric depth → 1/8-grid disparity prior ([3::8, 3::8]
+    sampling like the reference _add_keyframe, system.py:150-153)."""
+    d = depth[..., 3::8, 3::8]
+    return jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-8), d)
+
+
 class GraphBuffer:
     def __init__(
         self,
@@ -243,28 +251,28 @@ class GraphBuffer:
         if img.dtype != jnp.uint8:
             img = jnp.clip(img * 255.0, 0, 255).astype(jnp.uint8)
 
-        def _rows(arr, value):
-            if V == 1:
-                return jaxutil.set_row(arr, k, value)
-            rows = jnp.arange(k * V, (k + 1) * V, dtype=jnp.int32)
-            return jaxutil.set_rows_at(arr, rows, value)
+        def _v(x):
+            x = jnp.asarray(x)
+            return x[None] if V == 1 else x
 
-        self.images = _rows(self.images, img)
-        self.fmaps = _rows(self.fmaps, fmap)
+        # ALL row writes ride ONE donated dispatch (each extra program over
+        # the remote tunnel costs ~2-5 ms even fully pipelined)
+        vals = {"images": _v(img), "fmaps": _v(fmap)}
         if net is not None:  # None: caller knows the row is never read
-            self.nets = _rows(self.nets, net)
+            vals["nets"] = _v(net)
         if inp is not None:
-            self.inps = _rows(self.inps, inp)
+            vals["inps"] = _v(inp)
         if mask is not None:
-            self.masks = _rows(self.masks, mask)
+            vals["masks"] = _v(mask)
+        if metric_depth is not None:
+            vals["disps_sens"] = _depth_to_sens(_v(metric_depth))
+        arrs = {n: getattr(self, n) for n in vals}
+        for n, a in jaxutil.set_rows_tree(arrs, vals, k * V).items():
+            setattr(self, n, a)
         if intrinsics is not None and k == 0:
             self.intrinsics = jnp.asarray(intrinsics, jnp.float32).reshape(
                 self.intrinsics.shape
             )
-        if metric_depth is not None:
-            d = jnp.asarray(metric_depth)[..., 3::8, 3::8]
-            sens = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-8), d)
-            self.disps_sens = _rows(self.disps_sens, sens)
         if pose is not None:
             self.poses = jaxutil.set_row(
                 self.poses, k, jnp.asarray(pose, jnp.float32)
@@ -286,28 +294,31 @@ class GraphBuffer:
         assert k < self.buffer_size, "keyframe buffer exhausted"
         assert src_frame < k
         self.tstamp[k] = frame_idx
-        for name in ("images", "fmaps", "nets", "inps", "masks",
-                     "disps_sens"):
-            setattr(self, name, jaxutil.copy_rows(
-                getattr(self, name), src_frame * V, k * V, V
-            ))
+        names = ("images", "fmaps", "nets", "inps", "masks", "disps_sens")
+        arrs = jaxutil.copy_rows_tree(
+            {n: getattr(self, n) for n in names}, src_frame * V, k * V, V
+        )
+        for n, a in arrs.items():
+            setattr(self, n, a)
         self.n_frames += 1
 
     def remove_second_newest(self):
-        """Shift slot n-1 into n-2 (reference buffer.py:218-232)."""
+        """Shift slot n-1 into n-2 (reference buffer.py:218-232).
+
+        One donated dispatch for all slot arrays + one for poses: the old
+        per-array form interleaved an EAGER ``arr[ix+1]`` gather with donated
+        updates, which serializes the device pipeline (3× slower, measured —
+        scripts/profile_dispatch.py 'rm-shaped')."""
         ix = self.n_frames - 2
         V = self.n_views
-        self.poses = jaxutil.set_row(self.poses, ix, self.poses[ix + 1])
-        for name in ("images", "disps", "disps_sens", "masks",
-                     "fmaps", "nets", "inps"):
-            arr = getattr(self, name)
-            if V == 1:
-                setattr(self, name, jaxutil.set_row(arr, ix, arr[ix + 1]))
-            else:
-                rows = jnp.arange(ix * V, (ix + 1) * V, dtype=jnp.int32)
-                setattr(self, name, jaxutil.set_rows_at(
-                    arr, rows, arr[(ix + 1) * V: (ix + 2) * V]
-                ))
+        self.poses = jaxutil.copy_rows(self.poses, ix + 1, ix, 1)
+        names = ("images", "disps", "disps_sens", "masks",
+                 "fmaps", "nets", "inps")
+        arrs = jaxutil.copy_rows_tree(
+            {n: getattr(self, n) for n in names}, (ix + 1) * V, ix * V, V
+        )
+        for name, a in arrs.items():
+            setattr(self, name, a)
         if V > 1:
             self.cross_view_idx[ix] = self.cross_view_idx[ix + 1]
             # shift frame ids past the removed slot — ONLY for live rows;

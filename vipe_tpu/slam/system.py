@@ -469,7 +469,9 @@ class SLAMSystem:
         _flush_batch()
 
         mark("pass2", t_pass2) if profile else None
+        t0 = time.perf_counter()
         filled = filler.get_result()
+        mark("filler_result", t0)
         if profile:
             n_kf = len(filler.filled_poses)
             print({k: round(v, 2) for k, v in tmarks.items()},
@@ -485,7 +487,10 @@ class SLAMSystem:
                 jax.profiler.stop_trace()
             except Exception:
                 pass
+        t0 = time.perf_counter()
         slam_map = buffer.extract_slam_map(c.get("map_filter_thresh", 0.05))
+        mark("extract_map", t0)
+        t0 = time.perf_counter()
         if V == 1:
             intr_full = resizers[0].recover_intrinsics(
                 np.asarray(buffer.intrinsics)
@@ -497,6 +502,10 @@ class SLAMSystem:
             ])
 
         trajectory = np.asarray(lie.se3_inv(jnp.asarray(filled.poses)))
+        mark("finalize", t0)
+        if profile:
+            print({k: round(v, 2) for k, v in tmarks.items()
+                   if k in ("extract_map", "finalize")}, flush=True)
         return SLAMOutput(
             trajectory=trajectory,
             intrinsics=intr_full,

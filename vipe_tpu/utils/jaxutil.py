@@ -78,6 +78,42 @@ def copy_rows(arr, src: int, dst: int, n: int = 1):
     return _copy_rows_dyn(arr, jnp.int32(src), jnp.int32(dst), n)
 
 
+@functools.partial(jax.jit, donate_argnums=0, static_argnums=3)
+def _copy_rows_tree(arrs, src, dst, n):
+    def cp(a):
+        rows = jax.lax.dynamic_slice(
+            a, (src,) + (0,) * (a.ndim - 1), (n,) + a.shape[1:]
+        )
+        return jax.lax.dynamic_update_slice(
+            a, rows, (dst,) + (0,) * (a.ndim - 1)
+        )
+
+    return jax.tree.map(cp, arrs)
+
+
+def copy_rows_tree(arrs, src: int, dst: int, n: int = 1):
+    """``arr[dst:dst+n] = arr[src:src+n]`` for EVERY array in the pytree, in
+    ONE donated dispatch (vs one program per array, each paying the remote
+    tunnel's per-dispatch cost)."""
+    return _copy_rows_tree(arrs, jnp.int32(src), jnp.int32(dst), n)
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _set_rows_tree(arrs, vals, start):
+    def upd(a, v):
+        return jax.lax.dynamic_update_slice(
+            a, v.astype(a.dtype), (start,) + (0,) * (a.ndim - 1)
+        )
+
+    return jax.tree.map(upd, arrs, vals)
+
+
+def set_rows_tree(arrs, vals, start: int):
+    """Write contiguous rows into SEVERAL buffers in ONE donated dispatch.
+    ``vals`` mirrors ``arrs``; every value carries a leading rows axis."""
+    return _set_rows_tree(arrs, vals, jnp.int32(start))
+
+
 @functools.partial(jax.jit, donate_argnums=0)
 def _permute_rows(arr, perm):
     return arr[perm]
