@@ -68,6 +68,27 @@ class TestCorr:
         got = corr.alt_corr_lookup_level(f1 / 4.0, f2 / 4.0, coords, radius=3)
         np.testing.assert_allclose(got, want, atol=2e-3)  # bf16 volume path
 
+    def test_pyramid_matches_volume_pooling(self, rng):
+        """The pooled-target-features pyramid must equal pooling the
+        materialized volume over the target dims (linearity of avg-pool in
+        fmap2 — the reference's CorrBlock form, droid_net.py:67-69)."""
+        E, h, w, c = 2, 8, 8, 16
+        f1 = jnp.asarray(rng.random((E, h, w, c)), jnp.float32)
+        f2 = jnp.asarray(rng.random((E, h, w, c)), jnp.float32)
+        pyr = corr.corr_pyramid(f1, f2, num_levels=3)
+        want = np.einsum(
+            "eyxc,ezwc->eyxzw", np.asarray(f1), np.asarray(f2)
+        ) / 16.0
+        for lvl in range(3):
+            np.testing.assert_allclose(
+                np.asarray(pyr[lvl], np.float32), want,
+                atol=3e-2, rtol=2e-2,  # bf16 features + bf16 volumes
+            )
+            e_, h1, w1, h2, w2 = want.shape
+            want = want.reshape(e_, h1, w1, h2 // 2, 2, w2 // 2, 2).mean(
+                axis=(4, 6)
+            )
+
     def test_pyramid_levels_shapes(self, rng):
         E, h, w, c = 1, 8, 16, 4
         f1 = jnp.asarray(rng.random((E, h, w, c)), jnp.float32)

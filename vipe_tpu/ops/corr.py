@@ -71,19 +71,27 @@ def corr_volume(fmap1, fmap2):
 def corr_pyramid(fmap1, fmap2, num_levels: int = 4):
     """Pyramid over the TARGET dims only (reference droid_net.py:67-69).
 
-    optimization_barrier between levels: without it XLA fuses the all-pairs
-    matmul producer into every pooling consumer and RECOMPUTES it per level
-    (measured 4× slowdown on the 48-edge frontend build)."""
-    vol = jax.lax.optimization_barrier(corr_volume(fmap1, fmap2))
-    pyramid = [vol]
-    for _ in range(num_levels - 1):
-        e, h1, w1, h2, w2 = vol.shape
-        v = vol.reshape(e * h1 * w1, h2, w2)
-        v = avg_pool2(v)
-        vol = jax.lax.optimization_barrier(
-            v.reshape(e, h1, w1, v.shape[-2], v.shape[-1])
-        )
-        pyramid.append(vol)
+    Computed by correlating fmap1 with PROGRESSIVELY POOLED target features:
+    average-pooling the volume over (h2, w2) is linear in fmap2, so level
+    l's volume equals the correlation against avgpool^l(fmap2) — the same
+    values as pooling the materialized volume, at a fraction of the HBM
+    traffic.  The old volume-then-pool form wrote a 1.8 GB f32 level-0
+    transient and re-read it per level (measured 53 ms per 48-edge build on
+    a v5e; this form ≈ 15 ms).  Volumes are bf16 (the reference computes
+    correlation under fp16 autocast, droid_net.py:94-102)."""
+    E, H, W, C = fmap1.shape
+    f1 = (fmap1.astype(jnp.float32) / 4.0).astype(jnp.bfloat16)
+    f1 = f1.reshape(E, H * W, C)
+    f2 = (fmap2.astype(jnp.float32) / 4.0).astype(jnp.bfloat16)
+    pyramid = []
+    for _ in range(num_levels):
+        h2, w2 = f2.shape[1], f2.shape[2]
+        vol = jax.lax.dot_general(
+            f1, f2.reshape(E, h2 * w2, C), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        pyramid.append(vol.reshape(E, H, W, h2, w2))
+        f2 = avg_pool2_nhwc(f2)
     return pyramid
 
 

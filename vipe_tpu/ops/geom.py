@@ -234,7 +234,7 @@ def in_bounds(coords, ht, wd, margin=0):
     return (u >= margin) & (v >= margin) & (u < wd - 1 - margin) & (v < ht - 1 - margin)
 
 
-def depth_filter(poses, disps, intrinsics, inds, thresh):
+def depth_filter(poses, disps, intrinsics, inds, thresh, num_valid=None):
     """Multi-view depth consistency counter.
 
     Parity with ``depth_filter_kernel`` (geom_kernels.cu:678-790): for each
@@ -245,9 +245,13 @@ def depth_filter(poses, disps, intrinsics, inds, thresh):
     Args:
       poses: (N, 7), disps: (N, H, W), intrinsics: (4,) pinhole.
       inds: (B,) frame indices;  thresh: (B,).
+      num_valid: dynamic count of REAL frames when the arrays carry bucket
+        padding (padded neighbors must not count as agreeing views).
     Returns: counter (B, H, W) float32.
     """
     num, ht, wd = disps.shape
+    if num_valid is not None:
+        num = num_valid
     fx, fy, cx, cy = intrinsics[:4]
     u, v = pixel_grid(ht, wd, disps.dtype)
 

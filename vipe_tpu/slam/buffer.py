@@ -83,6 +83,48 @@ def _depth_to_sens(depth):
     return jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-8), d)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _jitted_extract_map(camera_type, Nb, poses, rig_v, disps, intr_grid,
+                        pin, masks, images, filter_thresh, n):
+    """Whole map extraction as ONE program over a pow2 frame bucket — the
+    eager chain (iproj + transform + depth_filter + masks) was ~40 tunnel
+    dispatches.  Rows ≥ n are bucket padding, masked out by the caller."""
+    ht, wd = disps.shape[-2:]
+    u, v = geom.pixel_grid(ht, wd)
+    if camera_type == cam.CameraType.PANORAMA:
+        # the panorama model expects NORMALIZED [0,1] coords
+        # (reference utils/cameras.py:376-379)
+        u = u / wd
+        v = v / ht
+    poses = jax.vmap(lambda p: lie.se3_mul(lie.se3_inv(rig_v), p))(poses)
+    c2w = lie.se3_inv(poses)
+    pts_local = cam.iproj_disp(
+        camera_type, intr_grid,
+        jnp.broadcast_to(u, disps.shape), jnp.broadcast_to(v, disps.shape),
+        disps,
+    )
+    pts_world = geom.act_homog(c2w[:, None, None, :], pts_local)
+    xyz = pts_world[..., :3] / jnp.maximum(pts_world[..., 3:], 1e-8)
+
+    valid_row = (jnp.arange(Nb) < n)[:, None, None]
+    mean_disp = jnp.sum(jnp.where(valid_row, disps, 0.0)) / jnp.maximum(
+        jnp.sum(valid_row) * ht * wd, 1
+    )
+    thresh_v = filter_thresh / jnp.maximum(mean_disp, 1e-8)
+    counts = geom.depth_filter(
+        poses, disps, pin, jnp.arange(Nb),
+        jnp.broadcast_to(thresh_v, (Nb,)), num_valid=n,
+    )
+    per_frame_mean = jnp.mean(disps, axis=(1, 2), keepdims=True)
+    mask = (
+        (counts >= jnp.minimum(2, n - 1))
+        & (disps > 0.5 * per_frame_mean)
+        & (~masks)
+    )
+    colors = images[:, 3::8, 3::8, :].astype(jnp.float32) / 255.0
+    return xyz, colors, mask
+
+
 class GraphBuffer:
     def __init__(
         self,
@@ -409,55 +451,32 @@ class GraphBuffer:
 
         n = self.n_frames
         V = self.n_views
-        slots = jnp.arange(n) * V + view if V > 1 else jnp.arange(n)
-        poses = self.poses[:n]
+        Nb = min(bucket_size(n), self.buffer_size)
         if V > 1:
-            # world→cam_view = rig_v⁻¹ · T_frame
-            poses = jax.vmap(
-                lambda p: lie.se3_mul(lie.se3_inv(self.rig[view]), p)
-            )(poses)
+            # pad with frame 0's slot (harmless: rows ≥ n are masked out and
+            # depth_filter ignores them via num_valid)
+            fpad = np.minimum(np.arange(Nb), n - 1)
+            slots = jnp.asarray(fpad * V + view, jnp.int32)
+            poses = self.poses[jnp.asarray(fpad, jnp.int32)]
             disps = self.disps[slots]
-            intr_grid = cam.scaled_intrinsics(
-                self.camera_type, self.intrinsics[view], 1.0 / 8.0
-            )
+            masks = self.masks[slots]
+            images = self.images[slots]
+            intr_v = self.intrinsics[view]
         else:
-            disps = self.disps[:n]
-            intr_grid = self.scaled_intrinsics
-        c2w = lie.se3_inv(poses)
-        u, v = geom.pixel_grid(self.ht, self.wd)
-        if self.camera_type == cam.CameraType.PANORAMA:
-            # the panorama model expects NORMALIZED [0,1] coords
-            # (reference utils/cameras.py:376-379)
-            u = u / self.wd
-            v = v / self.ht
-        pts_local = cam.iproj_disp(
-            self.camera_type, intr_grid,
-            jnp.broadcast_to(u, disps.shape), jnp.broadcast_to(v, disps.shape), disps,
+            poses = self.poses[:Nb]
+            disps = self.disps[:Nb]
+            masks = self.masks[:Nb]
+            images = self.images[:Nb]
+            intr_v = self.intrinsics
+        intr_grid = cam.scaled_intrinsics(self.camera_type, intr_v, 1.0 / 8.0)
+        pin = cam.pinhole_equivalent(self.camera_type, intr_v) / 8.0
+        xyz, colors, mask = _jitted_extract_map(
+            self.camera_type, Nb, poses, self.rig[view], disps, intr_grid,
+            pin, masks, images, jnp.float32(filter_thresh), jnp.int32(n),
         )
-        pts_world = geom.act_homog(c2w[:, None, None, :], pts_local)
-        xyz = pts_world[..., :3] / jnp.maximum(pts_world[..., 3:], 1e-8)
-
-        mean_disp = float(jnp.mean(disps))
-        thresh_v = filter_thresh * (1.0 / max(mean_disp, 1e-8))
-        if V > 1:
-            pin = cam.pinhole_equivalent(
-                self.camera_type, self.intrinsics[view]
-            ) / 8.0
-        else:
-            pin = self.pinhole_grid_intrinsics
-        counts = geom.depth_filter(
-            poses, disps, pin, jnp.arange(n), jnp.full((n,), thresh_v),
-        )
-        per_frame_mean = jnp.mean(disps, axis=(1, 2), keepdims=True)
-        mask = (
-            (counts >= min(2, n - 1))
-            & (disps > 0.5 * per_frame_mean)
-            & (~self.masks[slots])
-        )
-        colors = self.images[slots, 3::8, 3::8, :].astype(jnp.float32) / 255.0
         return SLAMMap(
-            xyz=np.asarray(xyz),
-            rgb=np.asarray(colors),
-            mask=np.asarray(mask),
+            xyz=np.asarray(xyz[:n]),
+            rgb=np.asarray(colors[:n]),
+            mask=np.asarray(mask[:n]),
             frame_inds=self.tstamp[:n].copy(),
         )
