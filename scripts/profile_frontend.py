@@ -66,7 +66,7 @@ def main():
 
     print("== per-keyframe phases ==")
     timed("distance matrix submit+read", lambda: float(np.asarray(
-        g.submit_distance_matrix(beta=0.25)[1])[0, 1]))
+        g.submit_distance_matrix(beta=0.25)[2])[0, 1]))
 
     def add_rm():
         mask = np.zeros(g.n_edges, bool)
