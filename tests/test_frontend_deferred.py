@@ -63,7 +63,7 @@ def droid_fns():
     return make_droidnet_fns(model), params
 
 
-def _run(droid_fns, keyframe_thresh):
+def _run(droid_fns, keyframe_thresh, **cfg):
     (ef, ec, uf), params = droid_fns
     frontends = []
 
@@ -84,6 +84,7 @@ def _run(droid_fns, keyframe_thresh):
                 buffer=32,
                 infill_chunk_size=6,
                 backend_iters=4,
+                **cfg,
             ),
             update_fn=uf,
             params=params,
@@ -100,33 +101,42 @@ class TestDeferredFrontend:
     def test_keep_branch_end_to_end(self, droid_fns):
         out, fe = _run(droid_fns, keyframe_thresh=0.0)
         assert fe.graph.can_fuse_frontend_step  # the fused path really ran
-        assert fe._pending is None              # everything resolved
+        assert not fe._pending                  # everything resolved
         assert fe.n_removals == 0
         assert fe.t1 == T                       # all keyframes kept
         assert out.trajectory.shape == (T, 7)
         assert np.isfinite(out.trajectory).all()
 
     def test_remove_branch_end_to_end(self, droid_fns):
-        """Every post-warmup keyframe removed: each append must see the
-        previous pending decision applied (slot compaction + t1 shift +
-        re-init) before landing."""
+        """Every post-warmup keyframe removed: every pending decision takes
+        the removal path — at depth 2 that exercises the LATE removal
+        (rm_keyframe with a shifted scratch top + younger-decision rescore)
+        on every keyframe, the hardest consistency case."""
         out, fe = _run(droid_fns, keyframe_thresh=1e9)
         assert fe.graph.can_fuse_frontend_step
-        assert fe._pending is None
+        assert not fe._pending
         # only the warmup keyframes survive: every post-warmup keyframe is
-        # removed when its pending decision resolves (successor append or
-        # pass-1 end for the last one)
+        # removed when its pending decision resolves
         assert fe.n_removals == T - 4
         assert fe.t1 == fe.buffer.n_frames == 4
         assert out.trajectory.shape == (T, 7)
         assert np.isfinite(out.trajectory).all()
 
+    def test_remove_branch_depth1(self, droid_fns):
+        """Same as above at spec depth 1 (reference-exact removal order)."""
+        out, fe = _run(droid_fns, keyframe_thresh=1e9, keyframe_spec_depth=1)
+        assert not fe._pending
+        assert fe.n_removals == T - 4
+        assert fe.t1 == fe.buffer.n_frames == 4
+        assert np.isfinite(out.trajectory).all()
+
     def test_deferred_matches_immediate(self, droid_fns):
-        """Deferral must be semantics-preserving: a run whose pending
+        """Depth-1 deferral must be semantics-preserving: a run whose pending
         decision is resolved immediately after every frontend step produces
         bit-identical keyframe topology and (up to float tolerance) the same
         trajectory."""
-        out_a, fe_a = _run(droid_fns, keyframe_thresh=0.35)
+        out_a, fe_a = _run(droid_fns, keyframe_thresh=0.35,
+                           keyframe_spec_depth=1)
 
         orig_run = sysmod.SLAMFrontend.run
 
@@ -136,7 +146,8 @@ class TestDeferredFrontend:
 
         sysmod.SLAMFrontend.run = eager_run
         try:
-            out_b, fe_b = _run(droid_fns, keyframe_thresh=0.35)
+            out_b, fe_b = _run(droid_fns, keyframe_thresh=0.35,
+                               keyframe_spec_depth=1)
         finally:
             sysmod.SLAMFrontend.run = orig_run
 
@@ -144,4 +155,29 @@ class TestDeferredFrontend:
         assert fe_a.t1 == fe_b.t1
         np.testing.assert_allclose(
             out_a.trajectory, out_b.trajectory, rtol=1e-4, atol=1e-4
+        )
+
+    def test_depth2_keep_path_matches_depth1(self, droid_fns):
+        """With no removals the depth-2 pipeline is the same computation as
+        depth 1 — only the readback timing differs."""
+        out_a, fe_a = _run(droid_fns, keyframe_thresh=0.0)
+        out_b, fe_b = _run(droid_fns, keyframe_thresh=0.0,
+                           keyframe_spec_depth=1)
+        assert fe_a.t1 == fe_b.t1
+        np.testing.assert_allclose(
+            out_a.trajectory, out_b.trajectory, rtol=1e-5, atol=1e-5
+        )
+
+    def test_depth2_removals_converge_to_same_keyframes(self, droid_fns):
+        """With removals, depth 2 applies them one keyframe late (extra
+        optimization rounds with the doomed keyframe — a documented
+        speculative divergence) but must converge to the same keyframe SET
+        via the post-removal rescore."""
+        out_a, fe_a = _run(droid_fns, keyframe_thresh=0.35)
+        out_b, fe_b = _run(droid_fns, keyframe_thresh=0.35,
+                           keyframe_spec_depth=1)
+        assert fe_a.t1 == fe_b.t1
+        assert fe_a.n_removals == fe_b.n_removals
+        assert list(fe_a.buffer.tstamp[: fe_a.buffer.n_frames]) == list(
+            fe_b.buffer.tstamp[: fe_b.buffer.n_frames]
         )

@@ -345,19 +345,36 @@ class GraphBuffer:
         self.n_frames += 1
 
     def remove_second_newest(self):
-        """Shift slot n-1 into n-2 (reference buffer.py:218-232).
+        """Shift slot n-1 into n-2 (reference buffer.py:218-232)."""
+        self.remove_slot(self.n_frames - 2)
+
+    def remove_slot(self, ix: int, top: int = None):
+        """Remove keyframe row ``ix``, shifting rows (ix, top] down by one.
+
+        ``top`` defaults to ``n_frames - 1`` (the reference's second-newest
+        removal, buffer.py:218-232).  The speculative frontend passes a
+        LARGER top: when the removal decision was deferred past the next
+        keyframe's append, the initialized scratch row above ``n_frames``
+        must shift down too.
 
         One donated dispatch for all slot arrays + one for poses: the old
         per-array form interleaved an EAGER ``arr[ix+1]`` gather with donated
         updates, which serializes the device pipeline (3× slower, measured —
-        scripts/profile_dispatch.py 'rm-shaped')."""
-        ix = self.n_frames - 2
+        scripts/profile_dispatch.py 'rm-shaped').  The shift count is padded
+        to a pow2 bucket (few compile keys); the extra shifted rows above
+        ``top`` are garbage moving among garbage."""
         V = self.n_views
-        self.poses = jaxutil.copy_rows(self.poses, ix + 1, ix, 1)
+        top = self.n_frames - 1 if top is None else top
+        n = top - ix
+        assert n >= 1
+        nb = min(bucket_size(n, minimum=1), self.buffer_size - ix - 1)
+        assert V == 1 or n == 1, "late (speculative) removal is V=1 only"
+        self.poses = jaxutil.copy_rows(self.poses, ix + 1, ix, nb)
         names = ("images", "disps", "disps_sens", "masks",
                  "fmaps", "nets", "inps")
         arrs = jaxutil.copy_rows_tree(
-            {n: getattr(self, n) for n in names}, (ix + 1) * V, ix * V, V
+            {n_: getattr(self, n_) for n_ in names},
+            (ix + 1) * V, ix * V, nb * V,
         )
         for name, a in arrs.items():
             setattr(self, name, a)
@@ -372,7 +389,7 @@ class GraphBuffer:
             last = self.n_frames - 1
             self.cross_view_idx[last, :, 0] = last
             self.cross_view_idx[last, :, 1] = (np.arange(V) + 1) % V
-        self.tstamp[ix] = self.tstamp[ix + 1]
+        self.tstamp[ix: top] = self.tstamp[ix + 1: top + 1]
         self.n_frames -= 1
 
     # --------------------------------------------------------------- geometry

@@ -783,8 +783,14 @@ class FactorGraph:
     def rm_second_newest_keyframe(self, ix: int):
         """Remove keyframe ix (= n_frames-2) from buffer and graph, shifting
         indices (reference :205-230)."""
+        self.rm_keyframe(ix)
+
+    def rm_keyframe(self, ix: int, top: int = None):
+        """Remove keyframe ``ix`` from buffer and graph, shifting indices.
+        ``top``: see :meth:`GraphBuffer.remove_slot` — the speculative
+        frontend removes a keyframe AFTER a younger one was appended."""
         V = self.V
-        self.buffer.remove_second_newest()
+        self.buffer.remove_slot(ix, top)
 
         def shift_exp(exp):
             for col in (0, 3):  # pi, pj frame columns
@@ -1310,11 +1316,17 @@ class FactorGraph:
         return self.finish_fused_step(d, r1, r2, kf_thresh)
 
     def finish_fused_step(self, d, r1: int, r2: int,
-                          kf_thresh: float) -> float:
+                          kf_thresh: float, bump_ages: bool = True) -> float:
         """Blockingly read a (possibly deferred) fused-step distance and
-        apply the decision-dependent edge-age bookkeeping."""
+        apply the decision-dependent edge-age bookkeeping.
+
+        ``bump_ages=False``: the caller already bumped ages optimistically
+        at submit time (speculative pipelining — the ages must be current
+        BEFORE this resolve because a younger keyframe's ``rm_factors(age)``
+        ran in between)."""
         d = float(d)
-        self.age[: self.n_edges] += r1 + (r2 if d >= kf_thresh else 0)
+        if bump_ages:
+            self.age[: self.n_edges] += r1 + (r2 if d >= kf_thresh else 0)
         return d
 
     @property

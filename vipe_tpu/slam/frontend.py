@@ -64,51 +64,108 @@ class SLAMFrontend:
         self.frontend_radius = c.get("frontend_radius", 2)
         self.seq_init = c.get("seq_init", True)
         self.has_init_pose = c.get("has_init_pose", False)
+        # 2 = depth-2 speculation (decision applied one keyframe late, reads
+        # fully overlapped); 1 = resolve before the very next append
+        # (reference-exact removal ordering, one blocking read per keyframe)
+        self.spec_depth = c.get("keyframe_spec_depth", 2)
         # speculative distance-matrix token: submitted at the end of one
         # keyframe, resolved at the next — hides the ~25 ms readback behind
         # the intervening frames' work.  Only valid while nothing else
         # mutates poses/disps (disabled with GT init poses; dropped when the
         # backend runs).
         self._dist_token = None
-        # deferred keyframe-removal decision: (device distance scalar,
-        # t1 at submit).  The fused step's keep/remove branches already ran
-        # on-device; only the HOST bookkeeping (edge ages, topology shift on
-        # removal) waits for the readback, which resolve_pending() applies
-        # just before the next state-dependent operation (next keyframe
-        # append, backend run, pass-1 end).  This removes the per-keyframe
-        # blocking sync from the tracking loop.
-        self._pending = None
+        # deferred keyframe-removal decisions: deque of (device distance
+        # scalar, t1 at submit), at most 2 outstanding.  The fused step's
+        # keep/remove branches already ran on-device; only the HOST
+        # bookkeeping (topology shift on removal) waits for the readback.
+        # DEPTH-2 SPECULATION: keyframe k's decision is applied just before
+        # keyframe k+2's append — one keyframe later than the topology
+        # strictly needs — so the scalar transfer completes in the shadow
+        # of keyframe k+1's work and the resolve never blocks.  Keyframe
+        # k+1 is meanwhile appended/optimized ASSUMING keep; on the rare
+        # "remove" outcome the removal is applied late (see _resolve_one),
+        # with the k+1 decision re-scored against the post-removal pair.
+        self._pending = []
         self.n_removals = 0
 
     def drop_cached_distance(self):
         self._dist_token = None
 
-    def resolve_pending(self):
-        """Apply a deferred keyframe-removal decision.  MUST run before the
-        next ``buffer.append_keyframe`` and before any backend run; no-op
-        when nothing is pending."""
-        if self._pending is None:
-            return
-        d_dev, t1s = self._pending
-        self._pending = None
+    def resolve_pending(self, keep_newest: bool = False):
+        """Apply deferred keyframe-removal decisions.
+
+        ``keep_newest=True`` (the per-keyframe call) leaves the most recent
+        pending deferred — its readback resolves one keyframe later, fully
+        overlapped with useful work.  MUST run with ``keep_newest=False``
+        before any backend run, pass 2, and final state reads."""
+        if self.spec_depth < 2:
+            keep_newest = False
+        while self._pending and (not keep_newest or len(self._pending) > 1):
+            self._resolve_one()
+
+    def _slot_init(self):
+        """Constant-velocity pose + mean-disp init for the scratch slot t1
+        (host-side redo of the fused keep-branch; rare paths only)."""
+        if not self.has_init_pose:
+            self._init_pose()
+        self.buffer.disps = _jitted_mean_disp_init(
+            self.buffer.disps, jnp.int32(self.t1), self.buffer.n_views
+        )
+
+    def _resolve_one(self):
+        d_dev, t1s = self._pending.pop(0)
         g = self.graph
         d = g.finish_fused_step(d_dev, self.iters1, self.iters2,
-                                self.keyframe_thresh)
-        if d < self.keyframe_thresh:
-            self.n_removals += 1
+                                self.keyframe_thresh, bump_ages=False)
+        if d >= self.keyframe_thresh:
+            return
+        self.n_removals += 1
+        if self.t1 == t1s:
+            # resolved before the next append (reference ordering)
             g.rm_second_newest_keyframe(t1s - 2)
             self.t1 = t1s - 1
             # the keep-branch slot init was skipped in-program; redo it for
             # the shifted t1 (rare path)
-            if not self.has_init_pose:
-                self._init_pose()
-            self.buffer.disps = _jitted_mean_disp_init(
-                self.buffer.disps, jnp.int32(self.t1), self.buffer.n_views
-            )
+            self._slot_init()
             # the optimistic distance matrix indexed the removed frame —
             # resubmit against the compacted buffer
             self._dist_token = None
             self._submit_distance()
+            return
+        # LATE removal: keyframe t1s-2 was speculatively kept and a younger
+        # keyframe appended + optimized since.  Remove it now, shifting
+        # every row above — including the initialized scratch slot — down
+        # one.  The extra optimization rounds that included the removed
+        # (near-duplicate) keyframe are a benign speculative divergence from
+        # the reference; the keyframe SET converges to the same frames.
+        assert self.t1 == t1s + 1, (self.t1, t1s)
+        g.rm_keyframe(t1s - 2, top=self.t1)
+        self.t1 -= 1
+        if self._pending:
+            # the younger decision compared against the now-removed keyframe
+            # (pair (t1s-2, t1s-1)); the reference pair after the removal is
+            # (t1-3, t1-2) — re-score and re-decide (blocking; rare path)
+            d_y_dev, _t1s_y = self._pending.pop(0)
+            d_y_old = g.finish_fused_step(
+                d_y_dev, self.iters1, self.iters2,
+                self.keyframe_thresh, bump_ages=False,
+            )
+            d_new = float(jnp.max(self.buffer.frame_distance(
+                jnp.asarray([self.t1 - 3], jnp.int32),
+                jnp.asarray([self.t1 - 2], jnp.int32),
+                beta=self.beta, bidirectional=True,
+            )))
+            if d_new < self.keyframe_thresh:
+                self.n_removals += 1
+                g.rm_second_newest_keyframe(self.t1 - 2)
+                self.t1 -= 1
+                self._slot_init()
+            elif d_y_old < self.keyframe_thresh:
+                # the in-program branch (keyed on the stale pair) skipped
+                # the keep-branch slot init; redo it for the kept keyframe
+                self._slot_init()
+        self._dist_token = None
+        self._submit_distance()
 
     def _submit_distance(self):
         if not self.has_init_pose:
@@ -125,8 +182,8 @@ class SLAMFrontend:
 
     def _update(self):
         """Per-new-keyframe update (frontend.py:78-124)."""
-        assert self._pending is None, (
-            "resolve_pending() must run before the keyframe append"
+        assert len(self._pending) <= 1, (
+            "resolve_pending(keep_newest=True) must run before the append"
         )
         self.t1 += 1
         g = self.graph
@@ -161,7 +218,12 @@ class SLAMFrontend:
                 fixed_motion=self.has_init_pose,
                 defer=True,
             )
-            self._pending = (d_dev, self.t1)
+            # optimistic age bump (assume keep): a younger keyframe's
+            # rm_factors(age) may run before this decision resolves.  On the
+            # rare remove, surviving edges age iters2 extra — a third of a
+            # keyframe's aging, noise against max_age=25.
+            g.age[: g.n_edges] += self.iters1 + self.iters2
+            self._pending.append((d_dev, self.t1))
         else:
             g.update_fused(self.iters1, use_inactive=True,
                            fixed_motion=self.has_init_pose)

@@ -122,16 +122,6 @@ class SLAMSystem:
         self.encode_context = encode_context
         self.metric_depth = metric_depth
 
-    def _mask_to_buffer(self, mask, ht, wd):
-        """Full-res valid-mask → 1/8 invalid-mask (reference system.py:188-199):
-        downsample, keep pixels whose valid fraction > 0.9, invert."""
-        import cv2
-
-        m = cv2.resize(
-            np.asarray(mask, np.float32), (wd, ht), interpolation=cv2.INTER_LINEAR
-        )
-        return jnp.asarray(~(m > 0.9))
-
     def run(
         self,
         video_stream,
@@ -224,27 +214,42 @@ class SLAMSystem:
             if profile:
                 tmarks[name] = tmarks.get(name, 0.0) + (time.perf_counter() - t0)
 
-        def _upload(frames):
-            """Host float RGB → device uint8 (4× smaller transfer).
-            V=1: (h, w, 3); V>1: stacked (V, h, w, 3)."""
+        def _upload_host(frames):
+            """Host float RGB → host uint8 (4× smaller transfer when later
+            uploaded).  V=1: (h, w, 3); V>1: stacked (V, h, w, 3)."""
             imgs = [
                 (np.clip(f.rgb, 0.0, 1.0) * 255).astype(np.uint8)
                 for f in frames
             ]
-            return jnp.asarray(imgs[0] if V == 1 else np.stack(imgs))
+            return imgs[0] if V == 1 else np.stack(imgs)
 
-        def _masks(frames):
+        def _upload(frames):
+            return jnp.asarray(_upload_host(frames))
+
+        def _masks_host(frames):
+            """Full-res valid-mask → 1/8 invalid-mask, on host (reference
+            system.py:188-199): downsample, keep pixels whose valid fraction
+            > 0.9, invert."""
+            import cv2
+
             ms = [f.mask for f in frames]
             if all(m is None for m in ms):
                 return None
             built = [
-                self._mask_to_buffer(
-                    m if m is not None else np.ones((h, w), bool),
-                    buffer.ht, buffer.wd,
-                )
+                ~(cv2.resize(
+                    np.asarray(
+                        m if m is not None else np.ones((h, w), bool),
+                        np.float32,
+                    ), (buffer.wd, buffer.ht),
+                    interpolation=cv2.INTER_LINEAR,
+                ) > 0.9)
                 for m in ms
             ]
-            return built[0] if V == 1 else jnp.stack(built)
+            return built[0] if V == 1 else np.stack(built)
+
+        def _masks(frames):
+            m = _masks_host(frames)
+            return None if m is None else jnp.asarray(m)
 
         # deterministic keyframe cadence (benchmarking / reproducibility
         # knob; None = pure motion-filter gating like the reference)
@@ -314,10 +319,11 @@ class SLAMSystem:
                     if V == 1:
                         net, inp = net[0], inp[0]
             if is_kf:
-                # apply any deferred keyframe-removal decision BEFORE the
-                # append (the append slot depends on it)
+                # apply deferred keyframe-removal decisions, keeping the
+                # NEWEST one deferred (depth-2 speculation): its readback
+                # resolves at the keyframe after next, fully overlapped
                 t0 = time.perf_counter()
-                frontend.resolve_pending()
+                frontend.resolve_pending(keep_newest=True)
                 mark("fe_resolve_pending", t0)
                 t0 = time.perf_counter()
                 metric_depth, intrinsics = _frame_meta(frames)
@@ -338,11 +344,11 @@ class SLAMSystem:
             mark("fe_run", t0)
             if tele is not None and is_kf:
                 tele.update(buffer)
-            if is_kf and (
-                buffer.n_frames in fbi or buffer.n_frames - 1 in fbi
+            if is_kf and any(
+                buffer.n_frames - k in fbi for k in range(3)
             ):
-                # n_frames may be one high while a removal decision is
-                # pending — resolve first, then re-check the milestone
+                # n_frames may run up to two high while removal decisions
+                # are pending — resolve all, then re-check the milestone
                 frontend.resolve_pending()
                 if buffer.n_frames in fbi:
                     backend.run_if_necessary(5)
@@ -414,14 +420,30 @@ class SLAMSystem:
             if not batch:
                 return
             enc = [b for b in batch if b[4] is None]
-            fmaps = nets = inps = None
+            fmaps = nets = inps = rgbs = None
+            msk_dev = None
+            msk_slot = {}
             if enc:
                 t0 = time.perf_counter()
+                # ONE stacked upload for the whole batch: per-frame 0.6 MB
+                # transfers are tunnel-overhead-bound (~2-5 ms each fully
+                # pipelined; a single 8-frame transfer rides one round-trip)
                 # V=1: (n, h, w, 3); V>1: (n·V, h, w, 3) flattened view-major
-                rgbs = (
-                    jnp.stack([b[2] for b in enc]) if V == 1
-                    else jnp.concatenate([b[2] for b in enc], 0)
+                rgbs_h = (
+                    np.stack([b[2] for b in enc]) if V == 1
+                    else np.concatenate([b[2] for b in enc], 0)
                 )
+                rgbs = jnp.asarray(rgbs_h)
+                mark("p2_upload", t0)
+                with_mask = [b for b in enc if b[3] is not None]
+                if with_mask:
+                    mh = [b[3] for b in with_mask]
+                    mh = np.stack(mh) if V == 1 else np.concatenate(mh, 0)
+                    msk_dev = jnp.asarray(mh)
+                    msk_slot = {
+                        id(b): i for i, b in enumerate(with_mask)
+                    }
+                t0 = time.perf_counter()
                 pad = ENC_BATCH * V - rgbs.shape[0]
                 if pad:
                     rgbs = jnp.concatenate(
@@ -432,7 +454,8 @@ class SLAMSystem:
                     nets, inps = self.encode_context(self.params, rgbs)
                 mark("p2_encode", t0)
             k = 0
-            for frame_idx, frames, rgb_dev, bmask, src in batch:
+            for b in batch:
+                frame_idx, frames, _rgb_h, bmask_h, src = b
                 t0 = time.perf_counter()
                 if src is not None:
                     buffer.append_keyframe_copy(src, frame_idx)
@@ -440,8 +463,17 @@ class SLAMSystem:
                     sl = slice(k * V, (k + 1) * V)
                     k += 1
                     metric_depth, _ = _frame_meta(frames)
+                    if bmask_h is None:
+                        bmask = None
+                    else:
+                        mi = msk_slot[id(b)]
+                        bmask = (
+                            msk_dev[mi] if V == 1
+                            else msk_dev[mi * V: (mi + 1) * V]
+                        )
                     buffer.append_keyframe(
-                        frame_idx, rgb_dev,
+                        frame_idx,
+                        rgbs[sl][0] if V == 1 else rgbs[sl],
                         fmaps[sl][0] if V == 1 else fmaps[sl],
                         (nets[sl][0] if V == 1 else nets[sl])
                         if need_ctx else None,
@@ -461,9 +493,10 @@ class SLAMSystem:
             if src is not None:
                 batch.append((frame_idx, frames, None, None, src))
             else:
-                rgb_dev = _upload(frames)
-                bmask = _masks(frames)
-                batch.append((frame_idx, frames, rgb_dev, bmask, None))
+                batch.append((
+                    frame_idx, frames, _upload_host(frames),
+                    _masks_host(frames), None,
+                ))
             if len(batch) == ENC_BATCH:
                 _flush_batch()
         _flush_batch()
