@@ -32,9 +32,10 @@ T = 14
 class TextureStream(VideoStream):
     """Panning window over one random texture → coherent synthetic motion."""
 
-    def __init__(self, seed=0):
+    def __init__(self, seed=0, with_masks=False):
         rng = np.random.default_rng(seed)
         self.tex = rng.random((H + 32, W + 32, 3)).astype(np.float32)
+        self.with_masks = with_masks
 
     def __len__(self):
         return T
@@ -43,15 +44,23 @@ class TextureStream(VideoStream):
         return (H, W)
 
     def attributes(self):
-        return {FrameAttribute.RGB, FrameAttribute.INTRINSICS}
+        attrs = {FrameAttribute.RGB, FrameAttribute.INTRINSICS}
+        if self.with_masks:
+            attrs.add(FrameAttribute.MASK)
+        return attrs
 
     def __iter__(self):
         for k in range(T):
             o = 2 * k
+            mask = None
+            if self.with_masks:
+                mask = np.ones((H, W), bool)
+                mask[: H // 3] = False  # invalid band (e.g. dynamic object)
             yield VideoFrame(
                 raw_frame_idx=k,
                 rgb=self.tex[0:H, o: o + W],
                 intrinsics=np.asarray([W, W, W / 2, H / 2], np.float32),
+                mask=mask,
             )
 
 
@@ -167,6 +176,23 @@ class TestDeferredFrontend:
         np.testing.assert_allclose(
             out_a.trajectory, out_b.trajectory, rtol=1e-5, atol=1e-5
         )
+
+    def test_masks_flow_through_both_passes(self, droid_fns):
+        """Frames with validity masks: pass 1 uploads per keyframe, pass 2
+        uses the batched mask upload — the buffer's /8 invalid-masks must be
+        populated (top band invalid) and the run must stay finite."""
+        (ef, ec, uf), params = droid_fns
+        system = SLAMSystem(
+            config=dict(
+                resize_area=H * W, filter_thresh=-1.0, keyframe_thresh=0.0,
+                warmup=4, buffer=32, infill_chunk_size=6, backend_iters=2,
+            ),
+            update_fn=uf, params=params,
+            encode_features=ef, encode_context=ec,
+        )
+        out = system.run(TextureStream(with_masks=True))
+        assert np.isfinite(out.trajectory).all()
+        assert out.trajectory.shape == (T, 7)
 
     def test_depth2_removals_converge_to_same_keyframes(self, droid_fns):
         """With removals, depth 2 applies them one keyframe late (extra
