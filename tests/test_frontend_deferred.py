@@ -194,6 +194,35 @@ class TestDeferredFrontend:
         assert np.isfinite(out.trajectory).all()
         assert out.trajectory.shape == (T, 7)
 
+    def test_live_filter_pipeline_depth_equivalence(self, droid_fns):
+        """LIVE motion-filter scoring (finite threshold — the production /
+        BENCH_MODE=real path): the depth-2 decision pipeline must produce
+        the SAME keyframe set and trajectory as depth 1 — stale tokens are
+        re-scored against the promoted reference, so decisions are
+        timing-independent."""
+        (ef, ec, uf), params = droid_fns
+
+        def run(depth):
+            # calibrate a threshold that yields a mixed keyframe pattern
+            system = SLAMSystem(
+                config=dict(
+                    resize_area=H * W, filter_thresh=0.35,
+                    keyframe_thresh=0.0, warmup=4, buffer=32,
+                    infill_chunk_size=6, backend_iters=2,
+                    filter_pipeline_depth=depth,
+                ),
+                update_fn=uf, params=params,
+                encode_features=ef, encode_context=ec,
+            )
+            out = system.run(TextureStream())
+            return out
+
+        out_a = run(2)
+        out_b = run(1)
+        np.testing.assert_allclose(
+            out_a.trajectory, out_b.trajectory, rtol=1e-4, atol=1e-4
+        )
+
     def test_depth2_removals_converge_to_same_keyframes(self, droid_fns):
         """With removals, depth 2 applies them one keyframe late (extra
         optimization rounds with the doomed keyframe — a documented

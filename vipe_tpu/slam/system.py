@@ -357,12 +357,18 @@ class SLAMSystem:
                     frontend.drop_cached_distance()
 
         # ----------------------------------------------------------- pass 1
-        # one-frame software pipeline: frame k's decision readback overlaps
-        # frame k+1's upload + encoder.  With a fixed stride + constant
-        # filter decision, non-keyframes are statically known: skip their
-        # upload AND encoder entirely (they are consumed again in pass 2).
+        # software pipeline of depth ``filter_pipeline_depth`` (default 2):
+        # frame k's decision readback overlaps frames k+1..k+D's upload +
+        # encoder — the score's GRU compute AND its device→host transfer
+        # complete in the shadow of later frames' work.  Decisions are
+        # UNCHANGED vs depth 1: a token whose keyframe reference goes stale
+        # (a promotion happened after its submit) is asynchronously
+        # re-scored by refresh().  With a fixed stride + constant filter
+        # decision, non-keyframes are statically known: skip their upload
+        # AND encoder entirely (they are consumed again in pass 2).
         skip_non_kf = bool(kf_stride) and motion_filter._decision_fixed is False
-        pending = None
+        mf_depth = max(int(c.get("filter_pipeline_depth", 2)), 1)
+        pending = []
         t_pass1 = time.perf_counter()
         for frame_idx, frames in enumerate(zip(*streams)):
             sparse_tracks.track_image(frame_idx, frames)
@@ -376,18 +382,23 @@ class SLAMSystem:
                 t0 = time.perf_counter()
                 token = motion_filter.submit(rgb_dev, bmask)
                 mark("mf_submit", t0)
-            if pending is not None:
+            pending.append((frame_idx, frames, rgb_dev, bmask, token))
+            if len(pending) > mf_depth:
                 t0 = time.perf_counter()
-                _process(pending, force_kf=False)
+                _process(pending.pop(0), force_kf=False)
                 mark("process", t0)
-                if token is not None:
-                    # if _process promoted a keyframe, this frame's score was
-                    # submitted against the old reference — re-score it
-                    # asynchronously now instead of blocking at its resolve
-                    motion_filter.refresh(token)
-            pending = (frame_idx, frames, rgb_dev, bmask, token)
-        if pending is not None:
-            _process(pending, force_kf=True)
+                # if _process promoted a keyframe, the in-flight scores were
+                # submitted against the old reference — re-score them
+                # asynchronously now instead of blocking at their resolve
+                # (refresh no-ops when the reference is current)
+                for e in pending:
+                    if e[4] is not None:
+                        motion_filter.refresh(e[4])
+        while pending:
+            _process(pending.pop(0), force_kf=not pending)
+            for e in pending:
+                if e[4] is not None:
+                    motion_filter.refresh(e[4])
         mark("pass1_total", t_pass1)
 
         # ------------------------------------------------------- global BA
