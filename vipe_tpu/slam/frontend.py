@@ -115,8 +115,11 @@ class SLAMFrontend:
     def _resolve_one(self):
         d_dev, t1s = self._pending.pop(0)
         g = self.graph
+        # at depth 1 ages were NOT bumped at submit (reference-exact mode):
+        # finish applies the decision-dependent bump
         d = g.finish_fused_step(d_dev, self.iters1, self.iters2,
-                                self.keyframe_thresh, bump_ages=False)
+                                self.keyframe_thresh,
+                                bump_ages=self.spec_depth < 2)
         if d >= self.keyframe_thresh:
             return
         self.n_removals += 1
@@ -148,7 +151,8 @@ class SLAMFrontend:
             d_y_dev, _t1s_y = self._pending.pop(0)
             d_y_old = g.finish_fused_step(
                 d_y_dev, self.iters1, self.iters2,
-                self.keyframe_thresh, bump_ages=False,
+                self.keyframe_thresh,
+                bump_ages=self.spec_depth < 2,
             )
             d_new = float(jnp.max(self.buffer.frame_distance(
                 jnp.asarray([self.t1 - 3], jnp.int32),
@@ -161,8 +165,16 @@ class SLAMFrontend:
                 self.t1 -= 1
                 self._slot_init()
             elif d_y_old < self.keyframe_thresh:
-                # the in-program branch (keyed on the stale pair) skipped
-                # the keep-branch slot init; redo it for the kept keyframe
+                # the in-program branch (keyed on the stale pair) took the
+                # remove branch and skipped the keep-branch iters2 rounds +
+                # slot init; redo both so the kept keyframe is optimized
+                # exactly like every other kept keyframe
+                if g.n_edges > 0:
+                    g.update_fused(self.iters2, use_inactive=True,
+                                   fixed_motion=self.has_init_pose)
+                    # update_fused re-ages by iters2, already counted by
+                    # the optimistic submit-time bump
+                    g.age[: g.n_edges] -= self.iters2
                 self._slot_init()
         self._dist_token = None
         self._submit_distance()
@@ -218,11 +230,15 @@ class SLAMFrontend:
                 fixed_motion=self.has_init_pose,
                 defer=True,
             )
-            # optimistic age bump (assume keep): a younger keyframe's
-            # rm_factors(age) may run before this decision resolves.  On the
-            # rare remove, surviving edges age iters2 extra — a third of a
-            # keyframe's aging, noise against max_age=25.
-            g.age[: g.n_edges] += self.iters1 + self.iters2
+            # optimistic age bump (assume keep): at depth 2 a younger
+            # keyframe's rm_factors(age) may run before this decision
+            # resolves, so ages must be current NOW.  On the rare remove,
+            # surviving edges age iters2 extra — a third of a keyframe's
+            # aging, noise against max_age=25.  Depth 1 resolves before the
+            # next _update, so it keeps the reference-exact bump in
+            # finish_fused_step instead.
+            if self.spec_depth >= 2:
+                g.age[: g.n_edges] += self.iters1 + self.iters2
             self._pending.append((d_dev, self.t1))
         else:
             g.update_fused(self.iters1, use_inactive=True,

@@ -433,7 +433,6 @@ class SLAMSystem:
             enc = [b for b in batch if b[4] is None]
             fmaps = nets = inps = rgbs = None
             msk_dev = None
-            msk_slot = {}
             if enc:
                 t0 = time.perf_counter()
                 # ONE stacked upload for the whole batch: per-frame 0.6 MB
@@ -446,14 +445,10 @@ class SLAMSystem:
                 )
                 rgbs = jnp.asarray(rgbs_h)
                 mark("p2_upload", t0)
-                with_mask = [b for b in enc if b[3] is not None]
-                if with_mask:
-                    mh = [b[3] for b in with_mask]
+                mh = [b[3] for b in enc if b[3] is not None]
+                if mh:
                     mh = np.stack(mh) if V == 1 else np.concatenate(mh, 0)
                     msk_dev = jnp.asarray(mh)
-                    msk_slot = {
-                        id(b): i for i, b in enumerate(with_mask)
-                    }
                 t0 = time.perf_counter()
                 pad = ENC_BATCH * V - rgbs.shape[0]
                 if pad:
@@ -465,6 +460,7 @@ class SLAMSystem:
                     nets, inps = self.encode_context(self.params, rgbs)
                 mark("p2_encode", t0)
             k = 0
+            km = 0  # counter over mask-carrying enc entries, in batch order
             for b in batch:
                 frame_idx, frames, _rgb_h, bmask_h, src = b
                 t0 = time.perf_counter()
@@ -477,7 +473,8 @@ class SLAMSystem:
                     if bmask_h is None:
                         bmask = None
                     else:
-                        mi = msk_slot[id(b)]
+                        mi = km
+                        km += 1
                         bmask = (
                             msk_dev[mi] if V == 1
                             else msk_dev[mi * V: (mi + 1) * V]
