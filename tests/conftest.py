@@ -7,8 +7,29 @@ is too late) — when we detect it, re-exec pytest once with the axon trigger
 variable removed and CPU forced.
 """
 
+import hashlib
 import os
 import sys
+
+
+def _cpu_cache_dir() -> str:
+    """Compile-cache dir fingerprinted by host CPU features.
+
+    The rounds run on different machines; XLA:CPU AOT executables cached on
+    an avx512/amx host SEGFAULT (SIGILL) when loaded on a host without
+    those features — jax loads them anyway with only a warning.  Keying the
+    directory by the cpuinfo flags makes stale cross-machine entries
+    unreachable instead of fatal."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(
+                (ln for ln in f if ln.startswith("flags")), ""
+            )
+    except OSError:
+        flags = ""
+    tag = hashlib.sha1(flags.encode()).hexdigest()[:8]
+    return f"/root/.cache/jax_comp_cpu_{tag}"
+
 
 if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get("_VIPE_TEST_REEXEC"):
     env = dict(os.environ)
@@ -18,7 +39,7 @@ if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get("_VIPE_TEST_REE
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cpu")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", _cpu_cache_dir())
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
@@ -29,7 +50,7 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cpu_cache_dir())
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
