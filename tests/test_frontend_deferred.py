@@ -223,6 +223,47 @@ class TestDeferredFrontend:
             out_a.trajectory, out_b.trajectory, rtol=1e-4, atol=1e-4
         )
 
+    def test_fmap_parking_matches_reencode(self, droid_fns):
+        """Pass-2 fmap parking (infill rows appended by device row-copy from
+        the pass-1 parking store) must be bit-equivalent to the re-upload +
+        re-encode path: the same uint8 frame encodes to the same fmap, and an
+        infill row's OTHER arrays (images/nets/inps/masks/disps) are never
+        read on the fused-filler path.  keyframe_thresh=1e9 removes every
+        post-warmup keyframe, so most frames go through the parked branch.
+
+        Tolerance, not bit-equality: the parked fmap is encoded at submit
+        (batch 1) while the re-encode path runs stacked batch-8 encodes, and
+        XLA's bf16 convs round differently per batch shape — the same frame's
+        fmap differs in the last bf16 bit, which the 10 BA rounds amplify to
+        ~1e-4 in the pose quaternions."""
+        out_a, _ = _run(droid_fns, keyframe_thresh=1e9)
+        out_b, _ = _run(droid_fns, keyframe_thresh=1e9,
+                        park_fmaps_max_frames=0)
+        np.testing.assert_allclose(
+            out_a.trajectory, out_b.trajectory, rtol=0, atol=5e-3
+        )
+        # and on a mixed keep/remove pattern with masks
+        (ef, ec, uf), params = droid_fns
+
+        def run_masked(park):
+            system = SLAMSystem(
+                config=dict(
+                    resize_area=H * W, filter_thresh=0.35,
+                    keyframe_thresh=0.35, warmup=4, buffer=32,
+                    infill_chunk_size=6, backend_iters=2,
+                    park_fmaps_max_frames=2048 if park else 0,
+                ),
+                update_fn=uf, params=params,
+                encode_features=ef, encode_context=ec,
+            )
+            return system.run(TextureStream(with_masks=True))
+
+        out_c = run_masked(True)
+        out_d = run_masked(False)
+        np.testing.assert_allclose(
+            out_c.trajectory, out_d.trajectory, rtol=0, atol=5e-3
+        )
+
     def test_depth2_removals_converge_to_same_keyframes(self, droid_fns):
         """With removals, depth 2 applies them one keyframe late (extra
         optimization rounds with the doomed keyframe — a documented

@@ -344,6 +344,19 @@ class GraphBuffer:
             setattr(self, n, a)
         self.n_frames += 1
 
+    def append_keyframe_parked(self, park, row: int, frame_idx: int):
+        """Append an infill slot whose ONLY live content is the feature
+        map, copied device-side from the pass-1 parking store (see
+        SLAMSystem pass 1).  Valid only on the fused-filler pass-2 path,
+        where an infill row's other arrays (images/nets/inps/masks/disps/
+        disps_sens) are never read — GRU/BA edge sources are always
+        keyframe rows, and the SLAM map excludes infill slots."""
+        k = self.n_frames
+        assert k < self.buffer_size and self.n_views == 1
+        self.tstamp[k] = frame_idx
+        self.fmaps = jaxutil.copy_row_between(self.fmaps, park, row, k)
+        self.n_frames += 1
+
     def remove_second_newest(self):
         """Shift slot n-1 into n-2 (reference buffer.py:218-232)."""
         self.remove_slot(self.n_frames - 2)

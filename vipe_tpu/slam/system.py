@@ -21,6 +21,7 @@ import numpy as np
 
 from ..ops import cameras as cam
 from ..ops import lie
+from ..utils import jaxutil
 from ..streams.base import FrameAttribute, ProcessedVideoStream, StreamProcessor, VideoFrame, VideoStream
 from .backend import SLAMBackend
 from .buffer import GraphBuffer
@@ -368,12 +369,43 @@ class SLAMSystem:
         # AND encoder entirely (they are consumed again in pass 2).
         skip_non_kf = bool(kf_stride) and motion_filter._decision_fixed is False
         mf_depth = max(int(c.get("filter_pipeline_depth", 2)), 1)
+
+        # fmap PARKING: every frame's feature map is stashed in a device
+        # parking store during pass 1, so pass-2 appends for non-keyframes
+        # become one device row-copy each — no re-upload, no re-encode.
+        # In live-filter mode the fmap is already computed for scoring
+        # (previously thrown away for non-keyframes); in fixed-stride skip
+        # mode the upload+encode moves into pass-1's idle windows.  Only
+        # valid when the fused filler will run (an infill row's only live
+        # content is its fmap).
+        park_cap = int(c.get("park_fmaps_max_frames", 2048))
+        park_enabled = (
+            V == 1 and not filler.needs_context and total <= park_cap
+        )
+        park = None
+        parked = {}
+
+        def _park(frame_idx, fmap_row):
+            nonlocal park
+            if park is None:
+                park = jnp.zeros(
+                    (total,) + tuple(fmap_row.shape), jnp.bfloat16
+                )
+            park = jaxutil.set_rows(park, frame_idx, fmap_row[None])
+            parked[frame_idx] = frame_idx
+
         pending = []
         t_pass1 = time.perf_counter()
         for frame_idx, frames in enumerate(zip(*streams)):
             sparse_tracks.track_image(frame_idx, frames)
             if skip_non_kf and frame_idx % kf_stride != 0:
                 rgb_dev, bmask, token = None, None, None
+                if park_enabled:
+                    t0 = time.perf_counter()
+                    rgb_nk = _upload(frames)
+                    fmap_nk = self.encode_features(self.params, rgb_nk[None])
+                    _park(frame_idx, fmap_nk[0])
+                    mark("park", t0)
             else:
                 t0 = time.perf_counter()
                 rgb_dev = _upload(frames)
@@ -382,6 +414,8 @@ class SLAMSystem:
                 t0 = time.perf_counter()
                 token = motion_filter.submit(rgb_dev, bmask)
                 mark("mf_submit", t0)
+                if park_enabled:
+                    _park(frame_idx, token.fmap[0])
             pending.append((frame_idx, frames, rgb_dev, bmask, token))
             if len(pending) > mf_depth:
                 t0 = time.perf_counter()
@@ -464,7 +498,9 @@ class SLAMSystem:
             for b in batch:
                 frame_idx, frames, _rgb_h, bmask_h, src = b
                 t0 = time.perf_counter()
-                if src is not None:
+                if isinstance(src, tuple):  # ("park", row): fmap row copy
+                    buffer.append_keyframe_parked(park, src[1], frame_idx)
+                elif src is not None:
                     buffer.append_keyframe_copy(src, frame_idx)
                 else:
                     sl = slice(k * V, (k + 1) * V)
@@ -500,6 +536,9 @@ class SLAMSystem:
             src = kf_slot.get(frame_idx)
             if src is not None:
                 batch.append((frame_idx, frames, None, None, src))
+            elif frame_idx in parked:
+                batch.append((frame_idx, frames, None, None,
+                              ("park", parked[frame_idx])))
             else:
                 batch.append((
                     frame_idx, frames, _upload_host(frames),

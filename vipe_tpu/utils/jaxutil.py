@@ -122,3 +122,20 @@ def _permute_rows(arr, perm):
 def permute_rows(arr, perm):
     """``arr = arr[perm]`` without a second persistent allocation."""
     return _permute_rows(arr, jnp.asarray(perm, jnp.int32))
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _copy_row_between(dst, src, src_row, dst_row):
+    row = jax.lax.dynamic_slice(
+        src, (src_row,) + (0,) * (src.ndim - 1), (1,) + src.shape[1:]
+    )
+    return jax.lax.dynamic_update_slice(
+        dst, row.astype(dst.dtype), (dst_row,) + (0,) * (dst.ndim - 1)
+    )
+
+
+def copy_row_between(dst, src, src_row: int, dst_row: int):
+    """``dst[dst_row] = src[src_row]`` across two arrays as ONE donated
+    program (dst donated, src read-only) — an eager ``src[row]`` gather
+    interleaved with donated updates serializes the device pipeline."""
+    return _copy_row_between(dst, src, jnp.int32(src_row), jnp.int32(dst_row))
