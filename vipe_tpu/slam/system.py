@@ -374,13 +374,17 @@ class SLAMSystem:
         # parking store during pass 1, so pass-2 appends for non-keyframes
         # become one device row-copy each — no re-upload, no re-encode.
         # In live-filter mode the fmap is already computed for scoring
-        # (previously thrown away for non-keyframes); in fixed-stride skip
-        # mode the upload+encode moves into pass-1's idle windows.  Only
+        # (previously thrown away for non-keyframes) — a pure win.  In
+        # fixed-stride skip mode parking must ADD a per-frame upload +
+        # batch-1 encode to pass 1 that otherwise rides the batched
+        # (8-frames-per-transfer) pass-2 path, so it is opt-in there
+        # (park_fmaps_in_skip_mode) pending tunnel measurement.  Only
         # valid when the fused filler will run (an infill row's only live
         # content is its fmap).
         park_cap = int(c.get("park_fmaps_max_frames", 2048))
         park_enabled = (
             V == 1 and not filler.needs_context and total <= park_cap
+            and (not skip_non_kf or c.get("park_fmaps_in_skip_mode", False))
         )
         park = None
         parked = {}
