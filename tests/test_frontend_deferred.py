@@ -264,6 +264,32 @@ class TestDeferredFrontend:
             out_c.trajectory, out_d.trajectory, rtol=0, atol=5e-3
         )
 
+    def test_upload_prefetch_equivalence(self, droid_fns):
+        """The threaded host→device feed (prefetch_depth) must be
+        bit-equivalent to the synchronous path — the thread only moves WHEN
+        decode/uploads happen, never what is computed.  Covers the live
+        filter path with masks + removals (parking active)."""
+        (ef, ec, uf), params = droid_fns
+
+        def run(depth):
+            system = SLAMSystem(
+                config=dict(
+                    resize_area=H * W, filter_thresh=0.35,
+                    keyframe_thresh=0.35, warmup=4, buffer=32,
+                    infill_chunk_size=6, backend_iters=2,
+                    prefetch_depth=depth,
+                ),
+                update_fn=uf, params=params,
+                encode_features=ef, encode_context=ec,
+            )
+            return system.run(TextureStream(with_masks=True))
+
+        out_a = run(0)
+        out_b = run(3)
+        np.testing.assert_allclose(
+            out_a.trajectory, out_b.trajectory, rtol=0, atol=0
+        )
+
     def test_depth2_removals_converge_to_same_keyframes(self, droid_fns):
         """With removals, depth 2 applies them one keyframe late (extra
         optimization rounds with the doomed keyframe — a documented

@@ -894,7 +894,11 @@ class FactorGraph:
             Nbw, w0, d_dev = self.submit_distance_matrix(
                 beta, window=t - min(t0, t1)
             )
+        t_fetch = time.perf_counter()
         d_full = np.asarray(d_dev).astype(np.float64)
+        # the ONE per-keyframe blocking sync left on the frontend hot path:
+        # waits for the previous fused step's compute + the matrix transfer
+        _pmark("prox_fetch", t_fetch)
         ix = np.arange(t0, t)
         jx = np.arange(t1, t)
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
@@ -1324,7 +1328,9 @@ class FactorGraph:
         at submit time (speculative pipelining — the ages must be current
         BEFORE this resolve because a younger keyframe's ``rm_factors(age)``
         ran in between)."""
+        t0 = time.perf_counter()
         d = float(d)
+        _pmark("removal_fetch", t0)
         if bump_ages:
             self.age[: self.n_edges] += r1 + (r2 if d >= kf_thresh else 0)
         return d

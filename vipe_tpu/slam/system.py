@@ -398,23 +398,42 @@ class SLAMSystem:
             park = jaxutil.set_rows(park, frame_idx, fmap_row[None])
             parked[frame_idx] = frame_idx
 
+        # host→device feed prefetch (SURVEY §2.6.4): decode/resize, uint8
+        # conversion, mask build and the upload itself run on a side thread
+        # up to prefetch_depth frames ahead — the tracking loop's blocking
+        # readbacks release the GIL, and the thread fills that shadow.
+        # Dispatches (encoders, scores) stay on this thread; decisions are
+        # timing-independent, so depth cannot change results (0 = sync).
+        from ..utils.prefetch import ThreadPrefetcher
+
+        pf_depth = int(c.get("prefetch_depth", 2))
+
+        def _prepare1(entry):
+            frame_idx, frames = entry
+            t0 = time.perf_counter()
+            if skip_non_kf and frame_idx % kf_stride != 0:
+                rgb_dev = _upload(frames) if park_enabled else None
+                bmask = None
+            else:
+                rgb_dev = _upload(frames)
+                bmask = _masks(frames)
+            mark("upload", t0)
+            return frame_idx, frames, rgb_dev, bmask
+
         pending = []
         t_pass1 = time.perf_counter()
-        for frame_idx, frames in enumerate(zip(*streams)):
+        for frame_idx, frames, rgb_dev, bmask in ThreadPrefetcher(
+            enumerate(zip(*streams)), _prepare1, pf_depth
+        ):
             sparse_tracks.track_image(frame_idx, frames)
             if skip_non_kf and frame_idx % kf_stride != 0:
-                rgb_dev, bmask, token = None, None, None
+                token = None
                 if park_enabled:
                     t0 = time.perf_counter()
-                    rgb_nk = _upload(frames)
-                    fmap_nk = self.encode_features(self.params, rgb_nk[None])
+                    fmap_nk = self.encode_features(self.params, rgb_dev[None])
                     _park(frame_idx, fmap_nk[0])
                     mark("park", t0)
             else:
-                t0 = time.perf_counter()
-                rgb_dev = _upload(frames)
-                mark("upload", t0)
-                bmask = _masks(frames)
                 t0 = time.perf_counter()
                 token = motion_filter.submit(rgb_dev, bmask)
                 mark("mf_submit", t0)
@@ -536,18 +555,23 @@ class SLAMSystem:
                     mark("p2_filler", t0)
             batch.clear()
 
-        for frame_idx, frames in enumerate(zip(*streams)):
+        def _prepare2(entry):
+            """Pass-2 host work (decode/resize/uint8/masks) off-thread; the
+            batched uploads + encoders stay on the main thread."""
+            frame_idx, frames = entry
             src = kf_slot.get(frame_idx)
             if src is not None:
-                batch.append((frame_idx, frames, None, None, src))
-            elif frame_idx in parked:
-                batch.append((frame_idx, frames, None, None,
-                              ("park", parked[frame_idx])))
-            else:
-                batch.append((
-                    frame_idx, frames, _upload_host(frames),
-                    _masks_host(frames), None,
-                ))
+                return (frame_idx, frames, None, None, src)
+            if frame_idx in parked:
+                return (frame_idx, frames, None, None,
+                        ("park", parked[frame_idx]))
+            return (frame_idx, frames, _upload_host(frames),
+                    _masks_host(frames), None)
+
+        for entry in ThreadPrefetcher(
+            enumerate(zip(*streams)), _prepare2, pf_depth
+        ):
+            batch.append(entry)
             if len(batch) == ENC_BATCH:
                 _flush_batch()
         _flush_batch()
