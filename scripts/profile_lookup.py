@@ -130,6 +130,21 @@ def main():
     timed("b) selection einsum, f32 vol", lambda: sync(lookup_a(vol32, coords)))
     timed("d) take_along_axis gather", lambda: sync(lookup_d(vol, coords)))
 
+    # full 4-level pyramid: XLA per-level einsum vs fused Pallas kernel
+    from vipe_tpu.ops.pallas_corr import corr_lookup_pyramid_pallas
+
+    pyr = [p.astype(jnp.bfloat16)
+           for p in jax.jit(corr_ops.corr_pyramid)(f1, f2)]
+    look_xla = jax.jit(lambda p, c: corr_ops.corr_lookup_pyramid(p, c, R))
+    want = np.asarray(look_xla(pyr, coords))
+    got = np.asarray(corr_lookup_pyramid_pallas(pyr, coords, radius=R))
+    print(f"pallas max err vs xla pyramid: {np.abs(got - want).max():.4f}")
+    print(f"== 4-level pyramid lookup ==")
+    timed("e) XLA per-level einsum pyramid",
+          lambda: sync(look_xla(pyr, coords)))
+    timed("f) Pallas fused pyramid kernel",
+          lambda: sync(corr_lookup_pyramid_pallas(pyr, coords, radius=R)))
+
 
 if __name__ == "__main__":
     main()

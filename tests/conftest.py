@@ -13,20 +13,35 @@ import sys
 
 
 def _cpu_cache_dir() -> str:
-    """Compile-cache dir fingerprinted by host CPU features.
+    """Compile-cache dir fingerprinted by host CPU features + jaxlib.
 
     The rounds run on different machines; XLA:CPU AOT executables cached on
     an avx512/amx host SEGFAULT (SIGILL) when loaded on a host without
     those features — jax loads them anyway with only a warning.  Keying the
     directory by the cpuinfo flags makes stale cross-machine entries
-    unreachable instead of fatal."""
+    unreachable instead of fatal.  The jaxlib version is part of the key
+    too: XLA's AOT target features include compiler-version-dependent
+    preferences (e.g. +prefer-no-scatter), so entries written by another
+    jaxlib on a same-ISA host still mismatch at load time."""
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next(
-                (ln for ln in f if ln.startswith("flags")), ""
-            )
+            text = f.read()
+        # model name too: XLA picks +prefer-no-gather/+prefer-no-scatter
+        # from the CPU *model*, so two hosts with identical `flags` lines
+        # can still write mutually unloadable AOT entries
+        flags = " ".join(
+            line
+            for line in text.splitlines()
+            if line.startswith(("flags", "model name"))
+        )[:4096]
     except OSError:
         flags = ""
+    try:
+        from importlib.metadata import version
+
+        flags += " jaxlib=" + version("jaxlib")
+    except Exception:
+        pass
     tag = hashlib.sha1(flags.encode()).hexdigest()[:8]
     return f"/root/.cache/jax_comp_cpu_{tag}"
 

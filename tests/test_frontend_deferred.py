@@ -264,6 +264,32 @@ class TestDeferredFrontend:
             out_c.trajectory, out_d.trajectory, rtol=0, atol=5e-3
         )
 
+    def test_fmap_parking_skip_mode_opt_in(self, droid_fns):
+        """Fixed-stride skip mode with park_fmaps_in_skip_mode=true: pass 1
+        uploads+encodes non-keyframes for parking, pass 2 appends them by
+        row-copy — must match the batched re-encode path within bf16
+        batch-shape rounding."""
+        (ef, ec, uf), params = droid_fns
+
+        def run(park):
+            system = SLAMSystem(
+                config=dict(
+                    resize_area=H * W, filter_thresh=float("inf"),
+                    keyframe_stride=2, keyframe_thresh=0.0, warmup=4,
+                    buffer=32, infill_chunk_size=6, backend_iters=2,
+                    park_fmaps_in_skip_mode=park,
+                ),
+                update_fn=uf, params=params,
+                encode_features=ef, encode_context=ec,
+            )
+            return system.run(TextureStream())
+
+        out_a = run(True)
+        out_b = run(False)
+        np.testing.assert_allclose(
+            out_a.trajectory, out_b.trajectory, rtol=0, atol=5e-3
+        )
+
     def test_upload_prefetch_equivalence(self, droid_fns):
         """The threaded host→device feed (prefetch_depth) must be
         bit-equivalent to the synchronous path — the thread only moves WHEN

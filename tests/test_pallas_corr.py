@@ -1,0 +1,71 @@
+"""Interpret-mode parity for the Pallas fused pyramid-lookup kernel
+(vipe_tpu/ops/pallas_corr.py) against the XLA selection-matrix path
+(ops/corr.py) — same bilinear window semantics, out-of-bounds taps zero.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vipe_tpu.ops import corr
+from vipe_tpu.ops.pallas_corr import corr_lookup_pyramid_pallas
+
+
+def _pyramid_and_coords(rng, E=2, H=16, W=24, C=32, spread=1.0):
+    f1 = jnp.asarray(rng.standard_normal((E, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((E, H, W, C)), jnp.float32)
+    pyr = corr.corr_pyramid(f1, f2)
+    u = rng.uniform(-2.0, W + 2.0, (E, H, W)) * spread
+    v = rng.uniform(-2.0, H + 2.0, (E, H, W)) * spread
+    coords = jnp.asarray(np.stack([u, v], -1), jnp.float32)
+    return pyr, coords
+
+
+class TestPallasLookup:
+    def test_matches_xla_path(self, rng):
+        pyr, coords = _pyramid_and_coords(rng)
+        ref = corr.corr_lookup_pyramid(pyr, coords)
+        out = corr_lookup_pyramid_pallas(pyr, coords, interpret=True)
+        assert out.shape == ref.shape
+        # bf16 volumes; XLA path accumulates the row contraction in bf16,
+        # the kernel in f32 — tolerance covers that rounding difference
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=2e-2
+        )
+
+    def test_out_of_bounds_taps_are_zero(self, rng):
+        pyr, _ = _pyramid_and_coords(rng)
+        E, H, W = pyr[0].shape[:3]
+        far = jnp.full((E, H, W, 2), -100.0, jnp.float32)
+        out = corr_lookup_pyramid_pallas(pyr, far, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+    def test_row_block_fallback_for_odd_heights(self, rng):
+        # H=6 not divisible by 8: kernel falls back to 1-row blocks
+        pyr, coords = _pyramid_and_coords(rng, H=6, W=8)
+        ref = corr.corr_lookup_pyramid(pyr, coords)
+        out = corr_lookup_pyramid_pallas(pyr, coords, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=2e-2
+        )
+
+    def test_env_gate_routes_through_pallas(self, rng, monkeypatch):
+        pyr, coords = _pyramid_and_coords(rng, H=8, W=8)
+        ref = corr.corr_lookup_pyramid(pyr, coords)
+        called = {}
+        import vipe_tpu.ops.pallas_corr as pc
+
+        orig = pc.corr_lookup_pyramid_pallas
+
+        def spy(p, c, radius=3, **kw):
+            called["yes"] = True
+            return orig(p, c, radius=radius, interpret=True)
+
+        monkeypatch.setattr(pc, "corr_lookup_pyramid_pallas", spy)
+        monkeypatch.setattr(corr, "_USE_PALLAS", True)
+        out = corr.corr_lookup_pyramid(pyr, coords)
+        assert called.get("yes")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=2e-2
+        )

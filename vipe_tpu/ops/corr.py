@@ -21,8 +21,15 @@ samples contribute zero (CUDA kernels bound-check and skip).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# opt-in Pallas lookup kernel (ops/pallas_corr.py): fuses the 4-level
+# window lookup into one kernel with VMEM-resident selection matrices —
+# enable on real TPU hardware after measuring (VIPE_PALLAS=1)
+_USE_PALLAS = os.environ.get("VIPE_PALLAS") == "1"
 
 
 def level_dims(ht: int, wd: int, level: int):
@@ -175,6 +182,11 @@ def corr_lookup_pyramid(pyramid, coords, radius: int = 3):
 
     Output (E, h1, w1, L·(2r+1)²) matching CorrBlock.__call__ channel order.
     """
+    if _USE_PALLAS and pyramid and pyramid[0].ndim == 5:
+        from .pallas_corr import corr_lookup_pyramid_pallas
+
+        return corr_lookup_pyramid_pallas(list(pyramid), coords,
+                                          radius=radius)
     outs = []
     for lvl, vol in enumerate(pyramid):
         outs.append(corr_lookup(vol, coords / (2.0**lvl), radius))

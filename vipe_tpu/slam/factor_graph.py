@@ -39,6 +39,7 @@ def _pmark(name: str, t0: float, sync_val=None):
         # scalar fetch to delimit device completion
         float(jnp.asarray(sync_val).reshape(-1)[0].astype(jnp.float32))
     _prof_acc[name] = _prof_acc.get(name, 0.0) + time.perf_counter() - t0
+    _prof_acc[name + "_n"] = _prof_acc.get(name + "_n", 0.0) + 1
 
 
 def _pdump(tag: str):

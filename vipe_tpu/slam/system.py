@@ -611,6 +611,9 @@ class SLAMSystem:
 
         trajectory = np.asarray(lie.se3_inv(jnp.asarray(filled.poses)))
         mark("finalize", t0)
+        from .factor_graph import _pdump
+
+        _pdump(f"[system fg kf={frontend.t1}]")  # no-op without PROFILE_FG
         if profile:
             print({k: round(v, 2) for k, v in tmarks.items()
                    if k in ("extract_map", "finalize")}, flush=True)
