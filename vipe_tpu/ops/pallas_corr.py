@@ -106,7 +106,27 @@ def corr_lookup_pyramid_pallas(
     L = len(pyramid)
     E, h1, w1 = coords.shape[:3]
     k = 2 * radius + 1
-    R = row_block if h1 % row_block == 0 else 1
+
+    def _vmem_bytes(r):
+        # volume blocks (input dtype + in-kernel f32 cast), coords, output,
+        # selection matrices and the (P, k, w2) row-contraction transient
+        vols = sum(
+            r * w1 * v.shape[3] * v.shape[4] * (v.dtype.itemsize + 4)
+            for v in pyramid
+        )
+        sel = sum(
+            r * w1 * k * (v.shape[3] + v.shape[4]) * 4 for v in pyramid
+        )
+        t = max(r * w1 * k * v.shape[4] * 4 for v in pyramid)
+        return vols + sel + t + r * w1 * (2 + L * k * k) * 4
+
+    # largest row block that divides h1 AND fits comfortably in VMEM
+    # (~16 MB/core; leave half for pipelining/double buffering)
+    R = 1
+    for cand in (row_block, 8, 4, 2):
+        if h1 % cand == 0 and _vmem_bytes(cand) < 8 * 1024 * 1024:
+            R = cand
+            break
 
     grid = (E, h1 // R)
     in_specs = [
