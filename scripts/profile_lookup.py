@@ -145,6 +145,23 @@ def main():
     timed("f) Pallas fused pyramid kernel",
           lambda: sync(corr_lookup_pyramid_pallas(pyr, coords, radius=R)))
 
+    # altcorr-style: volume built in VMEM per block, never in HBM.
+    # Includes the per-round volume rebuild cost — compare (f) + the
+    # amortized corr_pyramid build vs (g) alone.
+    from vipe_tpu.ops.pallas_corr import corr_fused_pallas
+
+    pools = [f2]
+    for _ in range(3):
+        pools.append(corr_ops.avg_pool2_nhwc(pools[-1]))
+    got_g = np.asarray(corr_fused_pallas(f1, pools, coords, radius=R))
+    print(f"fused-altcorr max err vs xla pyramid: "
+          f"{np.abs(got_g - want).max():.4f}")
+    timed("g) Pallas fused build+lookup (altcorr)",
+          lambda: sync(corr_fused_pallas(f1, pools, coords, radius=R)))
+    build = jax.jit(corr_ops.corr_pyramid)
+    timed("h) corr_pyramid build alone",
+          lambda: sync(build(f1, f2)[0]))
+
 
 if __name__ == "__main__":
     main()

@@ -9,17 +9,25 @@ import pytest
 import jax.numpy as jnp
 
 from vipe_tpu.ops import corr
-from vipe_tpu.ops.pallas_corr import corr_lookup_pyramid_pallas
+from vipe_tpu.ops.pallas_corr import (
+    corr_fused_pallas,
+    corr_lookup_pyramid_pallas,
+)
+
+
+def _fmaps_and_coords(rng, E=2, H=16, W=24, C=32):
+    f1 = jnp.asarray(rng.standard_normal((E, H, W, C)), jnp.float32)
+    f2 = jnp.asarray(rng.standard_normal((E, H, W, C)), jnp.float32)
+    u = rng.uniform(-2.0, W + 2.0, (E, H, W))
+    v = rng.uniform(-2.0, H + 2.0, (E, H, W))
+    coords = jnp.asarray(np.stack([u, v], -1), jnp.float32)
+    return f1, f2, coords
 
 
 def _pyramid_and_coords(rng, E=2, H=16, W=24, C=32, spread=1.0):
-    f1 = jnp.asarray(rng.standard_normal((E, H, W, C)), jnp.float32)
-    f2 = jnp.asarray(rng.standard_normal((E, H, W, C)), jnp.float32)
+    f1, f2, coords = _fmaps_and_coords(rng, E, H, W, C)
     pyr = corr.corr_pyramid(f1, f2)
-    u = rng.uniform(-2.0, W + 2.0, (E, H, W)) * spread
-    v = rng.uniform(-2.0, H + 2.0, (E, H, W)) * spread
-    coords = jnp.asarray(np.stack([u, v], -1), jnp.float32)
-    return pyr, coords
+    return pyr, coords * spread
 
 
 class TestPallasLookup:
@@ -49,6 +57,30 @@ class TestPallasLookup:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=0, atol=2e-2
         )
+
+    def test_fused_altcorr_matches_materialized_path(self, rng):
+        """corr_fused_pallas (volume built in VMEM, never materialized)
+        must match corr_pyramid → corr_lookup_pyramid to bf16 rounding."""
+        f1, f2, coords = _fmaps_and_coords(rng)
+        ref = corr.corr_lookup_pyramid(corr.corr_pyramid(f1, f2), coords)
+        pools = [f2]
+        for _ in range(3):
+            pools.append(corr.avg_pool2_nhwc(pools[-1]))
+        out = corr_fused_pallas(f1, pools, coords, interpret=True)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=2e-2
+        )
+
+    def test_fused_altcorr_out_of_bounds_zero(self, rng):
+        f1, f2, _ = _fmaps_and_coords(rng)
+        E, H, W = f1.shape[:3]
+        pools = [f2]
+        for _ in range(3):
+            pools.append(corr.avg_pool2_nhwc(pools[-1]))
+        far = jnp.full((E, H, W, 2), 500.0, jnp.float32)
+        out = corr_fused_pallas(f1, pools, far, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
 
     def test_env_gate_routes_through_pallas(self, rng, monkeypatch):
         pyr, coords = _pyramid_and_coords(rng, H=8, W=8)
