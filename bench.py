@@ -98,9 +98,15 @@ def main():
         # realistic trained-weights cadence of 1 in 3
         gate = dict(filter_thresh=float("inf"), keyframe_stride=3)
 
+    # BENCH_CORR_MODE=alt: packed-feature edge state with on-the-fly
+    # window dots (pair with VIPE_PALLAS=1 for the fused kernel) — A/B
+    # against the default materialized volumes on real hardware
+    corr_mode = os.environ.get("BENCH_CORR_MODE", "volume")
+
     def run(n):
         sys_ = SLAMSystem(config=dict(
             warmup=8, buffer=256, infill_chunk_size=16, backend_iters=4,
+            corr_mode=corr_mode,
             **gate,
         ))
         stream = synth_stream(n)

@@ -290,6 +290,27 @@ class TestDeferredFrontend:
             out_a.trajectory, out_b.trajectory, rtol=0, atol=5e-3
         )
 
+    def test_corr_mode_alt_end_to_end(self, droid_fns):
+        """corr_mode='alt' must run the FULL system (append / rm_factors
+        permutes / fused frontend step / removal machinery over the packed
+        5-entry corr state) and produce finite outputs.  Numeric parity to
+        the volume mode is pinned per-round (test_fused_update) and per
+        lookup (test_pallas_corr) — full trajectories diverge chaotically
+        with random weights, so closeness here would be meaningless."""
+        (ef, ec, uf), params = droid_fns
+        system = SLAMSystem(
+            config=dict(
+                resize_area=H * W, filter_thresh=-1.0,
+                keyframe_thresh=1.0, warmup=4, buffer=32,
+                infill_chunk_size=6, backend_iters=2, corr_mode="alt",
+            ),
+            update_fn=uf, params=params,
+            encode_features=ef, encode_context=ec,
+        )
+        out = system.run(TextureStream())
+        assert out.trajectory.shape[0] == T
+        assert np.isfinite(out.trajectory).all()
+
     def test_upload_prefetch_equivalence(self, droid_fns):
         """The threaded host→device feed (prefetch_depth) must be
         bit-equivalent to the synchronous path — the thread only moves WHEN

@@ -82,6 +82,19 @@ class TestPallasLookup:
         out = corr_fused_pallas(f1, pools, far, interpret=True)
         np.testing.assert_array_equal(np.asarray(out), 0.0)
 
+    def test_packed_features_xla_path_matches(self, rng):
+        """corr_feat_pack + corr_lookup_pyramid (packed, XLA alt path —
+        no Pallas gate) must match the materialized-volume path."""
+        f1, f2, coords = _fmaps_and_coords(rng)
+        ref = corr.corr_lookup_pyramid(corr.corr_pyramid(f1, f2), coords)
+        packed = corr.corr_feat_pack(f1, f2)
+        assert all(p.ndim == 4 for p in packed)
+        out = corr.corr_lookup_pyramid(packed, coords)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=0, atol=2e-2
+        )
+
     def test_env_gate_routes_through_pallas(self, rng, monkeypatch):
         pyr, coords = _pyramid_and_coords(rng, H=8, W=8)
         ref = corr.corr_lookup_pyramid(pyr, coords)

@@ -177,16 +177,58 @@ def corr_lookup(vol, coords, radius: int = 3):
     return out.reshape(E, h1, w1, k * k)
 
 
+def corr_feat_pack(fmap1, fmap2, num_levels: int = 4):
+    """Packed per-edge correlation FEATURES for the on-the-fly (altcorr)
+    formulation: ``[f1, pool⁰(f2), …, pool^{L-1}(f2)]``, each pre-scaled by
+    /4 (so dots carry the 1/16 normalization) and stored bf16.
+
+    A drop-in row-wise replacement for ``corr_pyramid`` state: every entry
+    is a per-edge array, so the graph's padded add/remove/permute machinery
+    applies unchanged — at ~1/13 the memory (features, not volumes).
+    ``corr_lookup_pyramid`` dispatches on entry ndim (4 = packed features,
+    5 = materialized volumes)."""
+    f1 = (fmap1.astype(jnp.float32) / 4.0).astype(jnp.bfloat16)
+    f2 = (fmap2.astype(jnp.float32) / 4.0).astype(jnp.bfloat16)
+    packed = [f1]
+    for _ in range(num_levels):
+        packed.append(f2)
+        f2 = avg_pool2_nhwc(f2)
+    return packed
+
+
 def corr_lookup_pyramid(pyramid, coords, radius: int = 3):
     """Lookup every level at coords/2^l and concat channels (level-major).
 
+    ``pyramid``: materialized volumes (entries (E, h1, w1, h2, w2)) or
+    packed features from ``corr_feat_pack`` (entries (E, h, w, C)).
     Output (E, h1, w1, L·(2r+1)²) matching CorrBlock.__call__ channel order.
     """
+    if pyramid and pyramid[0].ndim == 4:
+        f1 = pyramid[0]
+        pools = list(pyramid[1:])
+        if _USE_PALLAS:
+            from .pallas_corr import corr_fused_pallas
+
+            return corr_fused_pallas(
+                f1, pools, coords, radius=radius,
+                interpret=jax.default_backend() == "cpu", prescaled=True,
+            )
+        f1 = f1.astype(jnp.float32)
+        outs = [
+            alt_corr_lookup_level(
+                f1, pools[lvl].astype(jnp.float32),
+                coords / (2.0**lvl), radius,
+            )
+            for lvl in range(len(pools))
+        ]
+        return jnp.concatenate(outs, axis=-1)
     if _USE_PALLAS and pyramid and pyramid[0].ndim == 5:
         from .pallas_corr import corr_lookup_pyramid_pallas
 
-        return corr_lookup_pyramid_pallas(list(pyramid), coords,
-                                          radius=radius)
+        return corr_lookup_pyramid_pallas(
+            list(pyramid), coords, radius=radius,
+            interpret=jax.default_backend() == "cpu",
+        )
     outs = []
     for lvl, vol in enumerate(pyramid):
         outs.append(corr_lookup(vol, coords / (2.0**lvl), radius))

@@ -104,7 +104,7 @@ def _kernel_fused(coords_ref, f1_ref, *refs, radius: int, levels: int):
 
 def corr_fused_pallas(
     fmap1, fmap2_pyr, coords, radius: int = 3, interpret: bool = False,
-    row_block: int = 8,
+    row_block: int = 8, prescaled: bool = False,
 ):
     """Fused on-the-fly pyramid correlation lookup (no materialized volume).
 
@@ -119,12 +119,19 @@ def corr_fused_pallas(
     vs the materialized path: HBM traffic drops from ~(P² per edge per
     round) volume reads to just the fmaps (the level-0 volume is ~18 MB
     per edge; the fmaps are ~0.8 MB) — the window contraction reuses the
-    VMEM-resident volume block straight off the MXU."""
-    fmap2_pyr = [
-        (f.astype(jnp.float32) / 4.0).astype(jnp.bfloat16)
-        for f in fmap2_pyr
-    ]
-    f1 = (fmap1.astype(jnp.float32) / 4.0).astype(jnp.bfloat16)
+    VMEM-resident volume block straight off the MXU.
+
+    ``prescaled=True``: inputs already carry the /4 scaling and bf16 dtype
+    (``corr.corr_feat_pack`` state) — skip the rescale."""
+    if prescaled:
+        f1 = fmap1.astype(jnp.bfloat16)
+        fmap2_pyr = [f.astype(jnp.bfloat16) for f in fmap2_pyr]
+    else:
+        fmap2_pyr = [
+            (f.astype(jnp.float32) / 4.0).astype(jnp.bfloat16)
+            for f in fmap2_pyr
+        ]
+        f1 = (fmap1.astype(jnp.float32) / 4.0).astype(jnp.bfloat16)
     return _corr_fused_call(
         f1, tuple(fmap2_pyr), coords, radius=radius, interpret=interpret,
         row_block=row_block,

@@ -82,6 +82,16 @@ def _jitted_edge_corr(levels, fmaps, ii, jj):
     return [p.astype(CORR_DTYPE) for p in pyr]
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def _jitted_edge_feat(levels, fmaps, ii, jj):
+    """Per-edge packed correlation FEATURES (corr_mode='alt'): [f1,
+    pooled f2 per level], /4-scaled bf16 — ~1/13 the volume memory, the
+    windowed dots recomputed at lookup (fused Pallas kernel on TPU)."""
+    return corr_ops.corr_feat_pack(
+        fmaps[ii].astype(jnp.float32), fmaps[jj].astype(jnp.float32), levels
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _jitted_gru_step(update_fn, camera_type):
     """Fused frontend GRU step: reproject + corr lookup + motion features +
@@ -527,6 +537,7 @@ class FactorGraph:
         incremental: bool,
         ba_cfg_kwargs: Optional[dict] = None,
         optimize_intrinsics: bool = False,
+        corr_mode: str = "volume",
     ):
         self.buffer = buffer
         self.update_fn = update_fn
@@ -567,13 +578,30 @@ class FactorGraph:
         self.weight = jnp.zeros((EV + 1, ht, wd, 2), jnp.float32)
         self.f_net = jnp.zeros((EV + 1, ht, wd, 128), jnp.float32)
 
+        # 'volume': materialized per-edge correlation pyramids (reference
+        # CorrBlock).  'alt': packed per-edge features [f1, pooled f2 per
+        # level] — the windowed dots are recomputed at every lookup (the
+        # reference's altcorr formulation; the fused Pallas kernel builds
+        # each volume block in VMEM).  Same row machinery either way.
+        self.corr_mode = corr_mode
         if incremental:
-            self.corr_pyr = [
-                jnp.zeros(
-                    (EV + 1, ht, wd) + corr_ops.level_dims(ht, wd, l), CORR_DTYPE
-                )
-                for l in range(self.corr_levels)
-            ]
+            if corr_mode == "alt":
+                C = buffer.fmaps.shape[-1]
+                dims = [(ht, wd)] + [
+                    corr_ops.level_dims(ht, wd, l)
+                    for l in range(self.corr_levels)
+                ]
+                self.corr_pyr = [
+                    jnp.zeros((EV + 1,) + d + (C,), CORR_DTYPE) for d in dims
+                ]
+            else:
+                self.corr_pyr = [
+                    jnp.zeros(
+                        (EV + 1, ht, wd) + corr_ops.level_dims(ht, wd, l),
+                        CORR_DTYPE,
+                    )
+                    for l in range(self.corr_levels)
+                ]
         else:
             self.corr_pyr = None
 
@@ -696,10 +724,10 @@ class FactorGraph:
                 self.f_net, rows_d, self.buffer.nets[di_d].astype(jnp.float32)
             )
             if self.incremental:
-                pyr = _jitted_edge_corr(
-                    self.corr_levels, self.buffer.fmaps, di_d, dj_d
-                )
-                for l in range(self.corr_levels):
+                build = (_jitted_edge_feat if self.corr_mode == "alt"
+                         else _jitted_edge_corr)
+                pyr = build(self.corr_levels, self.buffer.fmaps, di_d, dj_d)
+                for l in range(len(self.corr_pyr)):
                     self.corr_pyr[l] = jaxutil.set_rows_at(
                         self.corr_pyr[l], rows_d, pyr[l]
                     )
@@ -777,7 +805,7 @@ class FactorGraph:
         ]
         self.f_net = jaxutil.permute_rows(self.f_net, perm_d)
         if self.incremental:
-            for l in range(self.corr_levels):
+            for l in range(len(self.corr_pyr)):
                 self.corr_pyr[l] = jaxutil.permute_rows(self.corr_pyr[l], perm_d)
         self.n_edges = len(keep)
 

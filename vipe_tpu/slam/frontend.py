@@ -47,6 +47,10 @@ class SLAMFrontend:
         self.graph = FactorGraph(
             buffer, update_fn, params, max_factors=48, incremental=True,
             optimize_intrinsics=config.get("optimize_intrinsics", False),
+            # 'alt' stores packed features instead of materialized volumes
+            # (~13x less edge state; lookups recompute windows on the fly —
+            # pair with VIPE_PALLAS=1 on TPU for the fused kernel)
+            corr_mode=config.get("corr_mode", "volume"),
         )
         self.t1 = 0
         self.is_initialized = False
