@@ -26,6 +26,10 @@ class SLAMBackend:
         graph = FactorGraph(
             buf, self.update_fn, self.params,
             max_factors=16 * t, incremental=False,
+            # alt: fused chunks pack features instead of materializing the
+            # per-chunk corr-volume transient (state itself is not stored
+            # on the backend path either way)
+            corr_mode=c.get("corr_mode", "volume"),
         )
         graph.add_proximity_factors(
             rad=c.get("backend_radius", 2),

@@ -177,7 +177,7 @@ def _jitted_backend_chunk(update_fn, camera_type):
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_backend_steps(update_fn, cfg):
+def _jitted_backend_steps(update_fn, cfg, corr_alt: bool = False):
     """The ENTIRE backend ``update_batch`` as ONE compiled program:
     ``steps`` × (scan over edge chunks: on-the-fly corr pyramid → lookup →
     GRU → row scatter → per-frame damping; then a full multi-view BA solve).
@@ -221,13 +221,21 @@ def _jitted_backend_steps(update_fn, cfg):
             qj = qj_all[sl]
             evc = ev_all[sl] & cv
             dj = (pj * V + qj).astype(jnp.int32)
-            pyr = [
-                p.astype(CORR_DTYPE)
-                for p in corr_ops.corr_pyramid(
+            if corr_alt:
+                # packed features: the chunk's ~Cb·P² volume transient never
+                # exists — windows recomputed at lookup (Pallas on TPU)
+                pyr = corr_ops.corr_feat_pack(
                     fmaps[di].astype(jnp.float32),
                     fmaps[dj].astype(jnp.float32), CORR_LEVELS,
                 )
-            ]
+            else:
+                pyr = [
+                    p.astype(CORR_DTYPE)
+                    for p in corr_ops.corr_pyramid(
+                        fmaps[di].astype(jnp.float32),
+                        fmaps[dj].astype(jnp.float32), CORR_LEVELS,
+                    )
+                ]
             coords1, _ = geom.reproject_mv(
                 poses, rig_, disps, intr_grid, camera_type, pi, qi, di, pj, qj
             )
@@ -1603,7 +1611,8 @@ class FactorGraph:
         _pmark("ubf_prep", t_prep)
 
         t_run = time.perf_counter()
-        run = _jitted_backend_steps(self.update_fn, cfg)
+        run = _jitted_backend_steps(self.update_fn, cfg,
+                                    self.corr_mode == "alt")
         (poses, rig_new, disps, intr_new, f_net, target, weight, damping) = (
             run(
                 self.params, NbV, buf.poses[:Nb], rig, buf.disps[:NbV], intr,

@@ -46,7 +46,8 @@ class FilledReturn:
 
 
 @functools.lru_cache(maxsize=None)
-def _jitted_filler_compute(update_fn, cfg, rounds: int):
+def _jitted_filler_compute(update_fn, cfg, rounds: int,
+                           corr_alt: bool = False):
     """One dispatch per infill chunk: const-velocity init → target init →
     corr pyramid build → ``rounds`` fused motion-only GRU+BA rounds →
     gather the infill poses.  Window-relative indices (``base`` subtracted
@@ -81,13 +82,21 @@ def _jitted_filler_compute(update_fn, cfg, rounds: int):
         target = coords0
         f_net = nets[ii_e].astype(jnp.float32)
 
-        pyr = [
-            p.astype(CORR_DTYPE)
-            for p in corr_ops.corr_pyramid(
+        if corr_alt:
+            # packed features — the chunk's Eb·P² volume transient never
+            # exists (windows recomputed at lookup, Pallas on TPU)
+            pyr = corr_ops.corr_feat_pack(
                 fmaps[ii_e].astype(jnp.float32),
                 fmaps[jj_e].astype(jnp.float32), CORR_LEVELS,
             )
-        ]
+        else:
+            pyr = [
+                p.astype(CORR_DTYPE)
+                for p in corr_ops.corr_pyramid(
+                    fmaps[ii_e].astype(jnp.float32),
+                    fmaps[jj_e].astype(jnp.float32), CORR_LEVELS,
+                )
+            ]
 
         damping = jnp.concatenate(
             [jnp.full((Nb, ht, wd), 1e-6, jnp.float32),
@@ -218,7 +227,10 @@ class InnerFiller:
             max_edges_per_frame=M,
         )
         b = base
-        run = _jitted_filler_compute(self.update_fn, cfg, 10)
+        run = _jitted_filler_compute(
+            self.update_fn, cfg, 10,
+            self.config.get("corr_mode", "volume") == "alt",
+        )
         out = run(
             self.params, Nb, buf.poses[b: b + Nb], buf.disps[b: b + Nb],
             buf.intrinsics, buf.fmaps[b: b + Nb], buf.nets[b: b + Nb],
