@@ -103,10 +103,14 @@ def main():
     # against the default materialized volumes on real hardware
     corr_mode = os.environ.get("BENCH_CORR_MODE", "volume")
 
+    # BENCH_PARK=1: park pass-1 fmaps in fixed-stride skip mode (trades
+    # batched pass-2 transfers for per-frame pass-1 ones — tunnel A/B)
+    park = os.environ.get("BENCH_PARK") == "1"
+
     def run(n):
         sys_ = SLAMSystem(config=dict(
             warmup=8, buffer=256, infill_chunk_size=16, backend_iters=4,
-            corr_mode=corr_mode,
+            corr_mode=corr_mode, park_fmaps_in_skip_mode=park,
             **gate,
         ))
         stream = synth_stream(n)

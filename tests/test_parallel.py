@@ -70,7 +70,11 @@ class TestTwoProcessSharding:
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)
         env["JAX_PLATFORMS"] = "cpu"
-        env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+        # conftest already exported the CPU-fingerprinted cache dir; the
+        # axon-reserved /root/.cache/jax_comp must NOT collect CPU AOT
+        # entries (cross-machine loads SIGILL)
+        assert "jax_comp_cpu_" in env.get("JAX_COMPILATION_CACHE_DIR", ""), \
+            "expected conftest's fingerprinted CPU cache dir"
         procs = [
             subprocess.Popen(
                 [sys.executable, "run.py",
