@@ -3,8 +3,10 @@
 Tests must run on LOCAL CPU with an 8-device virtual mesh.  This image force-
 registers the remote 'axon' TPU backend in every interpreter through a
 PYTHONPATH sitecustomize (it runs before pytest, so mutating os.environ here
-is too late) — when we detect it, re-exec pytest once with the axon trigger
-variable removed and CPU forced.
+is too late) — so we always re-launch pytest once as a SUPERVISED child with
+the axon trigger variable removed and CPU forced, purging the compile cache
+and retrying once if the child dies on a signal (a poisoned XLA:CPU AOT
+cache entry segfaults on load; jax only warns).
 """
 
 import hashlib
@@ -42,11 +44,36 @@ def _cpu_cache_dir() -> str:
         flags += " jaxlib=" + version("jaxlib")
     except Exception:
         pass
+    # boot_id: VMs expose a GENERIC virtualized cpuinfo ("Intel(R) Xeon(R)
+    # Processor @ 2.10GHz") identical across different physical hosts, while
+    # XLA detects the real microarchitecture via CPUID — two hosts can hash
+    # alike here yet write mutually incompatible AOT executables.  Keying by
+    # boot makes the dir private to one machine instance; sessions on the
+    # same boot still share a warm cache.
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            flags += " boot=" + f.read().strip()
+    except OSError:
+        pass
     tag = hashlib.sha1(flags.encode()).hexdigest()[:8]
     return f"/root/.cache/jax_comp_cpu_{tag}"
 
 
-if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get("_VIPE_TEST_REEXEC"):
+_IS_SUPERVISOR = not os.environ.get("_VIPE_TEST_REEXEC")
+
+
+def pytest_configure(config):
+    """Supervisor process: re-launch pytest as a clean-environment child and
+    never reach collection ourselves.  Runs at configure (not import) time so
+    pytest's global output capture can be stopped first — otherwise the
+    child's entire output lands in the supervisor's capture buffer and is
+    discarded at exit.  If the child dies on a signal, purge the compile
+    cache and retry once (a poisoned XLA:CPU AOT entry segfaults on load)."""
+    if not _IS_SUPERVISOR:
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["_VIPE_TEST_REEXEC"] = "1"
@@ -57,7 +84,26 @@ if os.environ.get("PALLAS_AXON_POOL_IPS") and not os.environ.get("_VIPE_TEST_REE
     env.setdefault("JAX_COMPILATION_CACHE_DIR", _cpu_cache_dir())
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+    import shutil
+    import subprocess
+
+    cmd = [sys.executable, "-m", "pytest"] + sys.argv[1:]
+    rc = subprocess.run(cmd, env=env).returncode
+    if rc in (-11, -4, -6, 132, 134, 139):
+        cache = env["JAX_COMPILATION_CACHE_DIR"]
+        sys.stderr.write(
+            f"pytest died with signal (rc={rc}); purging {cache} and "
+            "retrying once\n"
+        )
+        shutil.rmtree(cache, ignore_errors=True)
+        rc = subprocess.run(cmd, env=env).returncode
+    os._exit(rc)
+
+
+if _IS_SUPERVISOR:
+    # never import jax/test modules in the supervisor — pytest_configure
+    # above exits before collection
+    collect_ignore_glob = ["*"]
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
