@@ -74,12 +74,13 @@ class TestFusedUpdateEquivalence:
 
         sa, sb = _snapshot(buf_a, g_a), _snapshot(buf_b, g_b)
         for key in sa:
-            # 2e-3: fused vs sequential fuse differently (bf16 corr, f32
+            # 8e-3: fused vs sequential fuse differently (bf16 corr, f32
             # accum order differs per XLA codegen/host ISA) and 3 GRU+BA
-            # rounds amplify the rounding drift — 2e-4 was flaky across
-            # machines (measured max |Δdisp| 1.2e-3 on an avx512 host)
+            # rounds amplify the rounding drift — tighter bounds were flaky
+            # across machines (measured max |Δtarget| 3.9e-3 / rel 6.6e-3,
+            # at bf16's ~8e-3 relative resolution)
             np.testing.assert_allclose(
-                sa[key], sb[key], rtol=2e-3, atol=2e-3,
+                sa[key], sb[key], rtol=8e-3, atol=8e-3,
                 err_msg=f"mismatch in {key}",
             )
 
@@ -303,8 +304,12 @@ class TestFusedUpdateEquivalence:
 
         sa, sb = _snapshot(buf_a, g_a), _snapshot(buf_b, g_b)
         for key in ("poses", "disps", "target", "weight", "damping"):
+            # 1e-4: the pseudo update is f32 but consumes the bf16 corr
+            # volume, whose lookup fuses differently in the loop vs fused
+            # program — a one-ulp bf16 input difference shows up as ~3e-5
+            # post-sigmoid; wiring bugs would be orders larger
             np.testing.assert_allclose(
-                sa[key], sb[key], rtol=1e-5, atol=1e-5,
+                sa[key], sb[key], rtol=1e-4, atol=1e-4,
                 err_msg=f"mismatch in {key}",
             )
 

@@ -139,22 +139,23 @@ def _convt(sd, key):
 def convert_dinov2_vit(sd: Mapping, prefix: str = "pretrained") -> dict:
     """torch DINOv2 state_dict → flax DinoViT params (models/vit.py)."""
     sd = {k.removeprefix("module."): _to_np(v) for k, v in sd.items()}
+    pf = f"{prefix}." if prefix else ""
     p: dict = {}
-    p["patch_embed"] = _conv_entry(sd, f"{prefix}.patch_embed.proj")
-    if f"{prefix}.patch_embed.alpha_proj.weight" in sd:
+    p["patch_embed"] = _conv_entry(sd, f"{pf}patch_embed.proj")
+    if f"{pf}patch_embed.alpha_proj.weight" in sd:
         # PriorDA conditioned encoder (patch_embed.py:71-94)
-        p["alpha_proj"] = _conv_entry(sd, f"{prefix}.patch_embed.alpha_proj")
-    if f"{prefix}.register_tokens" in sd:
+        p["alpha_proj"] = _conv_entry(sd, f"{pf}patch_embed.alpha_proj")
+    if f"{pf}register_tokens" in sd:
         # DINOv2-reg variants (Metric3D backbones)
         p["register_tokens"] = np.asarray(
-            sd[f"{prefix}.register_tokens"], np.float32
+            sd[f"{pf}register_tokens"], np.float32
         )
-    p["cls_token"] = np.asarray(sd[f"{prefix}.cls_token"], np.float32)
-    p["pos_embed"] = np.asarray(sd[f"{prefix}.pos_embed"], np.float32)
-    p["norm"] = _ln(sd, f"{prefix}.norm")
+    p["cls_token"] = np.asarray(sd[f"{pf}cls_token"], np.float32)
+    p["pos_embed"] = np.asarray(sd[f"{pf}pos_embed"], np.float32)
+    p["norm"] = _ln(sd, f"{pf}norm")
     i = 0
-    while f"{prefix}.blocks.{i}.norm1.weight" in sd:
-        b = f"{prefix}.blocks.{i}"
+    while f"{pf}blocks.{i}.norm1.weight" in sd:
+        b = f"{pf}blocks.{i}"
         p[f"block{i}"] = {
             "norm1": _ln(sd, f"{b}.norm1"),
             "attn": {"qkv": _lin(sd, f"{b}.attn.qkv"),
@@ -185,15 +186,16 @@ def _conv_entry(sd, key, slice_out=None):
 def convert_dpt_head(sd: Mapping, prefix: str = "depth_head") -> dict:
     """torch DAv2 DPTHead state_dict → flax DPTHead params (models/dpt.py)."""
     sd = {k.removeprefix("module."): _to_np(v) for k, v in sd.items()}
+    pf = f"{prefix}." if prefix else ""
     p: dict = {}
     for i in range(4):
-        p[f"project{i}"] = _conv_entry(sd, f"{prefix}.projects.{i}")
-        p[f"layer{i + 1}_rn"] = _conv_entry(sd, f"{prefix}.scratch.layer{i + 1}_rn")
-    p["resize0"] = _convt(sd, f"{prefix}.resize_layers.0")
-    p["resize1"] = _convt(sd, f"{prefix}.resize_layers.1")
-    p["resize3"] = _conv_entry(sd, f"{prefix}.resize_layers.3")
+        p[f"project{i}"] = _conv_entry(sd, f"{pf}projects.{i}")
+        p[f"layer{i + 1}_rn"] = _conv_entry(sd, f"{pf}scratch.layer{i + 1}_rn")
+    p["resize0"] = _convt(sd, f"{pf}resize_layers.0")
+    p["resize1"] = _convt(sd, f"{pf}resize_layers.1")
+    p["resize3"] = _conv_entry(sd, f"{pf}resize_layers.3")
     for r in range(1, 5):
-        rn = f"{prefix}.scratch.refinenet{r}"
+        rn = f"{pf}scratch.refinenet{r}"
         entry = {
             "rcu2": {"conv1": _conv_entry(sd, f"{rn}.resConfUnit2.conv1"),
                      "conv2": _conv_entry(sd, f"{rn}.resConfUnit2.conv2")},
@@ -207,9 +209,9 @@ def convert_dpt_head(sd: Mapping, prefix: str = "depth_head") -> dict:
                 "conv2": _conv_entry(sd, f"{rn}.resConfUnit1.conv2"),
             }
         p[f"refinenet{r}"] = entry
-    p["output_conv1"] = _conv_entry(sd, f"{prefix}.scratch.output_conv1")
-    p["output_conv2_0"] = _conv_entry(sd, f"{prefix}.scratch.output_conv2.0")
-    p["output_conv2_2"] = _conv_entry(sd, f"{prefix}.scratch.output_conv2.2")
+    p["output_conv1"] = _conv_entry(sd, f"{pf}scratch.output_conv1")
+    p["output_conv2_0"] = _conv_entry(sd, f"{pf}scratch.output_conv2.0")
+    p["output_conv2_2"] = _conv_entry(sd, f"{pf}scratch.output_conv2.2")
     return {"params": p}
 
 

@@ -18,13 +18,15 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
+
+from ..ops.resize import resize_align_corners
 
 
 def _resize_bilinear(x, hw):
-    B, H, W, C = x.shape
-    return jax.image.resize(x, (B, hw[0], hw[1], C), method="bilinear")
+    # the reference's fusion/output interpolations are align_corners=True
+    # (dav2/dpt.py:25,185) — activation parity requires the same grid
+    return resize_align_corners(x, tuple(hw))
 
 
 class ResidualConvUnit(nn.Module):
@@ -81,8 +83,12 @@ class DPTHead(nn.Module):
                     name="resize1",
                 )(f)
             elif i == 3:
+                # torch Conv2d(k=3, s=2, padding=1) pads (1,1) and floors —
+                # NOT the same grid as XLA 'SAME' (which pads (0,1) here);
+                # explicit padding keeps converted checkpoints aligned
                 f = nn.Conv(
-                    self.out_channels[i], (3, 3), strides=2, name="resize3"
+                    self.out_channels[i], (3, 3), strides=2,
+                    padding=((1, 1), (1, 1)), name="resize3",
                 )(f)
             f = nn.Conv(
                 self.features, (3, 3), use_bias=False, name=f"layer{i + 1}_rn"
@@ -107,7 +113,7 @@ class DPTHead(nn.Module):
         out = nn.relu(out)
         out = nn.Conv(1, (1, 1), name="output_conv2_2")(out)
         if self.is_metric:
-            out = jax.nn.sigmoid(out)
+            out = nn.sigmoid(out)
         else:
             out = nn.relu(out)
         return out[..., 0]

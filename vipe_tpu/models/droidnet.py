@@ -56,7 +56,10 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.planes, (3, 3), strides=self.stride, name="conv1", dtype=self.dtype)(x)
+        # torch pad=1 (droid_net.py:183); under stride 2 XLA 'SAME' would
+        # pad (0,1) instead of (1,1) — a one-pixel grid shift vs checkpoints
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride,
+                    padding=((1, 1), (1, 1)), name="conv1", dtype=self.dtype)(x)
         y = nn.relu(self._norm(y))
         y = nn.Conv(self.planes, (3, 3), name="conv2", dtype=self.dtype)(y)
         y = nn.relu(self._norm(y))
@@ -74,7 +77,9 @@ class BasicEncoder(nn.Module):
     @nn.compact
     def __call__(self, x):
         """x: (B, H, W, 3) ImageNet-normalized → (B, H/8, W/8, output_dim)."""
-        x = nn.Conv(DIM, (7, 7), strides=2, name="conv1", dtype=self.dtype)(x)
+        # torch pad=3 (droid_net.py:308); explicit — 'SAME' differs at stride 2
+        x = nn.Conv(DIM, (7, 7), strides=2, padding=((3, 3), (3, 3)),
+                    name="conv1", dtype=self.dtype)(x)
         if self.norm_fn == "instance":
             x = instance_norm(x)
         x = nn.relu(x)

@@ -24,6 +24,7 @@ import numpy as np
 
 from ...models.dpt import DPTHead
 from ...models.vit import make_vit
+from ...ops.resize import resize_align_corners
 from .base import DepthEstimationInput, DepthEstimationModel, DepthEstimationResult, DepthType
 
 DAV2_CONFIGS = {
@@ -123,5 +124,6 @@ class DepthAnythingV2Model(DepthEstimationModel):
     def estimate(self, inp: DepthEstimationInput) -> DepthEstimationResult:
         img, (h, w) = preprocess(np.asarray(inp.rgb), self.input_size)
         out = self.net(jnp.asarray(img)[None])[0]
-        out = jax.image.resize(out, (h, w), method="bilinear")
+        # reference resizes predictions with align_corners=True (dpt.py:248)
+        out = resize_align_corners(out, (h, w))
         return DepthEstimationResult(depth=out)

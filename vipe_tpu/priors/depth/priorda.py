@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.knn import knn
+from ...ops.resize import resize_align_corners
 from .base import DepthEstimationInput, DepthEstimationModel, DepthEstimationResult, DepthType
 from .dav2 import DepthAnythingV2Net, preprocess
 
@@ -128,8 +129,6 @@ class PriorDAModel(DepthEstimationModel):
         normalize depths to the prompt's [min, max], stack
         [uncertainty | global disp | completed disp], run the conditioned
         net, un-normalize."""
-        from ..track_anything.deaot.network import resize_align_corners
-
         h, w = out_hw
         # uncertainty = |comp - global| / global where global > 0, min-max
         # normalized (depth_completion.py:223-233)
@@ -169,9 +168,9 @@ class PriorDAModel(DepthEstimationModel):
         """rgb (H, W, 3) in [0,1]; prompt_depth (H, W) metric with 0 = empty.
         Returns completed metric depth (H, W)."""
         img, (h, w) = preprocess(rgb, self.input_size)
+        # reference resizes disparity with align_corners=True (dpt.py:223)
         pred_disp = np.asarray(
-            jax.image.resize(self.net(jnp.asarray(img)[None])[0], (h, w),
-                             "bilinear")
+            resize_align_corners(self.net(jnp.asarray(img)[None])[0], (h, w))
         )
         prompt = np.asarray(prompt_depth, np.float32)
         sparse_mask = prompt > 0

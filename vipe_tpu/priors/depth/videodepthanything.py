@@ -23,6 +23,7 @@ import flax.linen as nn
 from ...models.dpt import DPTHead, FeatureFusionBlock, _resize_bilinear
 from ...models.temporal import TemporalModule
 from ...models.vit import make_vit
+from ...ops.resize import resize_align_corners
 from .base import DepthEstimationInput, DepthEstimationModel, DepthEstimationResult, DepthType
 from .dav2 import DAV2_CONFIGS, IMAGENET_MEAN, IMAGENET_STD, preprocess
 
@@ -54,8 +55,10 @@ class DPTHeadTemporal(nn.Module):
                 f = nn.ConvTranspose(self.out_channels[i], (2, 2), strides=(2, 2),
                                      name="resize1")(f)
             elif i == 3:
+                # torch k3/s2/p1 — explicit padding, not XLA 'SAME' (which
+                # pads (0,1) at stride 2); see models/dpt.py resize3
                 f = nn.Conv(self.out_channels[i], (3, 3), strides=2,
-                            name="resize3")(f)
+                            padding=((1, 1), (1, 1)), name="resize3")(f)
             feats.append(f)
 
         l1, l2, l3, l4 = feats
@@ -222,10 +225,10 @@ class VideoDepthAnythingModel(DepthEstimationModel):
             if pre_input is not None:
                 clip[:OVERLAP] = pre_input[KEYFRAMES]
             depth = np.asarray(self.net(jnp.asarray(clip)))
-            depth = np.stack([
-                np.asarray(jax.image.resize(jnp.asarray(d), (h, w), "bilinear"))
-                for d in depth
-            ])
+            # reference: align_corners=True (video_depth.py:77,130)
+            depth = np.asarray(
+                resize_align_corners(jnp.asarray(depth)[..., None], (h, w))
+            )[..., 0]
             depth_list += list(depth)
             pre_input = clip
 

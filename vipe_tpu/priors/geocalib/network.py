@@ -122,13 +122,20 @@ class MSCAN(nn.Module):
         for i in range(4):
             d = self.embed_dims[i]
             if i == 0:
-                x = nn.Conv(d // 2, (3, 3), strides=2, name="stem_conv1")(x)
+                # torch k3/s2/p1 (modules.py:381-396) — explicit padding;
+                # XLA 'SAME' pads (0,1) at stride 2, shifting the grid
+                x = nn.Conv(d // 2, (3, 3), strides=2,
+                            padding=((1, 1), (1, 1)), name="stem_conv1")(x)
                 x = nn.BatchNorm(use_running_average=True, name="stem_bn1")(x)
                 x = nn.gelu(x, approximate=False)
-                x = nn.Conv(d, (3, 3), strides=2, name="stem_conv2")(x)
+                x = nn.Conv(d, (3, 3), strides=2,
+                            padding=((1, 1), (1, 1)), name="stem_conv2")(x)
                 x = nn.BatchNorm(use_running_average=True, name="stem_bn2")(x)
             else:
-                x = nn.Conv(d, (3, 3), strides=2, name=f"patch_embed{i + 1}")(x)
+                # torch OverlapPatchEmbed k3/s2/p1 (modules.py:547-553)
+                x = nn.Conv(d, (3, 3), strides=2,
+                            padding=((1, 1), (1, 1)),
+                            name=f"patch_embed{i + 1}")(x)
                 x = nn.BatchNorm(use_running_average=True,
                                  name=f"patch_bn{i + 1}")(x)
             for b in range(self.depths[i]):

@@ -64,27 +64,7 @@ def silu(x):
     return x * jax.nn.sigmoid(x)
 
 
-def resize_align_corners(x, out_hw: Tuple[int, int]):
-    """Bilinear resize with align_corners=True (static shapes)."""
-    B, H, W, C = x.shape
-    Ho, Wo = out_hw
-    if (H, W) == (Ho, Wo):
-        return x
-
-    def axis_idx(n_in, n_out):
-        if n_out == 1:
-            return np.zeros(1), np.zeros(1, np.int64)
-        pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
-        i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 2)
-        return pos - i0, i0
-
-    fy, y0 = axis_idx(H, Ho)
-    fx, x0 = axis_idx(W, Wo)
-    ya = x[:, y0] * (1 - fy[None, :, None, None]) + \
-        x[:, np.minimum(y0 + 1, H - 1)] * fy[None, :, None, None]
-    out = ya[:, :, x0] * (1 - fx[None, None, :, None]) + \
-        ya[:, :, np.minimum(x0 + 1, W - 1)] * fx[None, None, :, None]
-    return out
+from ....ops.resize import resize_align_corners  # noqa: F401 — re-export
 
 
 # ---------------------------------------------------------------- encoder
