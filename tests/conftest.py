@@ -84,20 +84,48 @@ def pytest_configure(config):
     env.setdefault("JAX_COMPILATION_CACHE_DIR", _cpu_cache_dir())
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    import glob
     import shutil
     import subprocess
 
-    cmd = [sys.executable, "-m", "pytest"] + sys.argv[1:]
-    rc = subprocess.run(cmd, env=env).returncode
-    if rc in (-11, -4, -6, 132, 134, 139):
-        cache = env["JAX_COMPILATION_CACHE_DIR"]
-        sys.stderr.write(
-            f"pytest died with signal (rc={rc}); purging {cache} and "
-            "retrying once\n"
-        )
-        shutil.rmtree(cache, ignore_errors=True)
+    def run_child(args):
+        cmd = [sys.executable, "-m", "pytest"] + args
         rc = subprocess.run(cmd, env=env).returncode
-    os._exit(rc)
+        if rc in (-11, -4, -6, 132, 134, 139):
+            cache = env["JAX_COMPILATION_CACHE_DIR"]
+            sys.stderr.write(
+                f"pytest died with signal (rc={rc}); purging {cache} and "
+                "retrying once\n"
+            )
+            shutil.rmtree(cache, ignore_errors=True)
+            rc = subprocess.run(cmd, env=env).returncode
+        return rc
+
+    # Whole-suite runs execute ONE CHILD PER TEST FILE: a single process
+    # accumulates every compiled executable + live buffer across 30 files,
+    # and XLA:CPU deterministically segfaults partway through under that
+    # load (reproduced at test_gdino after hundreds of compilations; each
+    # file passes in isolation).  Per-file children bound process state,
+    # keep one file's crash from killing the rest, and reuse warm compiles
+    # through the persistent cache.  Explicit selections (file paths,
+    # ::node ids, -k) keep the single-child behavior.
+    flags_args = [a for a in sys.argv[1:] if a.startswith("-")]
+    targets = [a for a in sys.argv[1:] if not a.startswith("-")]
+    here = os.path.dirname(os.path.abspath(__file__))
+    whole_suite = all(
+        os.path.isdir(t) and os.path.samefile(t, here) for t in targets
+    ) and "-k" not in flags_args
+    if not whole_suite:
+        os._exit(run_child(sys.argv[1:]))
+    files = sorted(glob.glob(os.path.join(here, "test_*.py")))
+    final_rc = 0
+    for f in files:
+        rc = run_child(flags_args + [f])
+        if rc not in (0, 5):  # 5 = file collected no tests (fine)
+            final_rc = rc if final_rc == 0 else final_rc
+            if "-x" in flags_args or "--exitfirst" in flags_args:
+                break
+    os._exit(final_rc)
 
 
 if _IS_SUPERVISOR:

@@ -144,7 +144,10 @@ class SLAMFrontend:
         # every row above — including the initialized scratch slot — down
         # one.  The extra optimization rounds that included the removed
         # (near-duplicate) keyframe are a benign speculative divergence from
-        # the reference; the keyframe SET converges to the same frames.
+        # the reference; in practice the keyframe SET converges to the same
+        # frames, though a decision sitting exactly on keyframe_thresh can
+        # flip (scored from the slightly different post-speculation state).
+        # keyframe_spec_depth=1 restores reference-exact ordering.
         assert self.t1 == t1s + 1, (self.t1, t1s)
         g.rm_keyframe(t1s - 2, top=self.t1)
         self.t1 -= 1
