@@ -37,12 +37,14 @@ class HeuristicIntrinsicsProcessor(StreamProcessor):
 
 class GeoCalibIntrinsicsProcessor(StreamProcessor):
     """Learned single-image calibration (reference processors.py:67-104):
-    calibrate once from 3 sampled frames with shared intrinsics (the
-    reference runs this EAGERLY at processor construction), then stamp the
-    result onto every frame."""
+    pinhole calibrates once from 3 frames sampled ``gap_sec`` apart with
+    shared intrinsics; distorted models (MEI) calibrate from the FIRST
+    sampled frame only (reference processors.py:88-97).  The reference runs
+    this EAGERLY at processor construction; the result is stamped onto
+    every frame."""
 
     def __init__(self, camera_type: str = "pinhole", shared_intrinsics: bool = True,
-                 sample_stream=None):
+                 sample_stream=None, gap_sec: float = 1.0):
         from ..priors.geocalib import GeoCalib
 
         # SLAM camera type → geocalib model (reference processors.py:90-93)
@@ -52,14 +54,24 @@ class GeoCalibIntrinsicsProcessor(StreamProcessor):
         self.model = GeoCalib(model)
         self.camera_type = camera_type
         self.shared = shared_intrinsics
+        self.gap_sec = gap_sec
         self._intr = None
         if sample_stream is not None:
             self.calibrate_from_stream(sample_stream)
 
-    def calibrate_from_stream(self, stream, n_samples: int = 3):
+    def calibrate_from_stream(self, stream):
         n = len(stream)
-        want = sorted({0, n // 2, n - 1})[:n_samples]
-        frames = [f.rgb for k, f in enumerate(stream) if k in want]
+        fps = stream.fps() if hasattr(stream, "fps") else 30.0
+        gap = min(int(self.gap_sec * (fps or 30.0)), max((n - 1) // 2, 0))
+        # reference IntrinsicEstimationProcessor.sample_frame_inds
+        # (processors.py:44-48)
+        want = [0, gap, gap * 2]
+        if self.camera_type != "pinhole":
+            # distorted models calibrate from ONE frame
+            # (reference processors.py:88-97)
+            want = want[:1]
+        want_set = set(want)
+        frames = [f.rgb for k, f in enumerate(stream) if k in want_set]
         self.calibrate(frames)
 
     def calibrate(self, frames: List[np.ndarray]):

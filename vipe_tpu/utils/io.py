@@ -5,11 +5,12 @@ Layout under an output root, per video ``<name>``:
   rgb/<name>.mp4                processed RGB video (mp4v here; h264 there)
   pose/<name>.npz               {"data": (T, 4, 4) c2w matrices, "inds": (T,)}
   intrinsics/<name>.npz         {"data": (T, D)} + intrinsics/<name>_camera.txt
-  depth/<name>.zip              per-frame float16 depth, entries "%05d.npy"
-                                (the reference writes EXR "Z" channels —
-                                OpenEXR is unavailable in this image, so we
-                                store .npy float16 with identical zip naming;
-                                the readers accept both)
+  depth/<name>.zip              per-frame float16 EXR "Z"-channel entries
+                                "%05d.exr" (reference io.py:250-276 format,
+                                via the pure-Python codec in utils/exr.py —
+                                the reference's OpenEXR-based
+                                read_depth_artifacts parses these); legacy
+                                "%05d.npy" entries still readable
   mask/<name>.zip               per-frame PNG instance masks + mask/<name>.txt
   vipe/<name>_info.pkl          misc info (ba_residual, …)
   vipe/<name>_vis.mp4           visualization video
@@ -182,6 +183,30 @@ def save_info(path: ArtifactPath, info: dict):
         pickle.dump(info, f)
 
 
+def _open_video_writer(path: str, fps: float, size):
+    """h264 (avc1) when the local cv2/ffmpeg build supports it — the
+    reference encodes rgb artifacts with libx264 (visualization.py:47-80) —
+    falling back to mp4v otherwise (this image's ffmpeg has no libx264)."""
+    import cv2
+
+    quiet = getattr(getattr(cv2, "utils", None), "logging", None)
+    prev = quiet.getLogLevel() if quiet else None
+    try:
+        if quiet:
+            quiet.setLogLevel(cv2.utils.logging.LOG_LEVEL_SILENT)
+        for fourcc in ("avc1", "mp4v"):
+            w = cv2.VideoWriter(
+                path, cv2.VideoWriter_fourcc(*fourcc), fps, size
+            )
+            if w.isOpened():
+                return w
+            w.release()
+    finally:
+        if quiet:
+            quiet.setLogLevel(prev)
+    raise RuntimeError(f"no usable mp4 encoder for {path}")
+
+
 class StreamingArtifactWriter:
     """Incremental per-frame artifact writer: rgb video, depth zip and mask
     zip entries are written as frames arrive, so a pipeline pass never holds
@@ -212,9 +237,9 @@ class StreamingArtifactWriter:
         self.wrote_mask = False
 
     def _put_depth(self, i: int, depth):
-        buf = _io.BytesIO()
-        np.save(buf, np.asarray(depth, np.float16))
-        self._depth_zip.writestr(f"{i:05d}.npy", buf.getvalue())
+        from .exr import encode_exr
+
+        self._depth_zip.writestr(f"{i:05d}.exr", encode_exr(depth))
 
     def _put_mask(self, i: int, mask):
         import cv2
@@ -234,9 +259,8 @@ class StreamingArtifactWriter:
             if self._rgb_writer is None:
                 self.path.rgb_path.parent.mkdir(parents=True, exist_ok=True)
                 h, w = f.shape[:2]
-                self._rgb_writer = cv2.VideoWriter(
-                    str(self.path.rgb_path), cv2.VideoWriter_fourcc(*"mp4v"),
-                    self.fps, (w, h),
+                self._rgb_writer = _open_video_writer(
+                    str(self.path.rgb_path), self.fps, (w, h)
                 )
             self._rgb_writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
         if self.write_depth and (depth is not None or self._depth_zip is not None):
@@ -320,18 +344,17 @@ def read_depth_zip(zip_path) -> Iterator[np.ndarray]:
     with zipfile.ZipFile(zip_path) as zf:
         for name in sorted(zf.namelist()):
             data = zf.read(name)
-            if name.endswith(".npy"):
+            if name.endswith(".npy"):  # legacy archives from earlier rounds
                 yield np.load(_io.BytesIO(data)).astype(np.float32)
-            elif name.endswith(".exr"):  # reference-written archives
-                import cv2
+            elif name.endswith(".exr"):
+                from .exr import decode_exr
 
-                arr = cv2.imdecode(
-                    np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED
-                )
-                if arr is None:
+                try:
+                    yield decode_exr(data)
+                except Exception:
+                    # corrupt entry → NaN map, matching the reference's
+                    # loader fallback (io.py:287-301)
                     yield np.full((1, 1), np.nan, np.float32)
-                else:
-                    yield np.asarray(arr, np.float32)
 
 
 def read_mask_artifacts(path: ArtifactPath) -> Iterator[np.ndarray]:

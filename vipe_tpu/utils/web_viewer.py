@@ -58,12 +58,12 @@ class SceneStore:
     def _decode_depth(data: bytes, name: str) -> np.ndarray:
         if name.endswith(".npy"):
             return np.load(_io.BytesIO(data)).astype(np.float32)
-        import cv2  # reference-written .exr archives
+        from .exr import decode_exr
 
-        arr = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED)
-        if arr is None:
+        try:
+            return decode_exr(data)
+        except Exception:
             return np.full((1, 1), np.nan, np.float32)
-        return np.asarray(arr, np.float32)
 
     def scene(self, idx: int) -> dict:
         with self._lock:
