@@ -111,6 +111,27 @@ def _install_stubs():
 
     tvt.Compose = Compose
     tvt.functional = _AnyAttr()
+    tvt.__path__ = []  # mark as package so transforms.v2 can be imported
+    def _stub_module(name: str) -> types.ModuleType:
+        mod = types.ModuleType(name)
+        mod.__file__ = "<stub>"
+        mod.__path__ = []  # package-like, submodules resolvable
+
+        def _getattr(k, _m=mod):
+            # never answer dunder probes (inspect/torch.library walk
+            # modules and stat their __file__)
+            if k.startswith("__"):
+                raise AttributeError(k)
+            return _AnyAttr()
+
+        mod.__getattr__ = _getattr
+        sys.modules.setdefault(name, mod)
+        return mod
+
+    tvt2 = _stub_module("torchvision.transforms.v2")
+    tvt2.Compose = Compose
+    tvt2.functional = _stub_module("torchvision.transforms.v2.functional")
+    tvt.v2 = tvt2
     tv.transforms = tvt
     tv.ops = _AnyAttr()
     sys.modules.setdefault("torchvision", tv)

@@ -246,6 +246,184 @@ class TestDinov2Parity:
             )
 
 
+class TestUniDepthDecoderParity:
+    """UniDepth v2 Decoder (reference vipe/priors/depth/unidepth/models/
+    unidepthv2/decoder.py:340-529) vs UniDepthDecoder + convert_unidepth_decoder.
+
+    Exercises the GT-rays path ViPE uses (unidepth/__init__.py:26-69):
+    camera head intrinsics + ray-conditioned depth head through the real
+    fourier embedding, prompt attention, ConvTranspose feature pyramid and
+    reflect-padded output convs."""
+
+    def test_decoder_small(self):
+        import jax.numpy as jnp
+
+        from vipe_tpu.models import convert as mconvert
+        from vipe_tpu.priors.depth.unidepth import (
+            UniDepthConfig, UniDepthDecoder,
+        )
+
+        m = ref_module(
+            "vipe.priors.depth.unidepth.models.unidepthv2.decoder"
+        )
+        D_in, d = 48, 64
+        config = {
+            "model": {
+                "expansion": 2,
+                "num_heads": 2,
+                "layer_scale": 1.0,
+                "pixel_encoder": {
+                    "embed_dims": [D_in] * 12,
+                    "depths": [3, 6, 9, 12],
+                },
+                "pixel_decoder": {
+                    "hidden_dim": d,
+                    "dropout": 0.0,
+                    "depths": [1, 1, 1],
+                    "out_dim": 16,
+                    "kernel_size": 3,
+                },
+            }
+        }
+        torch.manual_seed(0)
+        dec_t = m.Decoder(config).eval()
+
+        B, H, W = 1, 42, 56
+        h, w = H // 14, W // 14
+        gen = torch.Generator().manual_seed(1)
+        feats_t = [
+            torch.randn(B, h, w, D_in, generator=gen) * 0.5 for _ in range(4)
+        ]
+        cls_t = [
+            torch.randn(B, 1, D_in, generator=gen) * 0.5 for _ in range(4)
+        ]
+        # normalized GT rays from a plausible pinhole camera
+        u, v = np.meshgrid(
+            np.arange(W, dtype=np.float32) + 0.5,
+            np.arange(H, dtype=np.float32) + 0.5,
+        )
+        rays = np.stack([(u - W / 2) / (0.8 * W), (v - H / 2) / (0.8 * W),
+                         np.ones_like(u)], 0)
+        rays = rays / np.linalg.norm(rays, axis=0, keepdims=True)
+        rays_t = torch.as_tensor(rays, dtype=torch.float32)[None]
+
+        with torch.no_grad():
+            out_t = dec_t(
+                {
+                    "image": torch.zeros(B, 3, H, W),
+                    "features": feats_t,
+                    "tokens": cls_t,
+                    "rays": rays_t,
+                },
+                [],
+            )
+        radius_t = out_t["radius"].numpy()[:, 0]
+        conf_t = out_t["confidence"].numpy()[:, 0]
+        K_t = out_t["intrinsics"].numpy()
+
+        cfg = UniDepthConfig(
+            hidden_dim=d, num_heads=2, expansion=2, depths=(1, 1, 1),
+            out_dim=16, kernel_size=3, layer_scale=1.0,
+        )
+        dec_j = UniDepthDecoder(cfg, input_dim=D_in)
+        params = mconvert.convert_unidepth_decoder(
+            dec_t.state_dict(), prefix=""
+        )
+        feats_j = [jnp.asarray(f.numpy().reshape(B, h * w, D_in))
+                   for f in feats_t]
+        cls_j = [jnp.asarray(c.numpy()[:, 0]) for c in cls_t]
+        rays_j = jnp.asarray(rays.transpose(1, 2, 0))[None]
+        out_j = dec_j.apply(params, feats_j, cls_j, (H, W), rays_j)
+
+        radius_j = np.asarray(out_j["points"][..., 2] / out_j["rays"][..., 2])
+        np.testing.assert_allclose(radius_j, radius_t, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(out_j["confidence"]), conf_t, rtol=2e-4, atol=2e-4
+        )
+        intr_j = np.asarray(out_j["intrinsics"])
+        np.testing.assert_allclose(intr_j[:, 0], K_t[:, 0, 0], rtol=2e-4)
+        np.testing.assert_allclose(intr_j[:, 1], K_t[:, 1, 1], rtol=2e-4)
+        np.testing.assert_allclose(intr_j[:, 2], K_t[:, 0, 2], rtol=2e-4)
+        np.testing.assert_allclose(intr_j[:, 3], K_t[:, 1, 2], rtol=2e-4)
+
+
+class TestGeoCalibNetParity:
+    """GeoCalib perception net (reference vipe/priors/geocalib/geocalib.py:
+    28-103 + modules.py: MSCAN backbone, LowLevelEncoder, LightHamHead
+    up/latitude decoders) vs GeoCalibNet + convert_geocalib.
+
+    The reference's NMF2D draws fresh random bases every forward
+    (modules.py:139-143); both sides are given the SAME fixed bases so the
+    comparison is exact."""
+
+    def test_net_parity(self):
+        import jax.numpy as jnp
+        import torch.nn.functional as F
+
+        from vipe_tpu.models import convert as mconvert
+        from vipe_tpu.priors.geocalib.network import GeoCalibNet
+
+        gm = ref_module("vipe.priors.geocalib.geocalib")
+        mm = ref_module("vipe.priors.geocalib.modules")
+
+        rng = np.random.default_rng(7)
+        fixed_bases = torch.from_numpy(
+            rng.random((1, 512, 64)).astype(np.float32)
+        )
+
+        def fixed_build_bases(self, B, S, D, R, device="cpu"):
+            return F.normalize(fixed_bases.repeat(B * S, 1, 1), dim=1)
+
+        orig = mm.NMF2D._build_bases
+        mm.NMF2D._build_bases = fixed_build_bases
+        try:
+            torch.manual_seed(0)
+            backbone = mm.MSCAN().eval()
+            ll_enc = gm.LowLevelEncoder().eval()
+            persp = gm.PerspectiveDecoder().eval()
+
+            img_t = torch.rand(1, 3, 64, 96,
+                               generator=torch.Generator().manual_seed(1))
+            with torch.no_grad():
+                feats = {
+                    "hl": backbone({"image": img_t})["features"],
+                    "ll": ll_enc({"image": img_t})["features"],
+                }
+                out_t = persp({"features": feats})
+        finally:
+            mm.NMF2D._build_bases = orig
+
+        sd = {}
+        for mod, pre in ((backbone, "backbone"), (ll_enc, "ll_enc"),
+                         (persp, "perspective_decoder")):
+            for k, v in mod.state_dict().items():
+                sd[f"{pre}.{k}"] = v
+        variables = mconvert.convert_geocalib(sd)
+
+        bases_j = jnp.asarray(
+            (fixed_bases / fixed_bases.norm(dim=1, keepdim=True)).numpy()
+        )
+        img_j = jnp.asarray(img_t.numpy().transpose(0, 2, 3, 1))
+        out_j = GeoCalibNet().apply(variables, img_j, nmf_bases=bases_j)
+
+        np.testing.assert_allclose(
+            np.asarray(out_j["up_field"]).transpose(0, 3, 1, 2),
+            out_t["up_field"].numpy(), rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_j["latitude_field"]),
+            out_t["latitude_field"].numpy()[:, 0], rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_j["up_confidence"]),
+            out_t["up_confidence"].numpy(), rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_j["latitude_confidence"]),
+            out_t["latitude_confidence"].numpy(), rtol=2e-4, atol=2e-4,
+        )
+
+
 class TestDPTHeadParity:
     """DAv2's DPTHead (reference vipe/priors/depth/dav2/dpt.py:44-190) vs
     models/dpt.py DPTHead + convert_dpt_head."""

@@ -96,11 +96,12 @@ class MscanBlock(nn.Module):
         ls1 = self.param("layer_scale_1", nn.initializers.constant(1e-2), (d,))
         ls2 = self.param("layer_scale_2", nn.initializers.constant(1e-2), (d,))
         y = nn.BatchNorm(use_running_average=True, name="norm1")(x)
+        shortcut = y  # SpatialAttention's own residual (modules.py:464-472)
         y = nn.Conv(d, (1, 1), name="attn_proj1")(y)
         y = nn.gelu(y, approximate=False)
         y = AttentionModule(d, name="attn_gate")(y)
         y = nn.Conv(d, (1, 1), name="attn_proj2")(y)
-        x = x + ls1 * y
+        x = x + ls1 * (y + shortcut)
         y = nn.BatchNorm(use_running_average=True, name="norm2")(x)
         y = MscanMlp(d, int(d * self.mlp_ratio), name="mlp")(y)
         return x + ls2 * y
@@ -141,26 +142,30 @@ class MSCAN(nn.Module):
             for b in range(self.depths[i]):
                 x = MscanBlock(d, self.mlp_ratios[i],
                                name=f"stage{i + 1}_block{b}")(x)
-            x = nn.LayerNorm(name=f"norm{i + 1}")(x)
+            # torch nn.LayerNorm eps default is 1e-5 (flax default 1e-6)
+            x = nn.LayerNorm(epsilon=1e-5, name=f"norm{i + 1}")(x)
             outs.append(x)
         return outs
 
 
-def nmf2d(x, r: int = 64, steps: int = 7, key=None):
+def nmf2d(x, r: int = 64, steps: int = 7, key=None, bases=None):
     """Non-negative matrix factorization attention (modules.py:128-208).
 
     x: (B, N, D) non-negative.  Multiplicative updates; random bases are
     drawn from a FIXED key (the reference draws fresh uniform bases per
-    forward even at eval — we keep inference deterministic).
+    forward even at eval — we keep inference deterministic).  ``bases``
+    ((B, D, r), pre-normalized) overrides the draw — parity tests inject
+    the oracle's bases through it.
     """
     B, N, D = x.shape
     xT = jnp.swapaxes(x, 1, 2)  # (B, D, N)
-    if key is None:
-        key = jax.random.PRNGKey(42)
-    bases = jax.random.uniform(key, (B, D, r))
-    bases = bases / jnp.maximum(
-        jnp.linalg.norm(bases, axis=1, keepdims=True), 1e-6
-    )
+    if bases is None:
+        if key is None:
+            key = jax.random.PRNGKey(42)
+        bases = jax.random.uniform(key, (B, D, r))
+        bases = bases / jnp.maximum(
+            jnp.linalg.norm(bases, axis=1, keepdims=True), 1e-6
+        )
     coef = jax.nn.softmax(jnp.einsum("bdn,bdr->bnr", xT, bases), axis=-1)
 
     def step(carry, _):
@@ -185,24 +190,30 @@ class Hamburger(nn.Module):
     ham_channels: int = 512
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, nmf_bases=None):
         B, H, W, C = x.shape
         y = ConvModule(self.ham_channels, name="ham_in")(x)
-        y = nmf2d(nn.relu(y).reshape(B, H * W, C)).reshape(B, H, W, C)
+        y = nmf2d(
+            nn.relu(y).reshape(B, H * W, C), bases=nmf_bases
+        ).reshape(B, H, W, C)
         y = ConvModule(self.ham_channels, name="ham_out")(y)
         return nn.relu(x + y)
 
 
 class ResidualConvUnit(nn.Module):
+    """modules.py:59-85.  The reference's first ReLU is inplace=True and so
+    MUTATES its input — the `out + x` at the end adds relu(x), not x.  We
+    replicate that exactly (it changes rcu2, whose input can be negative)."""
+
     features: int
 
     @nn.compact
     def __call__(self, x):
-        y = nn.relu(x)
-        y = nn.Conv(self.features, (3, 3), name="conv1")(y)
+        y0 = nn.relu(x)
+        y = nn.Conv(self.features, (3, 3), name="conv1")(y0)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), name="conv2")(y)
-        return x + y
+        return y0 + y
 
 
 class LightHamHead(nn.Module):
@@ -212,7 +223,7 @@ class LightHamHead(nn.Module):
     ham_channels: int = 512
 
     @nn.compact
-    def __call__(self, hl_feats, ll_feat):
+    def __call__(self, hl_feats, ll_feat, nmf_bases=None):
         target_hw = hl_feats[0].shape[1:3]
         ups = [
             jax.image.resize(f, (f.shape[0],) + tuple(target_hw) + (f.shape[-1],),
@@ -221,7 +232,7 @@ class LightHamHead(nn.Module):
         ]
         x = jnp.concatenate(ups, axis=-1)
         x = ConvModule(self.ham_channels, name="squeeze")(x)
-        x = Hamburger(self.ham_channels, name="hamburger")(x)
+        x = Hamburger(self.ham_channels, name="hamburger")(x, nmf_bases)
         feats = ConvModule(self.out_channels, name="align")(x)
 
         B, H, W, C = feats.shape
@@ -243,18 +254,25 @@ class GeoCalibNet(nn.Module):
     """Backbone + low-level encoder + up/latitude decoders (geocalib.py:28-103)."""
 
     @nn.compact
-    def __call__(self, image):
+    def __call__(self, image, nmf_bases=None):
         hl = MSCAN(name="backbone")(image)
         ll = ConvModule(64, kernel=3, name="ll_conv1")(image)
         ll = ConvModule(64, kernel=3, name="ll_conv2")(ll)
 
-        up_feats, up_logconf = LightHamHead(name="up_decoder")(hl, ll)
+        up_feats, up_logconf = LightHamHead(name="up_decoder")(
+            hl, ll, nmf_bases
+        )
         up = nn.Conv(2, (1, 1), name="linear_pred_up")(up_feats)
-        up = up / jnp.maximum(jnp.linalg.norm(up, axis=-1, keepdims=True), 1e-6)
+        up = up / jnp.maximum(jnp.linalg.norm(up, axis=-1, keepdims=True), 1e-12)
 
-        lat_feats, lat_logconf = LightHamHead(name="lat_decoder")(hl, ll)
+        lat_feats, lat_logconf = LightHamHead(name="lat_decoder")(
+            hl, ll, nmf_bases
+        )
         lat = nn.Conv(1, (1, 1), name="linear_pred_latitude")(lat_feats)
-        lat = jnp.tanh(lat[..., 0]) * (jnp.pi / 2)
+        # latitude = asin(clamp(tanh(x))) (reference geocalib.py:84-87) —
+        # same (-π/2, π/2) range as tanh·π/2 but a different curve
+        eps = 1e-5
+        lat = jnp.arcsin(jnp.clip(jnp.tanh(lat[..., 0]), -1 + eps, 1 - eps))
 
         return dict(
             up_field=up,
