@@ -19,6 +19,7 @@ reference tree is absent.
 from __future__ import annotations
 
 import importlib
+import importlib.abc
 import importlib.util
 import os
 import sys
@@ -51,10 +52,41 @@ class _AnyAttr:
         return lambda *a, **kw: None
 
 
+class _StubLoader(importlib.abc.MetaPathFinder, importlib.abc.Loader):
+    """Meta-path finder/loader: any not-yet-registered submodule of a
+    stubbed package resolves to a fresh permissive stub module."""
+
+    PREFIXES = ("torchvision.", "kornia.", "timm.")
+
+    def find_spec(self, fullname, path=None, target=None):
+        if any(fullname.startswith(p) for p in self.PREFIXES):
+            return importlib.util.spec_from_loader(
+                fullname, self, is_package=True
+            )
+        return None
+
+    def create_module(self, spec):
+        mod = types.ModuleType(spec.name)
+        mod.__file__ = "<stub>"
+        mod.__path__ = []
+
+        def _getattr(k):
+            if k.startswith("__"):
+                raise AttributeError(k)
+            return _AnyAttr()
+
+        mod.__getattr__ = _getattr
+        return mod
+
+    def exec_module(self, module):
+        pass
+
+
 def _install_stubs():
     global _installed
     if _installed:
         return
+    sys.meta_path.append(_StubLoader())
 
     om = types.ModuleType("omegaconf")
     om.DictConfig = _DictConfig
@@ -98,6 +130,11 @@ def _install_stubs():
     # torchvision: the modules under test import only transforms.Compose /
     # functional resize helpers for PREPROCESSING, never in forward
     tv = types.ModuleType("torchvision")
+    tv.__path__ = []  # package-like so `import torchvision.x` resolves
+    tv.__version__ = "0.15.0"
+    tv.__spec__ = importlib.util.spec_from_loader(
+        "torchvision", loader=None, is_package=True
+    )
     tvt = types.ModuleType("torchvision.transforms")
 
     class Compose:
@@ -110,12 +147,14 @@ def _install_stubs():
             return x
 
     tvt.Compose = Compose
-    tvt.functional = _AnyAttr()
-    tvt.__path__ = []  # mark as package so transforms.v2 can be imported
+    tvt.__path__ = []  # mark as package so submodules can be imported
     def _stub_module(name: str) -> types.ModuleType:
         mod = types.ModuleType(name)
         mod.__file__ = "<stub>"
         mod.__path__ = []  # package-like, submodules resolvable
+        mod.__spec__ = importlib.util.spec_from_loader(
+            name, loader=None, is_package=True
+        )
 
         def _getattr(k, _m=mod):
             # never answer dunder probes (inspect/torch.library walk
@@ -132,20 +171,64 @@ def _install_stubs():
     tvt2.Compose = Compose
     tvt2.functional = _stub_module("torchvision.transforms.v2.functional")
     tvt.v2 = tvt2
+    tvt.functional = _stub_module("torchvision.transforms.functional")
     tv.transforms = tvt
-    tv.ops = _AnyAttr()
+    tv.ops = _stub_module("torchvision.ops")
     sys.modules.setdefault("torchvision", tv)
     sys.modules.setdefault("torchvision.transforms", tvt)
 
     # kornia: geocalib's utils import it; the network forwards under test
     # don't call into it
     kor = types.ModuleType("kornia")
+    kor.__path__ = []
+    kor.__spec__ = importlib.util.spec_from_loader(
+        "kornia", loader=None, is_package=True
+    )
     for sub in ("filters", "geometry", "color", "morphology", "utils"):
-        m = types.ModuleType(f"kornia.{sub}")
-        m.__getattr__ = lambda k: (lambda *a, **kw: None)
+        m = _stub_module(f"kornia.{sub}")
         setattr(kor, sub, m)
-        sys.modules.setdefault(f"kornia.{sub}", m)
     sys.modules.setdefault("kornia", kor)
+
+    # timm: the reference's swin/fuse modules import DropPath / to_2tuple /
+    # trunc_normal_ — give REAL minimal implementations (DropPath must be a
+    # working nn.Module: it's instantiated inside model constructors)
+    import torch as _torch
+
+    class _DropPath(_torch.nn.Module):
+        def __init__(self, drop_prob=0.0, *a, **kw):
+            super().__init__()
+            self.drop_prob = drop_prob or 0.0
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = x.new_empty(shape).bernoulli_(keep)
+            return x * mask / keep
+
+    def _to_2tuple(v):
+        return v if isinstance(v, tuple) else (v, v)
+
+    timm = types.ModuleType("timm")
+    timm.__path__ = []
+    timm.__spec__ = importlib.util.spec_from_loader(
+        "timm", loader=None, is_package=True
+    )
+    tl = _stub_module("timm.layers")
+    tl.DropPath = _DropPath
+    tl.to_2tuple = _to_2tuple
+    tl.trunc_normal_ = _torch.nn.init.trunc_normal_
+    tml = _stub_module("timm.models")
+    tmll = _stub_module("timm.models.layers")
+    tmll.DropPath = _DropPath
+    tmll.to_2tuple = _to_2tuple
+    tmll.trunc_normal_ = _torch.nn.init.trunc_normal_
+    tmr = _stub_module("timm.models.registry")
+    tmr.register_model = lambda fn: fn
+    tml.layers, tml.registry = tmll, tmr
+    timm.layers, timm.models = tl, tml
+    sys.modules.setdefault("timm", timm)
 
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)

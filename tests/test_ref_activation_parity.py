@@ -424,6 +424,150 @@ class TestGeoCalibNetParity:
         )
 
 
+class TestSamParity:
+    """SAM (reference vipe/priors/track_anything/sam/modeling/) vs the flax
+    SamPredictor modules + convert_sam: ViT image encoder (windowed + global
+    decomposed-rel-pos attention, LayerNorm2d neck), box prompt encoder,
+    TwoWayTransformer mask decoder incl. the dense no-mask embedding and the
+    mask-prompt (downscaling) refinement path."""
+
+    def _build_ref(self):
+        enc_m = ref_module(
+            "vipe.priors.track_anything.sam.modeling.image_encoder"
+        )
+        pr_m = ref_module(
+            "vipe.priors.track_anything.sam.modeling.prompt_encoder"
+        )
+        dec_m = ref_module(
+            "vipe.priors.track_anything.sam.modeling.mask_decoder"
+        )
+        tr_m = ref_module(
+            "vipe.priors.track_anything.sam.modeling.transformer"
+        )
+        import functools as ft
+        torch.manual_seed(0)
+        enc_t = enc_m.ImageEncoderViT(
+            img_size=64, patch_size=16, embed_dim=64, depth=3, num_heads=2,
+            mlp_ratio=4, out_chans=256, qkv_bias=True,
+            norm_layer=ft.partial(torch.nn.LayerNorm, eps=1e-6),
+            use_rel_pos=True, global_attn_indexes=(1,), window_size=2,
+        ).eval()
+        pr_t = pr_m.PromptEncoder(
+            embed_dim=256, image_embedding_size=(4, 4),
+            input_image_size=(64, 64), mask_in_chans=16,
+        ).eval()
+        dec_t = dec_m.MaskDecoder(
+            transformer_dim=256,
+            transformer=tr_m.TwoWayTransformer(
+                depth=2, embedding_dim=256, mlp_dim=2048, num_heads=8
+            ),
+            num_multimask_outputs=3,
+        ).eval()
+        # nonzero rel-pos tables so the decomposed bias path is exercised
+        with torch.no_grad():
+            for blk in enc_t.blocks:
+                blk.attn.rel_pos_h.normal_(std=0.1)
+                blk.attn.rel_pos_w.normal_(std=0.1)
+        sd = {}
+        for mod, pre in ((enc_t, "image_encoder"), (pr_t, "prompt_encoder"),
+                         (dec_t, "mask_decoder")):
+            for k, v in mod.state_dict().items():
+                sd[f"{pre}.{k}"] = v
+        return enc_t, pr_t, dec_t, sd
+
+    def test_sam_parity(self):
+        import jax.numpy as jnp
+
+        from vipe_tpu.models import convert as mconvert
+        from vipe_tpu.priors.track_anything.sam import (
+            ImageEncoderViT, MaskDecoder, MaskPromptEncoder, PromptEncoder,
+        )
+
+        enc_t, pr_t, dec_t, sd = self._build_ref()
+        params = mconvert.convert_sam(sd)
+
+        gen = torch.Generator().manual_seed(1)
+        img_t = torch.randn(1, 3, 64, 64, generator=gen)
+        boxes_t = torch.tensor([[5.0, 8.0, 50.0, 40.0]])
+
+        with torch.no_grad():
+            emb_t = enc_t(img_t)
+            sparse_t, dense_t = pr_t(points=None, boxes=boxes_t, masks=None)
+            masks_t, iou_t = dec_t(
+                image_embeddings=emb_t,
+                image_pe=pr_t.get_dense_pe(),
+                sparse_prompt_embeddings=sparse_t,
+                dense_prompt_embeddings=dense_t,
+                multimask_output=True,
+            )
+            # refinement pass: best logits as a mask prompt
+            best = int(torch.argmax(iou_t[0]))
+            logits_t = masks_t[:, best]
+            sparse2_t, dense2_t = pr_t(
+                points=None, boxes=boxes_t, masks=logits_t[None]
+            )
+            masks2_t, iou2_t = dec_t(
+                image_embeddings=emb_t,
+                image_pe=pr_t.get_dense_pe(),
+                sparse_prompt_embeddings=sparse2_t,
+                dense_prompt_embeddings=dense2_t,
+                multimask_output=True,
+            )
+
+        enc_j = ImageEncoderViT(
+            embed_dim=64, depth=3, num_heads=2, global_attn=(1,),
+            window_size=2, img_size=64,
+        )
+        emb_j = enc_j.apply(params["encoder"],
+                            jnp.asarray(img_t.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(emb_j).transpose(0, 3, 1, 2), emb_t.numpy(),
+            rtol=2e-4, atol=2e-4,
+        )
+
+        pr_j = PromptEncoder(img_size=64)
+        pts = jnp.asarray([[[5.0, 8.0], [50.0, 40.0]]])
+        sparse_j, dense_pe_j, no_mask_j = pr_j.apply(params["prompt"], pts)
+        np.testing.assert_allclose(
+            np.asarray(sparse_j), sparse_t.numpy(), rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(dense_pe_j).transpose(2, 0, 1),
+            pr_t.get_dense_pe().numpy()[0], rtol=2e-4, atol=2e-4,
+        )
+
+        dec_j = MaskDecoder()
+        masks_j, iou_j = dec_j.apply(
+            params["decoder"], jnp.asarray(emb_t.numpy().transpose(0, 2, 3, 1)),
+            dense_pe_j, jnp.asarray(sparse_t.numpy()), no_mask_j,
+        )
+        # reference multimask_output=True slices [1:4]
+        np.testing.assert_allclose(
+            np.asarray(masks_j)[:, 1:], masks_t.numpy(), rtol=2e-3, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(iou_j)[:, 1:], iou_t.numpy(), rtol=2e-3, atol=2e-4
+        )
+
+        # mask-prompt refinement pass
+        mp_j = MaskPromptEncoder()
+        dense_j = mp_j.apply(
+            params["mask_prompt"],
+            jnp.asarray(logits_t.numpy())[..., None],
+        )
+        masks2_j, iou2_j = dec_j.apply(
+            params["decoder"], jnp.asarray(emb_t.numpy().transpose(0, 2, 3, 1)),
+            dense_pe_j, jnp.asarray(sparse2_t.numpy()), dense_j,
+        )
+        np.testing.assert_allclose(
+            np.asarray(masks2_j)[:, 1:], masks2_t.numpy(),
+            rtol=2e-3, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(iou2_j)[:, 1:], iou2_t.numpy(), rtol=2e-3, atol=2e-4
+        )
+
+
 class TestDPTHeadParity:
     """DAv2's DPTHead (reference vipe/priors/depth/dav2/dpt.py:44-190) vs
     models/dpt.py DPTHead + convert_dpt_head."""

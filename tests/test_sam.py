@@ -80,6 +80,17 @@ class TestSamConverter:
         for i in range(4):
             add(f"{pr}.point_embeddings.{i}.weight", (1, P))
         add(f"{pr}.no_mask_embed.weight", (1, P))
+        # mask-prompt downscaling stack (prompt_encoder.py:56-64)
+        add(f"{pr}.mask_downscaling.0.weight", (4, 1, 2, 2))
+        add(f"{pr}.mask_downscaling.0.bias", (4,))
+        add(f"{pr}.mask_downscaling.1.weight", (4,))
+        add(f"{pr}.mask_downscaling.1.bias", (4,))
+        add(f"{pr}.mask_downscaling.3.weight", (16, 4, 2, 2))
+        add(f"{pr}.mask_downscaling.3.bias", (16,))
+        add(f"{pr}.mask_downscaling.4.weight", (16,))
+        add(f"{pr}.mask_downscaling.4.bias", (16,))
+        add(f"{pr}.mask_downscaling.6.weight", (P, 16, 1, 1))
+        add(f"{pr}.mask_downscaling.6.bias", (P,))
 
         d = "mask_decoder"
         add(f"{d}.iou_token.weight", (1, P))

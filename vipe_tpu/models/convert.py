@@ -424,8 +424,17 @@ def convert_sam(sd: Mapping) -> dict:
     for j in range(3):
         dec[f"iou_lin{j}"] = _lin(sd, f"{d}.iou_prediction_head.layers.{j}")
 
+    mask_prompt = {
+        "conv1": _conv_entry(sd, f"{pr}.mask_downscaling.0"),
+        "ln1": _ln(sd, f"{pr}.mask_downscaling.1"),
+        "conv2": _conv_entry(sd, f"{pr}.mask_downscaling.3"),
+        "ln2": _ln(sd, f"{pr}.mask_downscaling.4"),
+        "conv3": _conv_entry(sd, f"{pr}.mask_downscaling.6"),
+    }
+
     return {"encoder": {"params": enc}, "prompt": {"params": prompt},
-            "decoder": {"params": dec}}
+            "decoder": {"params": dec},
+            "mask_prompt": {"params": mask_prompt}}
 
 
 def convert_vda(sd: Mapping) -> dict:

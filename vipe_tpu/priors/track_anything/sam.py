@@ -198,6 +198,26 @@ class PromptEncoder(nn.Module):
         return sparse, dense_pe, no_mask
 
 
+class MaskPromptEncoder(nn.Module):
+    """Mask-input downscaling (reference prompt_encoder.py:56-64): the
+    256×256 low-res logits from a first decode become a dense per-pixel
+    prompt for a refinement pass (segmentor.py:98-105)."""
+
+    mask_in_chans: int = 16
+
+    @nn.compact
+    def __call__(self, mask):
+        """mask: (B, 4g, 4g, 1) → (B, g, g, 256)."""
+        x = nn.Conv(self.mask_in_chans // 4, (2, 2), strides=2,
+                    name="conv1")(mask)
+        x = nn.LayerNorm(epsilon=1e-6, name="ln1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(self.mask_in_chans, (2, 2), strides=2, name="conv2")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="ln2")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Conv(PROMPT_DIM, (1, 1), name="conv3")(x)
+
+
 class TwoWayAttention(nn.Module):
     dim: int
     num_heads: int
@@ -222,26 +242,32 @@ class TwoWayBlock(nn.Module):
 
     @nn.compact
     def __call__(self, queries, keys, query_pe, key_pe):
+        # torch nn.LayerNorm default eps is 1e-5 (transformer.py:134-144)
+        LN = functools.partial(nn.LayerNorm, epsilon=1e-5)
         if self.skip_first_pe:
-            q = TwoWayAttention(self.dim, self.num_heads, name="self_attn")(
+            # first layer REPLACES queries with the attention output —
+            # no residual (reference transformer.py:155-156)
+            queries = TwoWayAttention(self.dim, self.num_heads,
+                                      name="self_attn")(
                 queries, queries, queries)
         else:
             q = TwoWayAttention(self.dim, self.num_heads, name="self_attn")(
                 queries + query_pe, queries + query_pe, queries)
-        queries = nn.LayerNorm(name="norm1")(queries + q)
+            queries = queries + q
+        queries = LN(name="norm1")(queries)
 
         a = TwoWayAttention(self.dim, self.num_heads, 2, name="cross_attn_t2i")(
             queries + query_pe, keys + key_pe, keys)
-        queries = nn.LayerNorm(name="norm2")(queries + a)
+        queries = LN(name="norm2")(queries + a)
 
         m = nn.Dense(self.mlp_dim, name="mlp_lin1")(queries)
         m = nn.relu(m)
         m = nn.Dense(self.dim, name="mlp_lin2")(m)
-        queries = nn.LayerNorm(name="norm3")(queries + m)
+        queries = LN(name="norm3")(queries + m)
 
         a = TwoWayAttention(self.dim, self.num_heads, 2, name="cross_attn_i2t")(
             keys + key_pe, queries + query_pe, queries)
-        keys = nn.LayerNorm(name="norm4")(keys + a)
+        keys = LN(name="norm4")(keys + a)
         return queries, keys
 
 
@@ -249,8 +275,10 @@ class MaskDecoder(nn.Module):
     num_multimask: int = 3
 
     @nn.compact
-    def __call__(self, image_embed, dense_pe, sparse_prompts):
-        """image_embed: (B, 64, 64, 256); sparse_prompts: (B, P, 256).
+    def __call__(self, image_embed, dense_pe, sparse_prompts, dense_embed=None):
+        """image_embed: (B, 64, 64, 256); sparse_prompts: (B, P, 256);
+        dense_embed: the (256,) no-mask embedding, added to the image
+        embedding before the transformer (reference mask_decoder.py:134-135).
         Returns (masks (B, 4, 256, 256), iou (B, 4))."""
         D = PROMPT_DIM
         n_tokens = 1 + self.num_multimask + 1  # iou + 4 mask tokens
@@ -269,6 +297,13 @@ class MaskDecoder(nn.Module):
 
         g = image_embed.shape[1]
         keys = image_embed.reshape(B, g * g, D)
+        if dense_embed is not None:
+            # either the (D,) no-mask embedding or a (B, g, g, D) encoded
+            # mask prompt (reference mask_decoder.py:134-135)
+            if dense_embed.ndim == 1:
+                keys = keys + dense_embed.reshape(1, 1, D)
+            else:
+                keys = keys + dense_embed.reshape(-1, g * g, D)
         key_pe = jnp.broadcast_to(dense_pe.reshape(1, g * g, D), keys.shape)
 
         queries = tokens
@@ -279,7 +314,7 @@ class MaskDecoder(nn.Module):
         # final token-to-image attention
         a = TwoWayAttention(D, 8, 2, name="final_attn")(
             queries + tokens, keys + key_pe, keys)
-        queries = nn.LayerNorm(name="norm_final")(queries + a)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm_final")(queries + a)
 
         src = keys.reshape(B, g, g, D)
         up = nn.ConvTranspose(D // 4, (2, 2), strides=(2, 2), name="upscale1")(src)
@@ -319,6 +354,7 @@ class SamPredictor:
             img_size=img_size,
         )
         self.prompt = PromptEncoder(img_size=img_size)
+        self.mask_prompt = MaskPromptEncoder()
         self.decoder = MaskDecoder()
         if params is None:
             params = self._init(jax.random.PRNGKey(rng_seed))
@@ -329,15 +365,28 @@ class SamPredictor:
 
         @jax.jit
         def _decode(p, image_embed, boxes):
+            sparse, dense_pe, no_mask = self.prompt.apply(p["prompt"], boxes)
+            return self.decoder.apply(
+                p["decoder"], image_embed, dense_pe, sparse, no_mask
+            )
+
+        @jax.jit
+        def _decode_with_mask(p, image_embed, boxes, mask_logits):
             sparse, dense_pe, _ = self.prompt.apply(p["prompt"], boxes)
-            return self.decoder.apply(p["decoder"], image_embed, dense_pe, sparse)
+            dense = self.mask_prompt.apply(
+                p["mask_prompt"], mask_logits[..., None]
+            )
+            return self.decoder.apply(
+                p["decoder"], image_embed, dense_pe, sparse, dense
+            )
 
         self._decode = _decode
+        self._decode_with_mask = _decode_with_mask
         self._image_embed = None
         self._orig_hw = None
 
     def _init(self, key):
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         g = self.img_size // 16
         enc = self.encoder.init(k1, jnp.zeros((1, self.img_size, self.img_size, 3)))
         pr = self.prompt.init(k2, jnp.zeros((1, 2, 2)))
@@ -345,7 +394,9 @@ class SamPredictor:
         dec = self.decoder.init(
             k3, jnp.zeros((1, g, g, PROMPT_DIM)), dense_pe, sparse
         )
-        return {"encoder": enc, "prompt": pr, "decoder": dec}
+        mp = self.mask_prompt.init(k4, jnp.zeros((1, 4 * g, 4 * g, 1)))
+        return {"encoder": enc, "prompt": pr, "decoder": dec,
+                "mask_prompt": mp}
 
     def set_image(self, rgb: np.ndarray):
         """rgb: (H, W, 3) float in [0,1] or uint8."""
@@ -374,10 +425,17 @@ class SamPredictor:
         pts = np.asarray(
             [[box[0] * sx, box[1] * sy], [box[2] * sx, box[3] * sy]], np.float32
         )
-        masks, iou = self._decode(
-            self.params, self._image_embed, jnp.asarray(pts)[None]
+        boxes = jnp.asarray(pts)[None]
+        # two decoder passes like the reference (segmentor.py:90-107):
+        # box-only multimask, then refine with the best low-res logits as
+        # a mask prompt.  multimask → masks[1:4] (mask 0 is the
+        # single-mask head); best by predicted iou.
+        masks, iou = self._decode(self.params, self._image_embed, boxes)
+        best = 1 + int(jnp.argmax(iou[0, 1:]))
+        masks, iou = self._decode_with_mask(
+            self.params, self._image_embed, boxes, masks[:, best]
         )
-        best = int(jnp.argmax(iou[0]))
+        best = 1 + int(jnp.argmax(iou[0, 1:]))
         m = jax.image.resize(
             masks[0, best], (self.img_size, self.img_size), "bilinear"
         )[:nh, :nw]
