@@ -568,6 +568,392 @@ class TestSamParity:
         )
 
 
+class TestGDINOParity:
+    """GroundingDINO components (reference vipe/priors/track_anything/
+    groundingdino/models/main/) vs the flax gdino modules + converter
+    helpers: Swin backbone, BERT warper, MSDeformAttn (vs the reference's
+    own pytorch fallback), image-text fusion, text enhancer, deformable
+    encoder/decoder layers."""
+
+    def test_swin_backbone(self):
+        import jax.numpy as jnp
+
+        m = ref_module(
+            "vipe.priors.track_anything.groundingdino.models.main"
+            ".backbone.swin_transformer"
+        )
+        from vipe_tpu.priors.track_anything.gdino import convert as gc
+        from vipe_tpu.priors.track_anything.gdino.swin import SwinTransformer
+
+        torch.manual_seed(0)
+        depths, heads, e, win = (2, 2, 2, 2), (1, 2, 4, 8), 16, 3
+        sw_t = m.SwinTransformer(
+            embed_dim=e, depths=list(depths), num_heads=list(heads),
+            window_size=win, drop_path_rate=0.0, out_indices=(1, 2, 3),
+        )
+        sw_t.eval()  # SwinTransformer.train() override returns None
+        img_t = torch.randn(1, 3, 32, 48,
+                            generator=torch.Generator().manual_seed(1))
+        with torch.no_grad():
+            outs_t = sw_t.forward_raw(img_t)
+
+        sd = {f"backbone.0.{k}": v for k, v in sw_t.state_dict().items()}
+        p = {
+            "patch_embed_proj": gc._conv(sd, "backbone.0.patch_embed.proj"),
+            "patch_embed_norm": gc._ln(sd, "backbone.0.patch_embed.norm"),
+        }
+        for i, depth in enumerate(depths):
+            for b in range(depth):
+                k = f"backbone.0.layers.{i}.blocks.{b}"
+                p[f"layers_{i}_blocks_{b}"] = {
+                    "norm1": gc._ln(sd, f"{k}.norm1"),
+                    "norm2": gc._ln(sd, f"{k}.norm2"),
+                    "attn": {
+                        "qkv": gc._lin(sd, f"{k}.attn.qkv"),
+                        "proj": gc._lin(sd, f"{k}.attn.proj"),
+                        "relative_position_bias_table": np.asarray(
+                            sd[f"{k}.attn.relative_position_bias_table"]
+                        ),
+                    },
+                    "mlp": {"fc1": gc._lin(sd, f"{k}.mlp.fc1"),
+                            "fc2": gc._lin(sd, f"{k}.mlp.fc2")},
+                }
+            if i < 3:
+                k = f"backbone.0.layers.{i}.downsample"
+                p[f"layers_{i}_downsample"] = {
+                    "norm": gc._ln(sd, f"{k}.norm"),
+                    "reduction": gc._lin_nobias(sd, f"{k}.reduction"),
+                }
+        for i in (1, 2, 3):
+            p[f"out_norm{i}"] = gc._ln(sd, f"backbone.0.norm{i}")
+
+        sw_j = SwinTransformer(e, depths, heads, win)
+        outs_j = sw_j.apply(
+            {"params": p}, jnp.asarray(img_t.numpy().transpose(0, 2, 3, 1))
+        )
+        for oj, ot in zip(outs_j, outs_t):
+            np.testing.assert_allclose(
+                np.asarray(oj).transpose(0, 3, 1, 2), ot.numpy(),
+                rtol=2e-4, atol=2e-4,
+            )
+
+    def test_bert_warper(self):
+        import jax.numpy as jnp
+        import transformers
+
+        bw = ref_module(
+            "vipe.priors.track_anything.groundingdino.models.main.bertwarper"
+        )
+        from vipe_tpu.priors.track_anything.gdino import convert as gc
+        from vipe_tpu.priors.track_anything.gdino.bert import (
+            BertConfig, BertEncoder,
+        )
+
+        torch.manual_seed(0)
+        hf_cfg = transformers.BertConfig(
+            vocab_size=200, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=64,
+            max_position_embeddings=64, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+        )
+        bert_t = bw.BertModelWarper(
+            bert_model=transformers.BertModel(hf_cfg).eval()
+        )
+
+        rng = np.random.default_rng(3)
+        L = 12
+        ids = rng.integers(5, 200, size=(1, L)).astype(np.int64)
+        mask3d = np.tril(np.ones((1, L, L), bool))  # arbitrary 3D mask
+        pos = np.concatenate([np.arange(7), np.arange(L - 7)])[None]
+        with torch.no_grad():
+            out_t = bert_t(
+                input_ids=torch.as_tensor(ids),
+                attention_mask=torch.as_tensor(mask3d),
+                position_ids=torch.as_tensor(pos),
+                token_type_ids=torch.zeros_like(torch.as_tensor(ids)),
+            )["last_hidden_state"].numpy()
+
+        sd = {f"bert.{k}": v for k, v in bert_t.state_dict().items()}
+        c = BertConfig(vocab_size=200, hidden_size=32, num_layers=2,
+                       num_heads=4, intermediate_size=64, max_position=64)
+        bp = {
+            "word_embeddings": np.asarray(
+                sd["bert.embeddings.word_embeddings.weight"]),
+            "position_embeddings": np.asarray(
+                sd["bert.embeddings.position_embeddings.weight"]),
+            "token_type_embeddings": np.asarray(
+                sd["bert.embeddings.token_type_embeddings.weight"]),
+            "embeddings_norm": gc._ln(sd, "bert.embeddings.LayerNorm"),
+        }
+        for i in range(2):
+            k = f"bert.encoder.layer.{i}"
+            bp[f"layer_{i}"] = {
+                "attention_self": {
+                    "query": gc._lin(sd, f"{k}.attention.self.query"),
+                    "key": gc._lin(sd, f"{k}.attention.self.key"),
+                    "value": gc._lin(sd, f"{k}.attention.self.value"),
+                },
+                "attention_output_dense": gc._lin(
+                    sd, f"{k}.attention.output.dense"),
+                "attention_output_norm": gc._ln(
+                    sd, f"{k}.attention.output.LayerNorm"),
+                "intermediate_dense": gc._lin(sd, f"{k}.intermediate.dense"),
+                "output_dense": gc._lin(sd, f"{k}.output.dense"),
+                "output_norm": gc._ln(sd, f"{k}.output.LayerNorm"),
+            }
+        out_j = BertEncoder(c).apply(
+            {"params": bp}, jnp.asarray(ids.astype(np.int32)),
+            jnp.asarray(mask3d), jnp.asarray(pos.astype(np.int32)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_j), out_t, rtol=2e-4, atol=2e-4
+        )
+
+    def _msda_inputs(self, seed=4):
+        rng = np.random.default_rng(seed)
+        shapes = [(6, 8), (3, 4)]
+        S = sum(h * w for h, w in shapes)
+        B, Q, d = 1, 10, 32
+        query = rng.normal(size=(B, Q, d)).astype(np.float32)
+        value = rng.normal(size=(B, S, d)).astype(np.float32)
+        ref2 = rng.uniform(0.1, 0.9, size=(B, Q, 2)).astype(np.float32)
+        ref2 = np.broadcast_to(ref2[:, :, None], (B, Q, 2, 2)).copy()
+        return shapes, query, value, ref2
+
+    def test_msdeform_module(self):
+        import jax.numpy as jnp
+
+        m = ref_module(
+            "vipe.priors.track_anything.groundingdino.models.main"
+            ".ms_deform_attn"
+        )
+        from vipe_tpu.priors.track_anything.gdino import convert as gc
+        from vipe_tpu.priors.track_anything.gdino.transformer import (
+            MSDeformAttnModule,
+        )
+
+        torch.manual_seed(0)
+        att_t = m.MultiScaleDeformableAttention(
+            embed_dim=32, num_levels=2, num_heads=4, num_points=3,
+            batch_first=True,
+        ).eval()
+        # non-degenerate offsets/weights
+        with torch.no_grad():
+            for p_ in att_t.parameters():
+                p_.add_(torch.randn_like(p_) * 0.05)
+
+        shapes, query, value, ref2 = self._msda_inputs()
+        ss_t = torch.as_tensor(shapes, dtype=torch.long)
+        lsi = torch.as_tensor([0, shapes[0][0] * shapes[0][1]])
+        with torch.no_grad():
+            out_t = att_t(
+                query=torch.as_tensor(query),
+                value=torch.as_tensor(value),
+                reference_points=torch.as_tensor(ref2),
+                spatial_shapes=ss_t,
+                level_start_index=lsi,
+            ).numpy()
+
+        sd = {f"a.{k}": v for k, v in att_t.state_dict().items()}
+        p = gc._msdeform(sd, "a")
+        p = {k: {kk: np.asarray(vv) for kk, vv in v.items()}
+             for k, v in p.items()}
+        att_j = MSDeformAttnModule(32, 4, 2, 3)
+        out_j = att_j.apply(
+            {"params": p}, jnp.asarray(query), jnp.asarray(ref2),
+            jnp.asarray(value), shapes,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_j), out_t, rtol=2e-4, atol=2e-4
+        )
+
+    def test_fusion_and_text_layer(self):
+        import jax.numpy as jnp
+
+        fm = ref_module(
+            "vipe.priors.track_anything.groundingdino.models.main"
+            ".fuse_modules"
+        )
+        tv = ref_module(
+            "vipe.priors.track_anything.groundingdino.models.main"
+            ".transformer_vanilla"
+        )
+        from vipe_tpu.priors.track_anything.gdino import convert as gc
+        from vipe_tpu.priors.track_anything.gdino.transformer import (
+            BiAttentionBlock, TextEnhancerLayer,
+        )
+
+        torch.manual_seed(0)
+        d, emb, heads = 32, 16, 4
+        fuse_t = fm.BiAttentionBlock(
+            v_dim=d, l_dim=d, embed_dim=emb, num_heads=heads, dropout=0.0
+        ).eval()
+        text_t = tv.TransformerEncoderLayer(
+            d_model=d, nhead=heads, dim_feedforward=64, dropout=0.0
+        ).eval()
+
+        rng = np.random.default_rng(5)
+        Nv, Nl = 24, 9
+        v = rng.normal(size=(1, Nv, d)).astype(np.float32)
+        l = rng.normal(size=(1, Nl, d)).astype(np.float32)
+        tmask = np.ones((1, Nl), bool)
+        tmask[0, 7:] = False                     # last two tokens padded
+        mask3d = np.tile(np.eye(Nl, dtype=bool), (1, 1, 1))
+        mask3d[0, :7, :7] = True
+        pos_text = rng.normal(size=(1, Nl, d)).astype(np.float32)
+
+        with torch.no_grad():
+            v2_t, l2_t = fuse_t(
+                v=torch.as_tensor(v), l=torch.as_tensor(l),
+                attention_mask_v=None,
+                attention_mask_l=torch.as_tensor(~tmask),
+            )
+            l3_t = text_t(
+                src=torch.as_tensor(l).transpose(0, 1),
+                src_mask=torch.as_tensor(~mask3d),
+                src_key_padding_mask=None,
+                pos=torch.as_tensor(pos_text).transpose(0, 1),
+            ).transpose(0, 1)
+
+        sd_f = {k: v_ for k, v_ in fuse_t.state_dict().items()}
+        pf = {
+            "layer_norm_v": gc._ln(sd_f, "layer_norm_v"),
+            "layer_norm_l": gc._ln(sd_f, "layer_norm_l"),
+            "attn": gc._bi_attn(sd_f, "attn"),
+            "gamma_v": np.asarray(sd_f["gamma_v"]),
+            "gamma_l": np.asarray(sd_f["gamma_l"]),
+        }
+        v2_j, l2_j = BiAttentionBlock(d, d, emb, heads).apply(
+            {"params": pf}, jnp.asarray(v), jnp.asarray(l),
+            jnp.asarray(tmask),
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2_j), v2_t.numpy(), rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(l2_j), l2_t.numpy(), rtol=2e-4, atol=2e-4
+        )
+
+        sd_t = {k: v_ for k, v_ in text_t.state_dict().items()}
+        pt = {
+            "self_attn": gc._mha(sd_t, "self_attn", d),
+            "linear1": gc._lin(sd_t, "linear1"),
+            "linear2": gc._lin(sd_t, "linear2"),
+            "norm1": gc._ln(sd_t, "norm1"),
+            "norm2": gc._ln(sd_t, "norm2"),
+        }
+        l3_j = TextEnhancerLayer(d, heads, 64).apply(
+            {"params": pt}, jnp.asarray(l), jnp.asarray(pos_text),
+            jnp.asarray(mask3d),
+        )
+        np.testing.assert_allclose(
+            np.asarray(l3_j), l3_t.numpy(), rtol=2e-4, atol=2e-4
+        )
+
+    def test_deformable_encoder_decoder_layers(self):
+        import jax.numpy as jnp
+
+        tr = ref_module(
+            "vipe.priors.track_anything.groundingdino.models.main.transformer"
+        )
+        from vipe_tpu.priors.track_anything.gdino import convert as gc
+        from vipe_tpu.priors.track_anything.gdino.transformer import (
+            DeformableDecoderLayer, DeformableEncoderLayer,
+            encoder_reference_points,
+        )
+
+        torch.manual_seed(0)
+        d, heads, L, P, ffn = 32, 4, 2, 3, 64
+        enc_t = tr.DeformableTransformerEncoderLayer(
+            d_model=d, d_ffn=ffn, dropout=0.0, n_levels=L, n_heads=heads,
+            n_points=P,
+        ).eval()
+        dec_t = tr.DeformableTransformerDecoderLayer(
+            d_model=d, d_ffn=ffn, dropout=0.0, n_levels=L, n_heads=heads,
+            n_points=P, use_text_cross_attention=True,
+        ).eval()
+        with torch.no_grad():
+            for p_ in enc_t.self_attn.parameters():
+                p_.add_(torch.randn_like(p_) * 0.05)
+            for p_ in dec_t.cross_attn.parameters():
+                p_.add_(torch.randn_like(p_) * 0.05)
+
+        shapes = [(6, 8), (3, 4)]
+        S = sum(h * w for h, w in shapes)
+        rng = np.random.default_rng(6)
+        src = rng.normal(size=(1, S, d)).astype(np.float32)
+        pos = rng.normal(size=(1, S, d)).astype(np.float32)
+        ref = encoder_reference_points(shapes)  # (1, S, L, 2)
+        ss_t = torch.as_tensor(shapes, dtype=torch.long)
+        lsi = torch.as_tensor([0, shapes[0][0] * shapes[0][1]])
+
+        with torch.no_grad():
+            out_t = enc_t(
+                src=torch.as_tensor(src), pos=torch.as_tensor(pos),
+                reference_points=torch.as_tensor(ref),
+                spatial_shapes=ss_t, level_start_index=lsi,
+            ).numpy()
+
+        sd = {k: v for k, v in enc_t.state_dict().items()}
+        pe = {
+            "self_attn": gc._msdeform(sd, "self_attn"),
+            "norm1": gc._ln(sd, "norm1"),
+            "linear1": gc._lin(sd, "linear1"),
+            "linear2": gc._lin(sd, "linear2"),
+            "norm2": gc._ln(sd, "norm2"),
+        }
+        out_j = DeformableEncoderLayer(d, heads, L, P, ffn).apply(
+            {"params": pe}, jnp.asarray(src), jnp.asarray(pos),
+            jnp.asarray(ref), shapes,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_j), out_t, rtol=2e-4, atol=2e-4
+        )
+
+        # ------------------------------------------------- decoder layer
+        nq, Nl = 7, 9
+        tgt = rng.normal(size=(1, nq, d)).astype(np.float32)
+        qpos = rng.normal(size=(1, nq, d)).astype(np.float32)
+        text = rng.normal(size=(1, Nl, d)).astype(np.float32)
+        tmask = np.ones((1, Nl), bool)
+        tmask[0, 7:] = False
+        ref4 = rng.uniform(0.2, 0.8, size=(1, nq, 4)).astype(np.float32)
+        ref4_l = np.broadcast_to(ref4[:, :, None], (1, nq, L, 4)).copy()
+
+        with torch.no_grad():
+            out_t = dec_t(
+                tgt=torch.as_tensor(tgt).transpose(0, 1),
+                tgt_query_pos=torch.as_tensor(qpos).transpose(0, 1),
+                tgt_reference_points=torch.as_tensor(ref4_l).transpose(0, 1),
+                memory_text=torch.as_tensor(text),
+                text_attention_mask=torch.as_tensor(~tmask),
+                memory=torch.as_tensor(src).transpose(0, 1),
+                memory_spatial_shapes=ss_t,
+                memory_level_start_index=lsi,
+            ).transpose(0, 1).numpy()
+
+        sd = {k: v for k, v in dec_t.state_dict().items()}
+        pd = {
+            "self_attn": gc._mha(sd, "self_attn", d),
+            "norm2": gc._ln(sd, "norm2"),
+            "ca_text": gc._mha(sd, "ca_text", d),
+            "catext_norm": gc._ln(sd, "catext_norm"),
+            "cross_attn": gc._msdeform(sd, "cross_attn"),
+            "norm1": gc._ln(sd, "norm1"),
+            "linear1": gc._lin(sd, "linear1"),
+            "linear2": gc._lin(sd, "linear2"),
+            "norm3": gc._ln(sd, "norm3"),
+        }
+        out_j = DeformableDecoderLayer(d, heads, L, P, ffn).apply(
+            {"params": pd}, jnp.asarray(tgt), jnp.asarray(qpos),
+            jnp.asarray(ref4_l), jnp.asarray(src), shapes,
+            jnp.asarray(text), jnp.asarray(tmask),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_j), out_t, rtol=2e-4, atol=2e-4
+        )
+
+
 class TestDPTHeadParity:
     """DAv2's DPTHead (reference vipe/priors/depth/dav2/dpt.py:44-190) vs
     models/dpt.py DPTHead + convert_dpt_head."""

@@ -222,6 +222,8 @@ class BiAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, v, l, text_token_mask):
+        # the reference REPLACES v/l with their normed versions before the
+        # residual add (fuse_modules.py:306-315): out = ln(v) + gamma*dv
         vn = nn.LayerNorm(name="layer_norm_v")(v)
         ln = nn.LayerNorm(name="layer_norm_l")(l)
         dv, dl = BiMultiHeadAttention(
@@ -233,7 +235,7 @@ class BiAttentionBlock(nn.Module):
         gamma_l = self.param(
             "gamma_l", nn.initializers.constant(1e-4), (self.l_dim,)
         )
-        return v + gamma_v * dv, l + gamma_l * dl
+        return vn + gamma_v * dv, ln + gamma_l * dl
 
 
 class TextEnhancerLayer(nn.Module):
