@@ -954,6 +954,143 @@ class TestGDINOParity:
         )
 
 
+class TestDeAOTParity:
+    """DeAOT R50 (reference vipe/priors/track_anything/aot/networks/) vs
+    DeAOTNet + convert_deaot: ResNet-50 encoder, patch-wise id bank,
+    DualBranchGPM (reference-frame self-matching AND a propagation step
+    against those memories), FPN decoder."""
+
+    def test_deaot_full(self):
+        import types as _types
+
+        import jax.numpy as jnp
+
+        deaot_m = ref_module(
+            "vipe.priors.track_anything.aot.networks.models.deaot"
+        )
+        from vipe_tpu.priors.track_anything.deaot.convert import convert_deaot
+        from vipe_tpu.priors.track_anything.deaot.network import (
+            DeAOTConfig, DeAOTNet,
+        )
+
+        ref_cfg = _types.SimpleNamespace(
+            MODEL_MAX_OBJ_NUM=10, MODEL_EPSILON=1e-5, MODEL_FREEZE_BN=True,
+            TRAIN_ENCODER_FREEZE_AT=2,
+            MODEL_ENCODER_DIM=[256, 512, 1024, 1024],
+            MODEL_ENCODER_EMBEDDING_DIM=256, MODEL_LSTT_NUM=2,
+            MODEL_SELF_HEADS=1, MODEL_ATT_HEADS=1,
+            TRAIN_LSTT_EMB_DROPOUT=0.0, TRAIN_LSTT_DROPPATH=0.0,
+            TRAIN_LSTT_LT_DROPOUT=0.0, TRAIN_LSTT_ST_DROPOUT=0.0,
+            TRAIN_LSTT_DROPPATH_LST=False, TRAIN_LSTT_DROPPATH_SCALING=False,
+            MODEL_DECODER_INTERMEDIATE_LSTT=False, MODEL_ALIGN_CORNERS=True,
+            TRAIN_LSTT_ID_DROPOUT=0.0,
+        )
+        torch.manual_seed(0)
+        net_t = deaot_m.DeAOT(ref_cfg, encoder="resnet50")
+        net_t.eval()
+        # the CUDA SpatialCorrelationSampler isn't available — force the
+        # reference's own unfold fallback (attention.py:821-831)
+        for layer in net_t.LSTT.layers:
+            layer.short_term_attn.enable_corr = False
+        # perturb FrozenBN running stats away from identity
+        with torch.no_grad():
+            for name, buf in net_t.named_buffers():
+                if "running" in name:
+                    buf.add_(torch.randn_like(buf) * 0.05)
+
+        H = W = 64
+        h = w = H // 16
+        gen = torch.Generator().manual_seed(1)
+        img_t = torch.randn(1, 3, H, W, generator=gen)
+        img2_t = torch.randn(1, 3, H, W, generator=gen)
+        onehot = torch.zeros(1, 11, H, W)
+        onehot[0, 0, :, : W // 2] = 1.0
+        onehot[0, 1, :, W // 2:] = 1.0
+
+        with torch.no_grad():
+            xs_t = net_t.encode_image(img_t)
+            id_t = net_t.get_id_emb(onehot)  # (1, 256, h, w)
+            id_seq_t = id_t.view(1, 256, h * w).permute(2, 0, 1)
+            embs_t, currs_t, longs_t, shorts_t = net_t.LSTT_forward(
+                xs_t, None, None, curr_id_emb=id_seq_t, pos_emb=None,
+                size_2d=(h, w),
+            )
+            logits_t = net_t.decode_id_logits(embs_t, xs_t)
+
+            # propagation: second frame against the ref-frame memories
+            xs2_t = net_t.encode_image(img2_t)
+            embs2_t, _, _, _ = net_t.LSTT_forward(
+                xs2_t, list(longs_t), list(shorts_t), curr_id_emb=None,
+                pos_emb=None, size_2d=(h, w),
+            )
+            logits2_t = net_t.decode_id_logits(embs2_t, xs2_t)
+
+        cfg_j = DeAOTConfig(lstt_num=2)
+        sd = {k: v.numpy() for k, v in net_t.state_dict().items()}
+        params = convert_deaot(sd, cfg_j)
+        net_j = DeAOTNet(cfg_j)
+
+        def t2j(t):
+            return jnp.asarray(t.numpy().transpose(0, 2, 3, 1))
+
+        xs_j = net_j.apply(params, t2j(img_t), method="encode_image")
+        for xj, xt in zip(xs_j, xs_t):
+            np.testing.assert_allclose(
+                np.asarray(xj).transpose(0, 3, 1, 2), xt.numpy(),
+                rtol=2e-3, atol=2e-4,
+            )
+
+        id_j = net_j.apply(params, t2j(onehot), method="get_id_emb")
+        np.testing.assert_allclose(
+            np.asarray(id_j), id_seq_t.numpy(), rtol=2e-3, atol=2e-4
+        )
+
+        outs_j, mems_j = net_j.apply(
+            params, [t2j(x) for x in xs_t],
+            None, jnp.asarray(id_seq_t.numpy()), None, (h, w),
+            method="lstt_forward",
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs_j[-1]), embs_t[-1].numpy(), rtol=2e-3, atol=5e-4
+        )
+        logits_j = net_j.apply(
+            params, outs_j[-1], [t2j(x) for x in xs_t], (h, w),
+            method="decode_logits",
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits_j).transpose(0, 3, 1, 2), logits_t.numpy(),
+            rtol=2e-3, atol=1e-3,
+        )
+
+        # propagation step: memories from the reference triple layout
+        mem_dicts = []
+        for lt, st in zip(longs_t, shorts_t):
+            mem_dicts.append({
+                "global_K": jnp.asarray(lt[0].numpy()),
+                "global_V": jnp.asarray(lt[1].numpy()),
+                "global_ID_V": jnp.asarray(lt[3].numpy()),
+                "local_K": t2j(st[0]),
+                "local_V": t2j(st[1]),
+                "local_ID_V": t2j(st[3]),
+            })
+        outs2_j, _ = net_j.apply(
+            params, [t2j(x) for x in xs2_t], mem_dicts, None, None, (h, w),
+            method="lstt_forward",
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs2_j[-1]), embs2_t[-1].numpy(),
+            rtol=2e-3, atol=5e-4,
+        )
+        logits2_j = net_j.apply(
+            params, outs2_j[-1], [t2j(x) for x in xs2_t], (h, w),
+            method="decode_logits",
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits2_j).transpose(0, 3, 1, 2), logits2_t.numpy(),
+            rtol=2e-3, atol=1e-3,
+        )
+
+
 class TestDPTHeadParity:
     """DAv2's DPTHead (reference vipe/priors/depth/dav2/dpt.py:44-190) vs
     models/dpt.py DPTHead + convert_dpt_head."""

@@ -306,13 +306,13 @@ class GatedPropagationModule(nn.Module):
         c = self.cfg
         d = c.d_model
         self.expand_d_model = int(d * c.expand_ratio)
-        self.norm1 = nn.LayerNorm()
+        self.norm1 = nn.LayerNorm(epsilon=1e-5)
         self.linear_QV = nn.Dense(c.d_att * c.att_heads + self.expand_d_model)
         self.linear_U = nn.Dense(self.expand_d_model)
         if self.layer_idx == 0:
             self.linear_ID_V = nn.Dense(self.expand_d_model)
         else:
-            self.id_norm1 = nn.LayerNorm()
+            self.id_norm1 = nn.LayerNorm(epsilon=1e-5)
             self.linear_ID_V = nn.Dense(self.expand_d_model)
             self.linear_ID_U = nn.Dense(self.expand_d_model)
         self.long_term_attn = GatedPropagation(
@@ -323,8 +323,8 @@ class GatedPropagationModule(nn.Module):
             d_qk=d, d_vu=2 * d, num_head=c.att_heads, d_att=c.d_att,
             max_dis=c.max_dis, expand_ratio=c.expand_ratio,
         )
-        self.norm2 = nn.LayerNorm()
-        self.id_norm2 = nn.LayerNorm()
+        self.norm2 = nn.LayerNorm(epsilon=1e-5)
+        self.id_norm2 = nn.LayerNorm(epsilon=1e-5)
         self.self_attn = GatedPropagation(
             d_qk=2 * d, d_vu=2 * d, num_head=c.self_heads, d_att=c.d_att,
             use_linear=True, expand_ratio=c.expand_ratio,
@@ -430,21 +430,21 @@ class DeAOTNet(nn.Module):
         ]
         # DeAOT default: MODEL_DECODER_INTERMEDIATE_LSTT=False → only the
         # final cat output is normed (GroupNorm1D(2d, groups=2)) and decoded
-        self.decoder_norm = nn.GroupNorm(2, name="decoder_norm")
+        self.decoder_norm = nn.GroupNorm(2, epsilon=1e-5, name="decoder_norm")
         self.patch_wise_id_bank = nn.Conv(
             c.d_model, (17, 17), strides=(16, 16), padding=((8, 8), (8, 8)),
         )
-        self.id_norm = nn.LayerNorm()
+        self.id_norm = nn.LayerNorm(epsilon=1e-5)
         # FPN decoder (decode_intermediate_input=False for DeAOT default)
         hd = c.d_model  # ConvGN uses 8 groups (basic.py:67-74)
         self.conv_in = nn.Conv(hd, (1, 1), name="dec_conv_in")
-        self.gn_in = nn.GroupNorm(8, name="dec_gn_in")
+        self.gn_in = nn.GroupNorm(8, epsilon=1e-5, name="dec_gn_in")
         self.conv_16x = nn.Conv(hd, (3, 3), padding=((1, 1),) * 2, name="dec_conv_16x")
-        self.gn_16x = nn.GroupNorm(8, name="dec_gn_16x")
+        self.gn_16x = nn.GroupNorm(8, epsilon=1e-5, name="dec_gn_16x")
         self.conv_8x = nn.Conv(hd // 2, (3, 3), padding=((1, 1),) * 2, name="dec_conv_8x")
-        self.gn_8x = nn.GroupNorm(8, name="dec_gn_8x")
+        self.gn_8x = nn.GroupNorm(8, epsilon=1e-5, name="dec_gn_8x")
         self.conv_4x = nn.Conv(hd // 2, (3, 3), padding=((1, 1),) * 2, name="dec_conv_4x")
-        self.gn_4x = nn.GroupNorm(8, name="dec_gn_4x")
+        self.gn_4x = nn.GroupNorm(8, epsilon=1e-5, name="dec_gn_4x")
         self.adapter_16x = nn.Conv(hd, (1, 1), name="dec_adapter_16x")
         self.adapter_8x = nn.Conv(hd, (1, 1), name="dec_adapter_8x")
         self.adapter_4x = nn.Conv(hd // 2, (1, 1), name="dec_adapter_4x")
