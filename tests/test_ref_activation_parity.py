@@ -1091,6 +1091,101 @@ class TestDeAOTParity:
         )
 
 
+class TestVDATemporalParity:
+    """VideoDepthAnything TemporalModule (reference videodepthanything/
+    motion_module/motion_module.py:28-145) vs models/temporal.py
+    TemporalModule + convert_vda_motion."""
+
+    def test_temporal_module(self):
+        import jax.numpy as jnp
+
+        m = ref_module(
+            "vipe.priors.depth.videodepthanything.motion_module.motion_module"
+        )
+        from vipe_tpu.models.convert import convert_vda_motion
+        from vipe_tpu.models.temporal import TemporalModule
+
+        torch.manual_seed(0)
+        C, T, H, W = 64, 4, 6, 8
+        mod_t = m.TemporalModule(
+            in_channels=C, num_attention_heads=8, num_transformer_block=1,
+            num_attention_blocks=2, norm_num_groups=32, temporal_max_len=8,
+            zero_initialize=True, pos_embedding_type="ape",
+        ).eval()
+        with torch.no_grad():  # proj_out is zero-init; make it nontrivial
+            tt = mod_t.temporal_transformer
+            tt.proj_out.weight.add_(torch.randn_like(tt.proj_out.weight) * 0.1)
+            tt.proj_out.bias.add_(torch.randn_like(tt.proj_out.bias) * 0.1)
+
+        gen = torch.Generator().manual_seed(1)
+        x_t = torch.randn(1, C, T, H, W, generator=gen)
+        with torch.no_grad():
+            out_t = mod_t(x_t, encoder_hidden_states=None)
+
+        sd = {k: v.numpy() for k, v in mod_t.state_dict().items()}
+        params = convert_vda_motion(sd, "temporal_transformer")
+        mod_j = TemporalModule(channels=C, heads=8, num_layers=1,
+                               num_attention_blocks=2, max_len=8)
+        # (1, C, T, H, W) → (T, H, W, C) = the flax (B·T, H, W, C) layout
+        x_j = jnp.asarray(x_t.numpy()[0].transpose(1, 2, 3, 0))
+        out_j = mod_j.apply({"params": params}, x_j, T)
+        np.testing.assert_allclose(
+            np.asarray(out_j).transpose(3, 0, 1, 2),
+            out_t.numpy()[0], rtol=2e-4, atol=2e-4,
+        )
+
+
+class TestPriorDAFineParity:
+    """PriorDA's conditioned refinement net (reference priorda/dav2 —
+    DepthAnythingV2 with a 3-channel condition added through a zero-init
+    patch projection, patch_embed.py:71-94) vs DepthAnythingV2Net(cond_dim=3)
+    + convert_dav2."""
+
+    def test_conditioned_forward(self):
+        import jax.numpy as jnp
+
+        m = ref_module("vipe.priors.depth.priorda.dav2")
+        from vipe_tpu.models import convert as mconvert
+        from vipe_tpu.priors.depth.dav2 import DepthAnythingV2Net
+
+        torch.manual_seed(0)
+        # build_backbone insists on a checkpoint; construct directly and
+        # apply the same post-load surgery (init_state_dict, dpt.py:235-245)
+        net_t = m.DepthAnythingV2(
+            **m.model_configs["vits"], encoder_cond_dim=3
+        ).eval()
+        net_t.pretrained.patch_embed.init_alpha_conv(cond_channels=3)
+        with torch.no_grad():  # alpha_proj is zero-init; make it nontrivial
+            ap = net_t.pretrained.patch_embed.alpha_proj
+            ap.weight.add_(torch.randn_like(ap.weight) * 0.05)
+            ap.bias.add_(torch.randn_like(ap.bias) * 0.05)
+
+        H = W = 56
+        gen = torch.Generator().manual_seed(1)
+        x_t = torch.randn(1, 3, H, W, generator=gen) * 0.5
+        cond_t = torch.randn(1, 3, H, W, generator=gen) * 0.5
+        with torch.no_grad():
+            feats = net_t.pretrained.get_intermediate_layers(
+                x_t, net_t.intermediate_layer_idx["vits"],
+                return_class_token=True, condition=cond_t,
+            )
+            disp_t = torch.relu(
+                net_t.depth_head(feats, H // 14, W // 14, condition=cond_t)
+            ).squeeze(1).numpy()
+
+        sd = {k: v for k, v in net_t.state_dict().items()}
+        params = mconvert.convert_dav2(sd)
+        net_j = DepthAnythingV2Net("vits", max_depth=None, params=params,
+                                   cond_dim=3)
+        disp_j = net_j(
+            jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1)),
+            jnp.asarray(cond_t.numpy().transpose(0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(disp_j), disp_t, rtol=2e-3, atol=2e-4
+        )
+
+
 class TestDPTHeadParity:
     """DAv2's DPTHead (reference vipe/priors/depth/dav2/dpt.py:44-190) vs
     models/dpt.py DPTHead + convert_dpt_head."""

@@ -437,6 +437,42 @@ def convert_sam(sd: Mapping) -> dict:
             "mask_prompt": {"params": mask_prompt}}
 
 
+def convert_vda_motion(sd: Mapping, t: str) -> dict:
+    """One TemporalModule's temporal_transformer (reference
+    motion_module.py:68-145) → flax models/temporal.py TemporalModule params.
+    ``t`` is the torch key prefix of the TemporalTransformer3DModel."""
+    blocks = {}
+    li = 0
+    while f"{t}.transformer_blocks.{li}.ff_norm.weight" in sd:
+        b = f"{t}.transformer_blocks.{li}"
+        entry = {}
+        ai = 0
+        while f"{b}.attention_blocks.{ai}.to_q.weight" in sd:
+            a = f"{b}.attention_blocks.{ai}"
+            entry[f"attn{ai}"] = {
+                "to_q": {"kernel": np.asarray(
+                    sd[f"{a}.to_q.weight"], np.float32).T},
+                "to_k": {"kernel": np.asarray(
+                    sd[f"{a}.to_k.weight"], np.float32).T},
+                "to_v": {"kernel": np.asarray(
+                    sd[f"{a}.to_v.weight"], np.float32).T},
+                "to_out": _lin(sd, f"{a}.to_out.0"),
+            }
+            entry[f"norm{ai}"] = _ln(sd, f"{b}.norms.{ai}")
+            ai += 1
+        entry["ff_norm"] = _ln(sd, f"{b}.ff_norm")
+        entry["ff_geglu"] = {"proj": _lin(sd, f"{b}.ff.net.0.proj")}
+        entry["ff_out"] = _lin(sd, f"{b}.ff.net.2")
+        blocks[f"block{li}"] = entry
+        li += 1
+    return {
+        "norm": _ln(sd, f"{t}.norm"),
+        "proj_in": _lin(sd, f"{t}.proj_in"),
+        **blocks,
+        "proj_out": _lin(sd, f"{t}.proj_out"),
+    }
+
+
 def convert_vda(sd: Mapping) -> dict:
     """VideoDepthAnything checkpoint → flax {"vit", "head"} params
     (vipe_tpu/priors/depth/videodepthanything.py + models/temporal.py;
@@ -445,37 +481,9 @@ def convert_vda(sd: Mapping) -> dict:
     head = convert_dpt_head(sd, "head")["params"]
 
     for m in range(4):
-        t = f"head.motion_modules.{m}.temporal_transformer"
-        blocks = {}
-        li = 0
-        while f"{t}.transformer_blocks.{li}.ff_norm.weight" in sd:
-            b = f"{t}.transformer_blocks.{li}"
-            entry = {}
-            ai = 0
-            while f"{b}.attention_blocks.{ai}.to_q.weight" in sd:
-                a = f"{b}.attention_blocks.{ai}"
-                entry[f"attn{ai}"] = {
-                    "to_q": {"kernel": np.asarray(
-                        sd[f"{a}.to_q.weight"], np.float32).T},
-                    "to_k": {"kernel": np.asarray(
-                        sd[f"{a}.to_k.weight"], np.float32).T},
-                    "to_v": {"kernel": np.asarray(
-                        sd[f"{a}.to_v.weight"], np.float32).T},
-                    "to_out": _lin(sd, f"{a}.to_out.0"),
-                }
-                entry[f"norm{ai}"] = _ln(sd, f"{b}.norms.{ai}")
-                ai += 1
-            entry["ff_norm"] = _ln(sd, f"{b}.ff_norm")
-            entry["ff_geglu"] = {"proj": _lin(sd, f"{b}.ff.net.0.proj")}
-            entry["ff_out"] = _lin(sd, f"{b}.ff.net.2")
-            blocks[f"block{li}"] = entry
-            li += 1
-        head[f"motion{m}"] = {
-            "norm": _ln(sd, f"{t}.norm"),
-            "proj_in": _lin(sd, f"{t}.proj_in"),
-            **blocks,
-            "proj_out": _lin(sd, f"{t}.proj_out"),
-        }
+        head[f"motion{m}"] = convert_vda_motion(
+            sd, f"head.motion_modules.{m}.temporal_transformer"
+        )
 
     return {
         "vit": convert_dinov2_vit(sd, "pretrained"),

@@ -70,11 +70,11 @@ class TemporalTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_attention_blocks):
-            y = nn.LayerNorm(name=f"norm{i}")(x)
+            y = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
             x = TemporalAttention(
                 self.dim, self.heads, self.max_len, name=f"attn{i}"
             )(y) + x
-        y = nn.LayerNorm(name="ff_norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ff_norm")(x)
         y = GEGLU(self.dim * 4, name="ff_geglu")(y)
         y = nn.Dense(self.dim, name="ff_out")(y)
         return y + x

@@ -10,20 +10,60 @@ Architecture facts mirrored from the reference (dinov2.py:59-440):
   * pre-norm blocks with LayerScale (init_values=1.0) on both branches;
   * MemEffAttention → plain scaled-dot-product attention here
     (the reference's xformers shim is already SDPA, vipe/ext/xformers.py:33);
-  * runtime positional-embedding interpolation for arbitrary input sizes
-    (bicubic; the reference adds a +0.1 scale offset quirk — we resize
-    directly to the target grid, which differs by <1e-3 in embed space);
+  * runtime positional-embedding interpolation for arbitrary input sizes —
+    torch-exact bicubic (a=-0.75, no antialias, +0.1 scale-offset quirk)
+    via a precomputed static weight matrix (dinov2.py:188-219);
   * ``get_intermediate_layers`` applies the final norm to each tapped output
     and splits (patch tokens, cls token) (dinov2.py:311-335).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _torch_bicubic_weights(n_in: int, n_out: int, scale: float) -> np.ndarray:
+    """(n_out, n_in) 1-D interpolation matrix matching torch
+    F.interpolate(mode='bicubic', antialias=False, align_corners=False,
+    scale_factor=scale): cubic convolution kernel a=-0.75, half-pixel
+    source coords computed from the PROVIDED scale (not n_out/n_in — the
+    reference passes scale_factor=(grid+0.1)/base, dinov2.py:200-213),
+    border taps clamped."""
+    A = -0.75
+    W = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        c = (i + 0.5) / scale - 0.5
+        f = int(np.floor(c))
+        t = c - f
+        for k in range(-1, 3):
+            x = abs(k - t)
+            if x <= 1.0:
+                w = ((A + 2.0) * x - (A + 3.0)) * x * x + 1.0
+            elif x < 2.0:
+                w = (((x - 5.0) * x + 8.0) * x - 4.0) * A
+            else:
+                w = 0.0
+            W[i, min(max(f + k, 0), n_in - 1)] += w
+    return W.astype(np.float32)
+
+
+def interpolate_pos_grid(pos_patch, base: int, ph: int, pw: int,
+                         offset: float = 0.1):
+    """(1, base², D) pos embeddings → (1, ph·pw, D), exactly reproducing the
+    reference interpolate_pos_encoding (dinov2.py:188-219)."""
+    D = pos_patch.shape[-1]
+    grid = pos_patch.reshape(base, base, D)
+    Wy = jnp.asarray(_torch_bicubic_weights(base, ph, (ph + offset) / base))
+    Wx = jnp.asarray(_torch_bicubic_weights(base, pw, (pw + offset) / base))
+    out = jnp.einsum("oi,ijd,pj->opd", Wy, grid, Wx)
+    return out.reshape(1, ph * pw, D)
 
 VIT_CONFIGS = {
     "vits": dict(embed_dim=384, depth=12, num_heads=6),
@@ -131,11 +171,7 @@ class DinoViT(nn.Module):
         )
         pos_cls, pos_patch = pos[:, :1], pos[:, 1:]
         if (ph, pw) != (base, base):
-            grid = pos_patch.reshape(1, base, base, self.embed_dim)
-            grid = jax.image.resize(
-                grid, (1, ph, pw, self.embed_dim), method="bicubic"
-            )
-            pos_patch = grid.reshape(1, ph * pw, self.embed_dim)
+            pos_patch = interpolate_pos_grid(pos_patch, base, ph, pw)
 
         x = x + pos_patch
         cls_tok = jnp.broadcast_to(cls + pos_cls, (B, 1, self.embed_dim))
