@@ -517,6 +517,32 @@ def _jitted_distance_matrix(n, poses, disps, intrinsics, beta):
     return 0.5 * (d + d.T)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def _jitted_distance_matrix_pred(n, poses, disps, intrinsics, beta, s):
+    """Distance matrix with row ``s`` OVERLAID by the keep-branch scratch-slot
+    init (constant-velocity pose from rows s-1/s-2 + mean disp of row s-1)
+    computed IN-PROGRAM.  Used by the frontend's PRE-STEP speculative
+    submission: the matrix is enqueued before the fused frontend step, so by
+    the next keyframe its transfer has completed and the proximity readback
+    never blocks.  Row ``s`` is exactly what the fused step's keep branch
+    would write — just from the pre-BA state (one-step-stale distances; the
+    keyframe-removal decision itself stays exact, it is computed in-program
+    from post-BA state)."""
+    from ..ops import lie as lie_ops
+
+    p1 = poses[s - 2]
+    p2 = poses[s - 1]
+    w = lie_ops.se3_log(lie_ops.se3_mul(p2, lie_ops.se3_inv(p1))) * 0.5
+    poses = poses.at[s].set(lie_ops.se3_mul(lie_ops.se3_exp(w), p2))
+    disps = disps.at[s].set(jnp.mean(disps[s - 1]))
+    ii, jj = jnp.meshgrid(jnp.arange(n), jnp.arange(n), indexing="ij")
+    d = geom.frame_distance(
+        poses, disps, intrinsics, ii.reshape(-1), jj.reshape(-1),
+        di=ii.reshape(-1), beta=beta,
+    ).reshape(n, n)
+    return 0.5 * (d + d.T)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _jitted_distance_matrix_mv(n, V, poses, rig, disps, intr, beta):
     """Multi-view n×n distance matrix: per-view same-view distances averaged
@@ -867,7 +893,8 @@ class FactorGraph:
         self.add_factors(ii[keep], jj[keep])
 
     def submit_distance_matrix(self, beta: float = 0.25, n_frames=None,
-                               window: Optional[int] = None):
+                               window: Optional[int] = None,
+                               predict_slot: Optional[int] = None):
         """Enqueue the distance-matrix computation WITHOUT reading it back —
         the frontend submits this speculatively at the end of one keyframe so
         the ~25 ms device→host transfer overlaps the next frames' work
@@ -876,7 +903,11 @@ class FactorGraph:
         ``window``: only the last ``window`` frames participate (the frontend
         proposes within frontend_window — without this the matrix grows
         O(total²) per pow2 bucket).  Returns (Nb, w0, device-matrix) where
-        entry (i, j) covers absolute frames (i + w0, j + w0)."""
+        entry (i, j) covers absolute frames (i + w0, j + w0).
+
+        ``predict_slot``: absolute frame index whose row is overlaid with the
+        const-velocity/mean-disp scratch-slot prediction in-program (PRE-STEP
+        speculative submission — see ``_jitted_distance_matrix_pred``)."""
         buf = self.buffer
         n = n_frames if n_frames is not None else buf.n_frames
         w0 = max(0, n - window) if window is not None else 0
@@ -887,6 +918,12 @@ class FactorGraph:
                 Nb, self.V, buf.poses[w0: w0 + Nb], buf.rig,
                 buf.disps[w0 * self.V: (w0 + Nb) * self.V],
                 buf.pinhole_grid_intrinsics, jnp.float32(beta),
+            )
+        elif predict_slot is not None and 2 <= predict_slot - w0 < Nb:
+            d = _jitted_distance_matrix_pred(
+                Nb, buf.poses[w0: w0 + Nb], buf.disps[w0: w0 + Nb],
+                jnp.broadcast_to(buf.pinhole_grid_intrinsics, (Nb, 4)),
+                jnp.float32(beta), jnp.int32(predict_slot - w0),
             )
         else:
             d = _jitted_distance_matrix(

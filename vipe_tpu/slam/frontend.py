@@ -72,6 +72,16 @@ class SLAMFrontend:
         # fully overlapped); 1 = resolve before the very next append
         # (reference-exact removal ordering, one blocking read per keyframe)
         self.spec_depth = c.get("keyframe_spec_depth", 2)
+        # PRE-STEP proximity speculation: submit the distance matrix BEFORE
+        # the fused frontend step (on pre-BA state, with the scratch slot
+        # const-velocity-predicted in-program) so its transfer completes in
+        # the shadow of the step's compute and the next keyframe's proximity
+        # readback never blocks.  Distances are one-BA-step stale — only the
+        # NMS edge PROPOSAL sees them; the keyframe-removal decision stays
+        # exact (computed in-program post-BA).  False = reference-exact
+        # post-step distances (one blocking fetch per keyframe).
+        self.prox_spec = c.get("proximity_spec", True)
+        self.n_prestep_submits = 0
         # speculative distance-matrix token: submitted at the end of one
         # keyframe, resolved at the next — hides the ~25 ms readback behind
         # the intervening frames' work.  Only valid while nothing else
@@ -186,12 +196,15 @@ class SLAMFrontend:
         self._dist_token = None
         self._submit_distance()
 
-    def _submit_distance(self):
+    def _submit_distance(self, pre_step: bool = False):
         if not self.has_init_pose:
+            if pre_step:
+                self.n_prestep_submits += 1
             # +8 slack: t0 = t1-5 may reach below the window edge
             self._dist_token = self.graph.submit_distance_matrix(
                 beta=self.beta, n_frames=self.buffer.n_frames + 1,
                 window=self.frontend_window + 8,
+                predict_slot=self.t1 if pre_step else None,
             )
 
     def _init_pose(self):
@@ -224,6 +237,12 @@ class SLAMFrontend:
         self._dist_token = None
 
         if g.can_fuse_frontend_step:
+            # PRE-STEP speculative distance submission: enqueued before the
+            # fused step so it computes on pre-BA state and its transfer
+            # rides the step's compute shadow (zero-blocking proximity
+            # readback at the next keyframe)
+            if self.prox_spec and not self.has_init_pose:
+                self._submit_distance(pre_step=True)
             # ONE dispatch: iters1 rounds → removal distance → (cond) iters2
             # rounds + next-slot init.  The distance readback is DEFERRED:
             # resolve_pending() applies the host bookkeeping right before
@@ -247,6 +266,8 @@ class SLAMFrontend:
             if self.spec_depth >= 2:
                 g.age[: g.n_edges] += self.iters1 + self.iters2
             self._pending.append((d_dev, self.t1))
+            if self.prox_spec and not self.has_init_pose:
+                return  # pre-step token already submitted above
         else:
             g.update_fused(self.iters1, use_inactive=True,
                            fixed_motion=self.has_init_pose)
