@@ -12,6 +12,7 @@ from ..priors.depth.alignment import align_inv_depth_to_depth, apply_inv_depth_a
 from ..priors.depth.base import DepthType
 from ..priors.depth.factory import make_depth_model
 from ..streams.base import StreamProcessor, VideoFrame
+from ..utils import profiling
 
 
 class HeuristicIntrinsicsProcessor(StreamProcessor):
@@ -75,7 +76,8 @@ class GeoCalibIntrinsicsProcessor(StreamProcessor):
         self.calibrate(frames)
 
     def calibrate(self, frames: List[np.ndarray]):
-        self._intr = self.model.calibrate(frames)
+        with profiling.stage("geocalib"):
+            self._intr = self.model.calibrate(frames)
 
     def update_attributes(self, previous):
         from ..streams.base import FrameAttribute
@@ -106,7 +108,8 @@ class TrackAnythingProcessor(StreamProcessor):
     def __call__(self, frame_idx: int, frame: VideoFrame) -> VideoFrame:
         from ..ops.morph import erode
 
-        instance, phrases_map = self.pipeline.track(frame_idx, frame.rgb)
+        with profiling.stage("track_anything"):
+            instance, phrases_map = self.pipeline.track(frame_idx, frame.rgb)
         frame.instance = instance
         frame.instance_phrases = phrases_map
         # sky stays VALID for SLAM weighting (reference processors.py:137-139)
@@ -190,7 +193,8 @@ class AdaptiveDepthProcessor(StreamProcessor):
         frames = list(it) if self.vda is not None else it
         vda_disps = None
         if self.vda is not None:
-            vda_disps = self.vda.infer_video_depth([f.rgb for f in frames])
+            with profiling.stage("vda"):
+                vda_disps = self.vda.infer_video_depth([f.rgb for f in frames])
 
         use_metric = True
         for frame_idx, frame in enumerate(frames if self.vda is not None else it):
@@ -200,33 +204,41 @@ class AdaptiveDepthProcessor(StreamProcessor):
                 score = self._coverage_score(frame.size(), frame.intrinsics)
                 use_metric = score < self.coverage_thresh
                 if not use_metric and self.priorda is None:
+                    from ..models import zoo
                     from ..priors.depth.priorda import PriorDAModel
 
-                    # coarse_only until real conditioned-net checkpoints are
-                    # available: with random weights the fine stage replaces
-                    # the prompt-aligned coarse depth with noise (and pays a
-                    # second full DAv2 inference); flip to the reference
-                    # default (fine) once convert_dav2 weights are loadable
-                    self.priorda = PriorDAModel(coarse_only=True)
+                    # reference default = coarse→fine (priorda.py:100-161);
+                    # the fine conditioned net runs whenever converted
+                    # checkpoints are present in the weight registry.  With
+                    # random weights the fine stage would replace the
+                    # prompt-aligned coarse depth with noise (and pay a
+                    # second full DAv2 inference), so absent weights fall
+                    # back to coarse_only.
+                    self.priorda = PriorDAModel(
+                        coarse_only=not zoo.has_weights("priorda_fine")
+                    )
             if use_metric:
                 focal = (
                     float(frame.intrinsics[0])
                     if frame.intrinsics is not None else None
                 )
-                depth = np.asarray(
-                    self.metric_model.estimate_depth(frame.rgb, focal)
-                )
+                with profiling.stage("post_metric_depth"):
+                    depth = np.asarray(
+                        self.metric_model.estimate_depth(frame.rgb, focal)
+                    )
             else:
                 prompt = self._project_prompt(frame, frame_idx)
-                depth = self.priorda.complete(frame.rgb, prompt)
+                with profiling.stage("priorda"):
+                    depth = self.priorda.complete(frame.rgb, prompt)
                 if not np.isfinite(depth).all():
                     focal = (
                         float(frame.intrinsics[0])
                         if frame.intrinsics is not None else None
                     )
-                    depth = np.asarray(
-                        self.metric_model.estimate_depth(frame.rgb, focal)
-                    )
+                    with profiling.stage("post_metric_depth"):
+                        depth = np.asarray(
+                            self.metric_model.estimate_depth(frame.rgb, focal)
+                        )
             if vda_disps is not None:
                 # per-frame affine alignment of the temporally-stable VDA
                 # disparity to the prompt depth, 0.99-momentum EMA on

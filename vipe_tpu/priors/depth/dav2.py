@@ -119,6 +119,10 @@ class DepthAnythingV2Model(DepthEstimationModel):
             from ...models.convert import load_dav2_checkpoint
 
             params = load_dav2_checkpoint(ckpt_path, variant)
+        else:
+            from ...models import zoo
+
+            params = zoo.load_params(f"dav2_{variant}")
         self.net = DepthAnythingV2Net(variant, self.max_depth, params)
 
     def estimate(self, inp: DepthEstimationInput) -> DepthEstimationResult:

@@ -422,6 +422,10 @@ class Metric3DModel(DepthEstimationModel):
 
     def __init__(self, variant: str = "small", params=None,
                  input_size=None, iters: Optional[int] = None):
+        if params is None:
+            from ...models import zoo
+
+            params = zoo.load_params(f"metric3d_{variant}")
         self.net = Metric3DNet(variant, params, iters=iters)
         self.input_size = input_size or CANONICAL_SIZE
 

@@ -111,6 +111,23 @@ class PriorDAModel(DepthEstimationModel):
     def __init__(self, variant: str = "vitb", input_size: int = 518,
                  K: int = 5, params=None, coarse_only: bool = False,
                  fine_params=None, fine_variant: str = "vitb"):
+        from ...models import zoo
+
+        def _infer_variant(p, default):
+            """Encoder size from the checkpoint itself (the reference reads
+            conditioned_model_size from its config; registry weights carry
+            it in the embed dim)."""
+            if p is None:
+                return default
+            dim = int(np.asarray(p["vit"]["params"]["cls_token"]).shape[-1])
+            return {384: "vits", 768: "vitb", 1024: "vitl"}.get(dim, default)
+
+        if params is None:
+            params = zoo.load_params("priorda")
+            variant = _infer_variant(params, variant)
+        if fine_params is None and not coarse_only:
+            fine_params = zoo.load_params("priorda_fine")
+            fine_variant = _infer_variant(fine_params, fine_variant)
         self.net = DepthAnythingV2Net(variant or "vitb", max_depth=None,
                                       params=params)
         self.coarse_only = coarse_only

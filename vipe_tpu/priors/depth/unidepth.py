@@ -288,6 +288,10 @@ class UniDepthModel(DepthEstimationModel):
 
     def __init__(self, variant: str = "l", input_size: int = 518, params=None):
         vit_variant = {"s": "vits", "b": "vitb", "l": "vitl"}.get(variant, variant)
+        if params is None:
+            from ...models import zoo
+
+            params = zoo.load_params(f"unidepth_{vit_variant}")
         self.net = UniDepthNet(vit_variant, params)
         self.input_size = input_size
 

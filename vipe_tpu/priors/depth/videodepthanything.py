@@ -199,6 +199,10 @@ class VideoDepthAnythingModel(DepthEstimationModel):
 
     def __init__(self, variant: str = "vitl", input_size: int = 518,
                  params=None):
+        if params is None:
+            from ...models import zoo
+
+            params = zoo.load_params(f"vda_{variant}")
         self.net = VideoDepthAnythingNet(variant, params)
         self.input_size = input_size
 

@@ -37,6 +37,12 @@ class GeoCalib:
         self.net = GeoCalibNet()
         self.infer_size = infer_size
         if params is None:
+            from ...models import zoo
+
+            # reference ships two checkpoint flavors (extractor.py:33-40)
+            flavor = "pinhole" if camera_type == "pinhole" else "distorted"
+            params = zoo.load_params(f"geocalib_{flavor}")
+        if params is None:
             params = self.net.init(
                 jax.random.PRNGKey(rng_seed),
                 jnp.zeros((1, infer_size, infer_size, 3)),

@@ -47,6 +47,10 @@ class DeAOTTracker:
         self.cfg = cfg or DeAOTConfig()
         self.net = DeAOTNet(self.cfg)
         self.max_long_edge = max_long_edge
+        if params is None:
+            from ....models import zoo
+
+            params = zoo.load_params("deaot")
         self._params = params
         self._rng_seed = rng_seed
         # per-layer long-term memory: list over ref frames of

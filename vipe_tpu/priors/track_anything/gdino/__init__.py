@@ -243,6 +243,10 @@ class GroundingDINODetector:
         self.short_side = short_side
         self.max_side = max_side
         self.tokenizer = make_tokenizer()
+        if params is None:
+            from ....models import zoo
+
+            params = zoo.load_params("gdino")
         self._params = params
         self._rng_seed = rng_seed
         self._apply = jax.jit(

@@ -357,6 +357,10 @@ class SamPredictor:
         self.mask_prompt = MaskPromptEncoder()
         self.decoder = MaskDecoder()
         if params is None:
+            from ...models import zoo
+
+            params = zoo.load_params(f"sam_{variant}")
+        if params is None:
             params = self._init(jax.random.PRNGKey(rng_seed))
         self.params = params
         self._embed = jax.jit(

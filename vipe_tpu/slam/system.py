@@ -75,9 +75,13 @@ def default_droidnet():
 
     A fresh model per SLAMSystem would mint new jit closures and recompile
     the whole hot path for every video (run.py processes many)."""
+    from ..models import zoo
     from ..models.droidnet import init_droidnet
 
     model, params = init_droidnet(jax.random.PRNGKey(0))
+    zoo_params = zoo.load_params("droidnet")
+    if zoo_params is not None:
+        params = zoo_params
     ef, ec, uf = make_droidnet_fns(model)
     return model, params, ef, ec, uf
 
@@ -599,7 +603,12 @@ class SLAMSystem:
         slam_map = buffer.extract_slam_map(c.get("map_filter_thresh", 0.05))
         mark("extract_map", t0)
         t0 = time.perf_counter()
-        if V == 1:
+        if camera_type == cam.CameraType.PANORAMA:
+            # panorama artifacts carry all-zero intrinsics (reference
+            # streams/base.py:56); the pixel-unit equirect scales are an
+            # internal SLAM-grid parameterization only
+            intr_full = np.zeros_like(np.asarray(buffer.intrinsics))
+        elif V == 1:
             intr_full = resizers[0].recover_intrinsics(
                 np.asarray(buffer.intrinsics)
             )
