@@ -52,9 +52,10 @@ class TestCameraModels:
         np.testing.assert_allclose(p5, p4, atol=1e-5)
 
     def test_panorama_roundtrip(self, rng):
-        intr = jnp.zeros(4)
-        u = jnp.asarray(rng.uniform(0.05, 0.95, (50,)), jnp.float32)
-        v = jnp.asarray(rng.uniform(0.05, 0.95, (50,)), jnp.float32)
+        # pixel-unit equirect parameterization for a 64×48 grid
+        intr = cam.panorama_intrinsics(48, 64)
+        u = jnp.asarray(rng.uniform(0.05, 0.95, (50,)) * 64, jnp.float32)
+        v = jnp.asarray(rng.uniform(0.05, 0.95, (50,)) * 48, jnp.float32)
         disp = jnp.ones((50,), jnp.float32)
         pts = cam.iproj_disp(PANO, intr, u, v, disp)
         # rays are unit length
@@ -62,8 +63,8 @@ class TestCameraModels:
             np.linalg.norm(np.asarray(pts[..., :3]), axis=-1), 1.0, atol=1e-5
         )
         coords = cam.proj_points(PANO, intr, pts)
-        np.testing.assert_allclose(coords[..., 0], u, atol=1e-4)
-        np.testing.assert_allclose(coords[..., 1], v, atol=1e-4)
+        np.testing.assert_allclose(coords[..., 0], u, atol=1e-3)
+        np.testing.assert_allclose(coords[..., 1], v, atol=1e-3)
 
     def test_pinhole_equivalent_mei_center_slope(self):
         intr = jnp.asarray([100.0, 100.0, 32.0, 24.0, 0.5])

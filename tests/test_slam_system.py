@@ -300,3 +300,126 @@ class TestSLAMSystemMEI:
         assert out.intrinsics.shape == (5,)
         err = ate_rmse(out.trajectory, gt_c2w, align=True)
         assert err < 0.03, f"MEI ATE {err}"
+
+
+# ----------------------------------------------------------------- panorama
+
+
+def make_oracle_pano(buffer_ref, poses_w2c_gt, disps_gt, intr_grid):
+    """GT-flow oracle through the equirect camera (pixel-unit grid
+    parameterization, ops/cameras.panorama_intrinsics)."""
+
+    def update_fn(params, net, inp, corr, motn, ii, jj, num_frames):
+        del params, inp, corr
+        E, ht, wd, _ = motn.shape
+        u, v = geom.pixel_grid(ht, wd)
+        grid = jnp.stack([u, v], -1)
+        coords1 = motn[..., 0:2] + grid
+        buf = buffer_ref[0]
+        np_ii = np.clip(np.asarray(ii), 0, buf.buffer_size - 1)
+        np_jj = np.clip(np.asarray(jj), 0, buf.buffer_size - 1)
+        fi = buf.tstamp[np_ii]
+        fj = buf.tstamp[np_jj]
+        gt_coords, gt_valid = geom.reproject(
+            poses_w2c_gt, disps_gt, intr_grid, cam.CameraType.PANORAMA,
+            jnp.asarray(fi, jnp.int32), jnp.asarray(fj, jnp.int32),
+        )
+        delta = gt_coords - coords1
+        weight = jnp.broadcast_to(
+            gt_valid[..., None].astype(jnp.float32), delta.shape)
+        # zero out the pole-adjacent top row: equirect azimuth jacobians
+        # blow up near phi = 0 (both for the oracle and a trained net —
+        # real panoramic footage has near-constant sky there anyway)
+        weight = weight.at[:, 0, :, :].set(0.0)
+        eta = jnp.full((num_frames, ht, wd), 0.01, jnp.float32)
+        return net, delta, weight, eta
+
+    update_fn.host_only = True
+    return update_fn
+
+
+@pytest.fixture(scope="module")
+def slam_result_pano():
+    """Oracle e2e at camera_type=panorama (SURVEY: the reference annotated
+    2K panoramic videos; its camera model is iproj-only,
+    /root/reference/vipe/utils/cameras.py:389-396 — the rebuild implements
+    the equirect projection too, so the full GRU/BA chain runs natively)."""
+    rng = np.random.default_rng(11)
+    poses_w2c, disps, _ = make_gt(rng)
+    intr_full = jnp.zeros(4)  # panorama streams carry all-zero intrinsics
+
+    stream = SyntheticStream(rng, disps, intr_full)
+
+    buffer_ref = [None]
+    intr_grid = cam.panorama_intrinsics(HT, WD)
+    oracle = make_oracle_pano(buffer_ref, poses_w2c, disps, intr_grid)
+
+    def encode_features(params, images):
+        return jnp.zeros((images.shape[0], HT, WD, 128), jnp.float32)
+
+    def encode_context(params, images):
+        z = jnp.zeros((images.shape[0], HT, WD, 128), jnp.float32)
+        return z, z
+
+    system = SLAMSystem(
+        config=dict(
+            resize_area=H * W,
+            filter_thresh=-1.0,
+            keyframe_thresh=0.0,
+            warmup=4,
+            buffer=64,
+            infill_chunk_size=6,
+            backend_iters=8,
+        ),
+        update_fn=oracle,
+        params=None,
+        encode_features=encode_features,
+        encode_context=encode_context,
+    )
+
+    import vipe_tpu.slam.system as sysmod
+
+    orig_buffer_cls = sysmod.GraphBuffer
+
+    class SpyBuffer(orig_buffer_cls):
+        def __init__(self, *a, **k):
+            super().__init__(*a, **k)
+            buffer_ref[0] = self
+
+    sysmod.GraphBuffer = SpyBuffer
+    try:
+        out = system.run(stream, camera_type=cam.CameraType.PANORAMA)
+    finally:
+        sysmod.GraphBuffer = orig_buffer_cls
+    return out, np.asarray(lie.se3_inv(poses_w2c))
+
+
+class TestSLAMSystemPanorama:
+    def test_trajectory_recovered_panorama(self, slam_result_pano):
+        out, gt_c2w = slam_result_pano
+        assert out.camera_type == cam.CameraType.PANORAMA
+        # artifact-level panorama intrinsics are all zero (reference
+        # streams/base.py:56)
+        np.testing.assert_array_equal(out.intrinsics, 0.0)
+        err = ate_rmse(out.trajectory, gt_c2w, align=True)
+        assert err < 0.03, f"panorama ATE {err}"
+
+    def test_panorama_map_and_projection(self, slam_result_pano):
+        """Map extraction + equirect re-projection round-trip."""
+        out, _ = slam_result_pano
+        assert out.slam_map is not None
+        xyz, _ = out.slam_map.masked_points()
+        assert len(xyz) > 50
+        import jax.numpy as _jnp
+
+        from vipe_tpu.ops import lie as _lie
+
+        w2c = np.asarray(_lie.se3_inv(_jnp.asarray(out.trajectory[0])))
+        depth = out.slam_map.project_map(
+            w2c, out.intrinsics, cam.CameraType.PANORAMA, (H, W),
+            frame_idx=0,
+        )
+        assert depth.shape == (H, W)
+        assert (depth > 0).sum() > 50
+        d = depth[depth > 0]
+        assert 0.5 < float(np.median(d)) < 5.0

@@ -111,10 +111,28 @@ def _mei_proj(intr, pts, limit_min_depth=True):
 # ---------------------------------------------------------------------------
 
 
+def panorama_intrinsics(h, w):
+    """Pixel-unit equirect parameterization: u = fx·θ + cx, v = fy·φ.
+
+    The reference's panorama model works in NORMALIZED [0,1] coords with
+    all-zero intrinsics and never projects (utils/cameras.py:357-400 — BA
+    for panoramas relies on iproj only).  The TPU rebuild keeps the whole
+    SLAM grid in PIXEL units (GRU flow deltas, corr windows, BA targets are
+    all pixel-valued), so the panorama camera carries an explicit pixel
+    scale instead: fx = w/2π, fy = h/π, cx = w/2, cy = 0.  The reference's
+    normalized convention is the (w=1, h=1) special case.  Artifact output
+    still writes all-zero intrinsics for panoramas (reference convention,
+    streams/base.py:56)."""
+    return jnp.asarray(
+        [w / (2.0 * jnp.pi), h / jnp.pi, w / 2.0, 0.0], jnp.float32
+    )
+
+
 def _panorama_iproj(intr, u, v, disp):
-    del intr
-    theta = (u - 0.5) * (2.0 * jnp.pi)
-    phi = v * jnp.pi
+    k = _expand(intr, disp)
+    fx, fy, cx, cy = jnp.moveaxis(k, -1, 0)
+    theta = (u - cx) / fx
+    phi = (v - cy) / fy
     sin_phi = jnp.sin(phi)
     x = sin_phi * jnp.sin(theta)
     y = -jnp.cos(phi)
@@ -123,14 +141,21 @@ def _panorama_iproj(intr, u, v, disp):
 
 
 def _panorama_proj(intr, pts, limit_min_depth=True):
-    del intr, limit_min_depth
+    del limit_min_depth
+    k = _expand(intr, pts[..., 0])
+    fx, fy, cx, cy = jnp.moveaxis(k, -1, 0)
     X, Y, Z = pts[..., 0], pts[..., 1], pts[..., 2]
     r = jnp.sqrt(jnp.maximum(X * X + Y * Y + Z * Z, 1e-12))
-    theta = jnp.arctan2(X, Z)
-    phi = jnp.arccos(jnp.clip(-Y / r, -1.0, 1.0))
-    u = theta / (2.0 * jnp.pi) + 0.5
-    v = phi / jnp.pi
-    return jnp.stack([u, v], axis=-1)
+    # pole guard: at X=Z=0 arctan2's jacfwd is NaN (0/0), which would
+    # poison the BA Hessian even under zero weights — substitute a fixed
+    # azimuth (zero gradient) there
+    safe = X * X + Z * Z > 1e-12
+    theta = jnp.arctan2(
+        jnp.where(safe, X, 0.0), jnp.where(safe, Z, 1.0)
+    )
+    # clip guard keeps arccos' derivative finite at the poles too
+    phi = jnp.arccos(jnp.clip(-Y / r, -1.0 + 1e-6, 1.0 - 1e-6))
+    return jnp.stack([fx * theta + cx, fy * phi + cy], axis=-1)
 
 
 _IPROJ = {
@@ -180,9 +205,10 @@ def pinhole_equivalent(camera_type: CameraType, intrinsics):
 
 
 def scaled_intrinsics(camera_type: CameraType, intrinsics, scale):
-    """Rescale intrinsics for a resized image (distortion params untouched)."""
-    if camera_type == CameraType.PANORAMA:
-        return intrinsics
+    """Rescale intrinsics for a resized image (distortion params untouched).
+
+    Panorama intrinsics are the pixel-unit equirect scales
+    (``panorama_intrinsics``) and rescale like pinhole ones."""
     pix = intrinsics[..., :4] * scale
     return jnp.concatenate([pix, intrinsics[..., 4:]], axis=-1)
 

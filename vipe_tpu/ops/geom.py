@@ -76,7 +76,15 @@ def iproj_i_proj_j_disp(
     pts_i = cam.iproj_disp(camera_type, intrinsics_i, u, v, disps_i)
     pts_j = act_homog(Gij[:, None, None, :] if pts_i.ndim == 4 else Gij, pts_i)
     coords = cam.proj_points(camera_type, intrinsics_j, pts_j)
-    valid = pts_j[..., 2] > MIN_DEPTH
+    if camera_type == cam.CameraType.PANORAMA:
+        # an equirect camera sees every direction: validity is a minimum
+        # RANGE, not a minimum forward depth.  pts = [xyz·d_true⁻¹·…]: the
+        # homogeneous radius |xyz| equals d·range, so range > MIN_DEPTH
+        # ⇔ |xyz| > MIN_DEPTH·d.
+        r = jnp.linalg.norm(pts_j[..., :3], axis=-1)
+        valid = r > MIN_DEPTH * pts_j[..., 3]
+    else:
+        valid = pts_j[..., 2] > MIN_DEPTH
     return coords, valid
 
 

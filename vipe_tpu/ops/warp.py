@@ -28,8 +28,11 @@ def camera_rays(intrinsics, ht: int, wd: int,
     the panorama equirect branch)."""
     u, v = geom.pixel_grid(ht, wd)
     if camera_type == cam.CameraType.PANORAMA:
+        # panorama intrinsics are all-zero at the artifact level (reference
+        # convention); the pixel-unit equirect scales follow from the size
         pts = cam.iproj_disp(
-            camera_type, intrinsics, u / wd, v / ht, jnp.ones_like(u)
+            camera_type, cam.panorama_intrinsics(ht, wd), u, v,
+            jnp.ones_like(u),
         )
     else:
         pts = cam.iproj_disp(camera_type, intrinsics, u, v, jnp.ones_like(u))

@@ -91,11 +91,6 @@ def _jitted_extract_map(camera_type, Nb, poses, rig_v, disps, intr_grid,
     dispatches.  Rows ≥ n are bucket padding, masked out by the caller."""
     ht, wd = disps.shape[-2:]
     u, v = geom.pixel_grid(ht, wd)
-    if camera_type == cam.CameraType.PANORAMA:
-        # the panorama model expects NORMALIZED [0,1] coords
-        # (reference utils/cameras.py:376-379)
-        u = u / wd
-        v = v / ht
     poses = jax.vmap(lambda p: lie.se3_mul(lie.se3_inv(rig_v), p))(poses)
     c2w = lie.se3_inv(poses)
     pts_local = cam.iproj_disp(
@@ -161,13 +156,20 @@ class GraphBuffer:
         self.poses = jnp.broadcast_to(
             lie.se3_identity(), (B, 7)
         ).astype(jnp.float32)
-        if V == 1:
-            self.intrinsics = jnp.zeros(
+        if camera_type == cam.CameraType.PANORAMA:
+            # the equirect camera is fully determined by the frame size
+            # (pixel-unit parameterization, ops/cameras.panorama_intrinsics);
+            # the stream's all-zero panorama intrinsics are ignored
+            base_intr = cam.panorama_intrinsics(height, width)
+        else:
+            base_intr = jnp.zeros(
                 (camera_type.intrinsics_dim(),), jnp.float32
             )
+        if V == 1:
+            self.intrinsics = base_intr
         else:
-            self.intrinsics = jnp.zeros(
-                (V, camera_type.intrinsics_dim()), jnp.float32
+            self.intrinsics = jnp.broadcast_to(
+                base_intr, (V, camera_type.intrinsics_dim())
             )
         # rig c2w per view (reference buffer.py:101-103)
         if rig is None:
@@ -311,7 +313,8 @@ class GraphBuffer:
         arrs = {n: getattr(self, n) for n in vals}
         for n, a in jaxutil.set_rows_tree(arrs, vals, k * V).items():
             setattr(self, n, a)
-        if intrinsics is not None and k == 0:
+        if (intrinsics is not None and k == 0
+                and self.camera_type != cam.CameraType.PANORAMA):
             self.intrinsics = jnp.asarray(intrinsics, jnp.float32).reshape(
                 self.intrinsics.shape
             )
@@ -460,11 +463,14 @@ class GraphBuffer:
         else:
             frames = [frame_idx]
 
+        from ..utils import profiling
+
         for k in frames:
-            out = depth_model.estimate_depth(
-                self.images[k].astype(jnp.float32) / 255.0,
-                focal_length=float(self.intrinsics[0]),
-            )
+            with profiling.stage("keyframe_depth"):
+                out = depth_model.estimate_depth(
+                    self.images[k].astype(jnp.float32) / 255.0,
+                    focal_length=float(self.intrinsics[0]),
+                )
             d = out[3::8, 3::8]
             sens = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-8), d)
             self.disps_sens = jaxutil.set_row(self.disps_sens, k, sens)

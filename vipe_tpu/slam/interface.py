@@ -59,19 +59,27 @@ class SLAMMap:
         pts_c = np.asarray(
             lie.se3_act(jnp.asarray(pose_w2c), jnp.asarray(pts, np.float32))
         )
-        z = pts_c[:, 2]
+        if camera_type == cam.CameraType.PANORAMA:
+            # the equirect camera sees every direction: depth = range
+            z = np.linalg.norm(pts_c, axis=-1)
+        else:
+            z = pts_c[:, 2]
         keep = z > 0.01
         pts_c, z = pts_c[keep], z[keep]
         if len(pts_c) == 0:
             return np.zeros(image_size, np.float32)
+        H, W = image_size
         homog = np.concatenate([pts_c, np.ones_like(z[:, None])], -1)
+        if camera_type == cam.CameraType.PANORAMA:
+            # artifact-level panorama intrinsics are all zero; the projection
+            # uses the pixel-unit equirect scales derived from the size
+            intrinsics = cam.panorama_intrinsics(H, W)
         uv = np.asarray(
             cam.proj_points(
                 camera_type, jnp.asarray(intrinsics), jnp.asarray(homog),
                 limit_min_depth=False,
             )
         )
-        H, W = image_size
         ui = np.round(uv[:, 0]).astype(np.int64)
         vi = np.round(uv[:, 1]).astype(np.int64)
         ok = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
