@@ -31,75 +31,115 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lookup_level(vol_blk, u, v, radius: int):
-    """Windowed bilinear lookup for one level inside the kernel.
+def _window_selections(cr, radius: int, scale: float, h2: int, w2: int):
+    """Bilinear window one-hot selections built at their FINAL rank.
 
-    vol_blk: (R, w1, h2, w2) f32 VMEM block (R source rows).
-    u, v:    (R, w1) f32 coords at this level's scale.
-    Returns (R, w1, k, k) f32.
-    """
-    R, w1, h2, w2 = vol_blk.shape
+    Mosaic-legal by construction (probed on v5e): broadcasted_iota +
+    comparisons at rank 3, no reshapes anywhere (Mosaic rejects reshapes
+    that touch the minor two dims — "unsupported shape cast").
+
+    cr: (P, 2) f32 level-0 coords.  Returns
+      Wy  (P, k, h2)  bf16 — row selection (contracted against the bf16
+                       volume on the MXU);
+      Wx2 (P, k², w2) f32  — column selection at FLAT window index
+                       j = dy·k + dx (dx = j mod k);
+      R   (P, k², k)  f32  — expansion one-hots R[p, j, dy] = [dy == j//k].
+
+    Why flat: a (P, k, k) output block leaves the minor two vector dims at
+    (7, 7), which Mosaic tiles to (8, 128) — an 18× VMEM blowup that OOMs
+    the scoped 16 MB budget.  Flattening the window axis to k² = 49 keeps
+    the lane dim productive."""
     k = 2 * radius + 1
+    kk = k * k
+    P = cr.shape[0]
+    u = cr[:, 0:1] * scale                              # (P, 1)
+    v = cr[:, 1:2] * scale
     u0 = jnp.floor(u)
     v0 = jnp.floor(v)
-    du = (u - u0)[..., None, None]                      # (R, w1, 1, 1)
-    dv = (v - v0)[..., None, None]
+    du = (u - u0)[:, :, None]                           # (P, 1, 1)
+    dv = (v - v0)[:, :, None]
 
-    offs = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) - radius  # (k,1)
+    offs_y = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1), 1) - radius
+    j_idx = jax.lax.broadcasted_iota(jnp.int32, (1, kk, 1), 1)
+    offs_x = j_idx % k - radius
 
-    # selection rows built in VMEM: (R, w1, k, size)
-    def sel(center, frac, size):
-        base = center[..., None, None].astype(jnp.int32) + offs  # (R,w1,k,1)
-        grid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, size), 3)
+    def sel(center, frac, offs, size):
+        base = center[:, :, None].astype(jnp.int32) + offs
+        grid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, size), 2)
         one0 = (base == grid).astype(jnp.float32)
         one1 = (base + 1 == grid).astype(jnp.float32)
         return (1.0 - frac) * one0 + frac * one1
 
-    Wy = sel(v0, dv, h2)                                # (R, w1, k, h2)
-    Wx = sel(u0, du, w2)                                # (R, w1, k, w2)
+    Wy = sel(v0, dv, offs_y, h2).astype(jnp.bfloat16)
+    Wx2 = sel(u0, du, offs_x, w2)
+    dy_grid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k), 2)
+    R = jnp.broadcast_to(
+        (j_idx // k == dy_grid).astype(jnp.float32), (P, kk, k)
+    )
+    return Wy, Wx2, R
 
-    P = R * w1
-    t = jax.lax.dot_general(                            # (P, k, w2)
-        Wy.reshape(P, k, h2), vol_blk.reshape(P, h2, w2),
-        (((2,), (1,)), ((0,), (0,))),
+
+def _flat_window_output(t, Wx2, R):
+    """Row-contracted values t (P, k, w2) → flat window output (P, k²).
+
+    t2[p, j, x] = t[p, j//k, x] via the expansion one-hot (a P-batched
+    rank-3 dot — probed legal), then the x-selection collapses as an
+    elementwise multiply-reduce on the VPU."""
+    t2 = jax.lax.dot_general(                           # (P, k², w2)
+        R, t, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    out = jax.lax.dot_general(                          # (P, k, k)
-        t, Wx.reshape(P, k, w2),
-        (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )
-    return out.reshape(R, w1, k, k)
+    return jnp.sum(t2 * Wx2, axis=-1)                   # (P, k²)
 
 
 def _kernel_fused(coords_ref, f1_ref, *refs, radius: int, levels: int):
-    """altcorr-style fused build+lookup: per source-row block, each level's
-    correlation volume is computed ON THE MXU IN VMEM (f1_blk @ f2ᵀ) and
+    """altcorr-style fused build+lookup: per pixel block, each level's
+    correlation volume is computed ON THE MXU IN VMEM (f1_blk · f2ᵀ) and
     immediately contracted with the bilinear window selection — the volume
     never exists in HBM.  TPU analog of the reference's shared-memory
     ``altcorr_forward`` (/root/reference/csrc/droid_net_ext/
-    altcorr_kernel.cu:27-130)."""
+    altcorr_kernel.cu:27-130).
+
+    No reshapes in the body (Mosaic-illegal on minor dims): the volume is
+    produced directly at rank 3 by contracting C against the rank-3 f2
+    block, and selections are built at final rank."""
     f2_refs = refs[:levels]
-    out_ref = refs[levels]
-    cr = coords_ref[0]                                   # (R, w1, 2)
-    f1 = f1_ref[0]                                       # (R, w1, C) bf16
-    R, w1, C = f1.shape
+    out_refs = refs[levels:]
+    cr = coords_ref[0]                                   # (P, 2)
+    f1 = f1_ref[0]                                       # (P, C) bf16
+    P = f1.shape[0]
     k = 2 * radius + 1
-    outs = []
     for lvl in range(levels):
         scale = 1.0 / (2.0 ** lvl)
-        u = cr[..., 0] * scale
-        v = cr[..., 1] * scale
-        f2 = f2_refs[lvl][0]                             # (h2, w2, C) bf16
-        h2, w2 = f2.shape[0], f2.shape[1]
-        vol = jax.lax.dot_general(                       # (R·w1, h2·w2)
-            f1.reshape(R * w1, C), f2.reshape(h2 * w2, C),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(R, w1, h2, w2)
-        o = _lookup_level(vol, u, v, radius)
-        outs.append(o.reshape(R, w1, k * k))
-    out_ref[0] = jnp.concatenate(outs, axis=-1)
+        f2t_ref = f2_refs[lvl]                           # (1, h2, C, w2) bf16
+        h2, w2 = f2t_ref.shape[1], f2t_ref.shape[3]
+        v = cr[:, 1:2] * scale                           # (P, 1)
+        v0 = jnp.floor(v)
+        dv = v - v0                                      # (P, 1)
+        offs = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1) - radius
+        base_y = v0.astype(jnp.int32) + offs             # (P, k)
+        _, Wx2, R = _window_selections(cr, radius, scale, h2, w2)
+
+        # Wy·(f1·f2ᵀ) accumulated row-by-row: each target row y costs one
+        # (P, C)·(C, w2) MXU matmul + a (P, k, w2) VPU FMA.  Mosaic has no
+        # legal way to materialize the (P, h2, w2) volume from a 2D matmul
+        # (minor-dim reshapes and rank-2×rank-3 contractions both fail to
+        # lower — scripts/probe_mosaic.py), so the y-contraction rides the
+        # accumulation instead.
+        def body(y, t):
+            f2_y = f2t_ref[0, y]                         # (C, w2)
+            vol_y = jax.lax.dot_general(                 # (P, w2)
+                f1, f2_y, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            wy = ((base_y == y).astype(jnp.float32) * (1.0 - dv)
+                  + (base_y + 1 == y).astype(jnp.float32) * dv)  # (P, k)
+            return t + wy[:, :, None] * vol_y[:, None, :]
+
+        t = jax.lax.fori_loop(
+            0, h2, body, jnp.zeros((P, k, w2), jnp.float32)
+        )
+        out_refs[lvl][0] = _flat_window_output(t, Wx2, R)
 
 
 def corr_fused_pallas(
@@ -144,84 +184,104 @@ def corr_fused_pallas(
 def _corr_fused_call(f1, fmap2_pyr, coords, radius, interpret, row_block):
     L = len(fmap2_pyr)
     E, h1, w1, C = f1.shape
+    P_all = h1 * w1
     k = 2 * radius + 1
 
-    def _vmem_bytes(r):
-        P = r * w1
-        vol = max(f.shape[1] * f.shape[2] for f in fmap2_pyr) * P * 4
-        f2s = sum(f.shape[1] * f.shape[2] * C * 2 for f in fmap2_pyr)
-        sel = sum(
-            P * k * (f.shape[1] + f.shape[2]) * 4 for f in fmap2_pyr
-        )
-        t = max(P * k * f.shape[2] * 4 for f in fmap2_pyr)
-        return vol + f2s + sel + t + P * (C * 2 + (2 + L * k * k) * 4)
+    kk = k * k
 
-    R = 1
-    for cand in (row_block, 8, 4, 2):
-        if h1 % cand == 0 and _vmem_bytes(cand) < 8 * 1024 * 1024:
-            R = cand
+    def _vmem_bytes(p):
+        # f2 level blocks (shared, double-buffered), f1 block, per-level
+        # transients: t (P,k,w2), t2/Wx2 (P,k²,w2), R, padded flat outputs
+        f2s = 2 * sum(f.shape[1] * f.shape[2] * C * 2 for f in fmap2_pyr)
+        w2m = max(f.shape[2] for f in fmap2_pyr)
+        h2s = sum(f.shape[1] for f in fmap2_pyr)
+        trans = p * (k * w2m + 2 * kk * w2m + kk * k) * 4
+        sel_y = p * k * h2s * 2
+        out = p * L * max(kk, 128) * 4
+        return f2s + trans + sel_y + out + p * (C * 2 + 2 * 4)
+
+    Pb = w1
+    for cand in (row_block * w1, 8 * w1, 4 * w1, 2 * w1):
+        if P_all % cand == 0 and _vmem_bytes(cand) < 8 * 1024 * 1024:
+            Pb = cand
             break
 
-    grid = (E, h1 // R)
+    coords_f = coords.reshape(E, P_all, 2)
+    f1_f = f1.reshape(E, P_all, C)
+    # per-row (C, w2) layout so the kernel's row matmul contracts C directly
+    fmap2_t = tuple(f.transpose(0, 1, 3, 2) for f in fmap2_pyr)
+
+    grid = (E, P_all // Pb)
     in_specs = [
         pl.BlockSpec(
-            (1, R, w1, 2), lambda e, y: (e, y, 0, 0),
+            (1, Pb, 2), lambda e, y: (e, y, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, R, w1, C), lambda e, y: (e, y, 0, 0),
+            (1, Pb, C), lambda e, y: (e, y, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
-    for f in fmap2_pyr:
-        h2, w2 = f.shape[1], f.shape[2]
+    for f in fmap2_t:
+        h2, w2 = f.shape[1], f.shape[3]
         in_specs.append(
             pl.BlockSpec(
-                (1, h2, w2, C), lambda e, y: (e, 0, 0, 0),
+                (1, h2, C, w2), lambda e, y: (e, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
-    out_spec = pl.BlockSpec(
-        (1, R, w1, L * k * k), lambda e, y: (e, y, 0, 0),
-        memory_space=pltpu.VMEM,
+    # one flat (E, P, k²) output PER LEVEL (multi-output avoids both the
+    # Mosaic-illegal minor-dim concat/reshape and the (7,7) tile blowup);
+    # XLA concatenates level-major outside, matching the XLA path's layout
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((E, P_all, k * k), jnp.float32)
+        for _ in range(L)
+    )
+    out_specs = tuple(
+        pl.BlockSpec((1, Pb, k * k), lambda e, y: (e, y, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(L)
     )
     flops = 2 * E * h1 * w1 * sum(
         (C + k) * f.shape[1] * f.shape[2] + k * k * f.shape[2]
         for f in fmap2_pyr
     )
-    reads = coords.size * 4 + f1.size * 2 + E * h1 // R * sum(
+    reads = coords.size * 4 + f1.size * 2 + E * P_all // Pb * sum(
         f.shape[1] * f.shape[2] * C * 2 for f in fmap2_pyr
     )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_kernel_fused, radius=radius, levels=L),
-        out_shape=jax.ShapeDtypeStruct((E, h1, w1, L * k * k), jnp.float32),
+        out_shape=out_shapes,
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_spec,
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=reads + E * h1 * w1 * L * k * k * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(coords, f1, *fmap2_pyr)
+    )(coords_f, f1_f, *fmap2_t)
+    return jnp.concatenate(
+        [o.reshape(E, h1, w1, k * k) for o in outs], axis=-1
+    )
 
 
 def _kernel(coords_ref, *refs, radius: int, levels: int):
     vol_refs = refs[:levels]
-    out_ref = refs[levels]
-    cr = coords_ref[0]                                   # (R, w1, 2)
-    k = 2 * radius + 1
-    outs = []
+    out_refs = refs[levels:]
+    cr = coords_ref[0]                                   # (P, 2)
     for lvl in range(levels):
         scale = 1.0 / (2.0 ** lvl)
-        u = cr[..., 0] * scale
-        v = cr[..., 1] * scale
-        vol = vol_refs[lvl][0].astype(jnp.float32)       # (R, w1, h2, w2)
-        o = _lookup_level(vol, u, v, radius)
-        R, w1 = o.shape[:2]
-        outs.append(o.reshape(R, w1, k * k))
-    out_ref[0] = jnp.concatenate(outs, axis=-1)
+        vol = vol_refs[lvl][0]                           # (P, h2, w2) bf16
+        h2, w2 = vol.shape[1], vol.shape[2]
+        Wy, Wx2, R = _window_selections(cr, radius, scale, h2, w2)
+        t = jax.lax.dot_general(                         # (P, k, w2)
+            Wy, vol.astype(Wy.dtype),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        out_refs[lvl][0] = _flat_window_output(t, Wx2, R)
 
 
 @functools.partial(
@@ -236,52 +296,72 @@ def corr_lookup_pyramid_pallas(
     pyramid: list of (E, h1, w1, h2_l, w2_l) volumes (bf16 or f32);
     coords:  (E, h1, w1, 2) level-0 (u, v).
     Returns (E, h1, w1, L·(2r+1)²) f32.
+
+    Blocks are PIXEL-FLAT: volumes/coords are reshaped (free, in XLA) to
+    (E, h1·w1, …) outside the kernel and the kernel body never reshapes —
+    Mosaic rejects reshapes touching the minor two dims (probed:
+    scripts/probe_mosaic.py), while P-batched rank-3 contractions and
+    rank-3 iota/one-hot construction compile fine.
     """
     pyramid = tuple(pyramid)
     L = len(pyramid)
     E, h1, w1 = coords.shape[:3]
+    P_all = h1 * w1
     k = 2 * radius + 1
 
-    def _vmem_bytes(r):
-        # volume blocks (input dtype + in-kernel f32 cast), coords, output,
-        # selection matrices and the (P, k, w2) row-contraction transient
-        vols = sum(
-            r * w1 * v.shape[3] * v.shape[4] * (v.dtype.itemsize + 4)
-            for v in pyramid
-        )
-        sel = sum(
-            r * w1 * k * (v.shape[3] + v.shape[4]) * 4 for v in pyramid
-        )
-        t = max(r * w1 * k * v.shape[4] * 4 for v in pyramid)
-        return vols + sel + t + r * w1 * (2 + L * k * k) * 4
+    kk = k * k
 
-    # largest row block that divides h1 AND fits comfortably in VMEM
+    def _vmem_bytes(p):
+        # volume blocks (double-buffered), coords, padded flat outputs,
+        # bf16 row selections + the (P,k²,·) transients (t2, Wx2, R)
+        vols = 2 * sum(
+            p * v.shape[3] * v.shape[4] * v.dtype.itemsize for v in pyramid
+        )
+        w2m = max(v.shape[4] for v in pyramid)
+        h2s = sum(v.shape[3] for v in pyramid)
+        trans = p * (k * w2m + 2 * kk * w2m + kk * k) * 4
+        sel_y = p * k * h2s * 2
+        out = p * L * max(kk, 128) * 4
+        return vols + trans + sel_y + out + p * 2 * 4
+
+    # largest pixel block that divides h1·w1 AND fits comfortably in VMEM
     # (~16 MB/core; leave half for pipelining/double buffering)
-    R = 1
-    for cand in (row_block, 8, 4, 2):
-        if h1 % cand == 0 and _vmem_bytes(cand) < 8 * 1024 * 1024:
-            R = cand
+    Pb = w1
+    for cand in (row_block * w1, 8 * w1, 4 * w1, 2 * w1):
+        if P_all % cand == 0 and _vmem_bytes(cand) < 8 * 1024 * 1024:
+            Pb = cand
             break
 
-    grid = (E, h1 // R)
+    coords_f = coords.reshape(E, P_all, 2)
+    pyr_f = tuple(
+        v.reshape(E, P_all, v.shape[3], v.shape[4]) for v in pyramid
+    )
+
+    grid = (E, P_all // Pb)
     in_specs = [
         pl.BlockSpec(
-            (1, R, w1, 2), lambda e, y: (e, y, 0, 0),
+            (1, Pb, 2), lambda e, y: (e, y, 0),
             memory_space=pltpu.VMEM,
         )
     ]
-    for vol in pyramid:
-        h2, w2 = vol.shape[3], vol.shape[4]
+    for vol in pyr_f:
+        h2, w2 = vol.shape[2], vol.shape[3]
         in_specs.append(
             pl.BlockSpec(
-                (1, R, w1, h2, w2),
-                lambda e, y: (e, y, 0, 0, 0),
+                (1, Pb, h2, w2),
+                lambda e, y: (e, y, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         )
-    out_spec = pl.BlockSpec(
-        (1, R, w1, L * k * k), lambda e, y: (e, y, 0, 0),
-        memory_space=pltpu.VMEM,
+    # one flat (E, P, k²) output per level (see _corr_fused_call)
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct((E, P_all, k * k), jnp.float32)
+        for _ in range(L)
+    )
+    out_specs = tuple(
+        pl.BlockSpec((1, Pb, k * k), lambda e, y: (e, y, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(L)
     )
     flops = 2 * E * h1 * w1 * k * sum(
         v.shape[3] * v.shape[4] + v.shape[4] * k for v in pyramid
@@ -289,16 +369,20 @@ def corr_lookup_pyramid_pallas(
     reads = coords.size * 4 + sum(
         v.size * v.dtype.itemsize for v in pyramid
     )
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(_kernel, radius=radius, levels=L),
-        out_shape=jax.ShapeDtypeStruct((E, h1, w1, L * k * k), jnp.float32),
+        out_shape=out_shapes,
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_spec,
+        out_specs=out_specs,
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=reads + E * h1 * w1 * L * k * k * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(coords, *pyramid)
+    )(coords_f, *pyr_f)
+    # level-major channel order, identical to the XLA path's concatenation
+    return jnp.concatenate(
+        [o.reshape(E, h1, w1, k * k) for o in outs], axis=-1
+    )
