@@ -19,13 +19,20 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 import numpy as np
 
 
-def synth_stream(n_frames: int, h: int = 720, w: int = 1280, seed: int = 0):
+def synth_stream(n_frames: int, h: int = 720, w: int = 1280, seed: int = 0,
+                 with_intrinsics: bool = True):
+    # BENCH_RES=HxW overrides the 720p default (structural smoke runs)
+    res = os.environ.get("BENCH_RES")
+    if res:
+        h, w = (int(v) for v in res.split("x"))
     from vipe_tpu.streams.base import FrameAttribute, VideoFrame, VideoStream
 
     rng = np.random.default_rng(seed)
     base = rng.random((h + 64, w + 64, 3)).astype(np.float32)
 
     class _S(VideoStream):
+        _name = f"bench{seed}"
+
         def __len__(self):
             return n_frames
 
@@ -33,7 +40,10 @@ def synth_stream(n_frames: int, h: int = 720, w: int = 1280, seed: int = 0):
             return (h, w)
 
         def attributes(self):
-            return {FrameAttribute.RGB, FrameAttribute.INTRINSICS}
+            attrs = {FrameAttribute.RGB}
+            if with_intrinsics:
+                attrs.add(FrameAttribute.INTRINSICS)
+            return attrs
 
         def __iter__(self):
             for k in range(n_frames):
@@ -45,7 +55,7 @@ def synth_stream(n_frames: int, h: int = 720, w: int = 1280, seed: int = 0):
                     rgb=base[oy: oy + h, ox: ox + w],
                     intrinsics=np.asarray(
                         [w * 0.9, w * 0.9, w / 2, h / 2], np.float32
-                    ),
+                    ) if with_intrinsics else None,
                 )
 
     return _S()
@@ -78,6 +88,67 @@ def calibrate_filter_thresh(n: int = 12) -> float:
     return float(np.quantile(scores, 0.66))
 
 
+def main_pipeline_full(gate: dict):
+    """BENCH_PIPELINE=full: the COMPLETE annotation pipeline — GeoCalib
+    intrinsics, TrackAnything per-frame instance masking, UniDepth-L
+    keyframe depth, SLAM, adaptive post depth (PriorDA/VDA branches), and
+    artifact writing — i.e. what the reference's
+    DefaultAnnotationPipeline.run does (reference pipeline/default.py:93-143)
+    and what the 150 fps north star actually names.  Reference-default
+    hyperparameters (configs/pipeline/full.yaml: backend_iters=24,
+    buffer=1024).  Reports aggregate fps + a per-stage wall-clock budget
+    (utils/profiling.py) on stderr."""
+    import shutil
+    import sys as _sys
+    import tempfile
+
+    from vipe_tpu.pipeline.default import DefaultAnnotationPipeline
+    from vipe_tpu.utils import profiling
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", "48"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    phrases = ["person", "animal", "vehicle", "ball", "balloon",
+               "gun", "pet", "car", "bus", "sky"]
+
+    def run_once():
+        out_dir = tempfile.mkdtemp(prefix="bench_pipe_")
+        pipe = DefaultAnnotationPipeline(
+            init=dict(intrinsics="geocalib", camera_type="pinhole",
+                      instance="track_anything", phrases=phrases),
+            slam=dict(camera_type="pinhole", keyframe_depth="unidepth-l",
+                      optimize_intrinsics=True, buffer=1024,
+                      backend_iters=24, infill_chunk_size=16,
+                      corr_mode=os.environ.get("BENCH_CORR_MODE", "volume"),
+                      **gate),
+            post=dict(depth_align_model="adaptive_unidepth-l_svda"),
+            output=dict(path=out_dir, save_viz=True,
+                        viz_attributes=["rgb", "depth"]),
+        )
+        out = pipe.run(synth_stream(n_frames, with_intrinsics=False))
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return out
+
+    run_once()  # warm: identical workload (remote compiles, jit buckets)
+    profiling.snapshot(reset=True)
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = run_once()
+        dt = time.perf_counter() - t0
+        assert len(out.frame_inds) == n_frames
+        best = dt if best is None else min(best, dt)
+
+    fps = n_frames / best
+    budget = profiling.snapshot()
+    print(json.dumps({"stage_budget_s_over_reps": budget}), file=_sys.stderr)
+    print(json.dumps({
+        "metric": "pipeline_annotation_fps_720p",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 150.0, 4),
+    }))
+
+
 def main():
     import jax
 
@@ -97,6 +168,11 @@ def main():
         # (content-insensitive), so gate keyframes deterministically at the
         # realistic trained-weights cadence of 1 in 3
         gate = dict(filter_thresh=float("inf"), keyframe_stride=3)
+
+    # BENCH_PIPELINE=full: the complete annotation pipeline (priors +
+    # masking + depth + artifacts), not just the SLAM hot path
+    if os.environ.get("BENCH_PIPELINE") == "full":
+        return main_pipeline_full(gate)
 
     # BENCH_CORR_MODE=alt: packed-feature edge state with on-the-fly
     # window dots (pair with VIPE_PALLAS=1 for the fused kernel) — A/B

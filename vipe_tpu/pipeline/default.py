@@ -18,6 +18,7 @@ from ..streams.base import (
     VideoStream,
 )
 from ..utils import io as io_utils
+from ..utils import profiling
 from . import AnnotationPipelineOutput, Pipeline
 from .processors import (
     AdaptiveDepthProcessor,
@@ -88,7 +89,8 @@ class DefaultAnnotationPipeline(Pipeline):
         slam = SLAMSystem(
             config=self.slam_cfg, metric_depth=self._make_metric_depth()
         )
-        slam_out = slam.run(stream, camera_type=camera_type)
+        with profiling.stage("slam"):
+            slam_out = slam.run(stream, camera_type=camera_type)
 
         # ------------------------------------------------------------- post
         output = self._post_view(stream, slam_out, camera_type,
@@ -204,13 +206,17 @@ class DefaultAnnotationPipeline(Pipeline):
             if f.instance_phrases:
                 instance_phrases.update(f.instance_phrases)
             if writer is not None:
-                writer.add_frame(rgb=f.rgb, depth=f.metric_depth, instance=inst)
+                with profiling.stage("artifact_write"):
+                    writer.add_frame(
+                        rgb=f.rgb, depth=f.metric_depth, instance=inst
+                    )
             if viz_writer is not None:
                 from ..utils.visualization import render_projection_frame
 
-                viz_writer.write(
-                    render_projection_frame(f, k, slam_out, viz_attrs)
-                )
+                with profiling.stage("viz_write"):
+                    viz_writer.write(
+                        render_projection_frame(f, k, slam_out, viz_attrs)
+                    )
             if mem_depths is not None:
                 mem_depths.append(f.metric_depth)
                 mem_masks.append(inst)
