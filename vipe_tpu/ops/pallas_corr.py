@@ -92,6 +92,22 @@ def _flat_window_output(t, Wx2, R):
     return jnp.sum(t2 * Wx2, axis=-1)                   # (P, k²)
 
 
+def _pick_pixel_block(P_all: int, w1: int, row_block: int, vmem_bytes):
+    """Largest multiple of w1 that divides h1·w1 and fits the VMEM budget.
+
+    Any divisor is Mosaic-legal: the pixel-indexed arrays are PRE-BLOCKED
+    to rank 4 (E, G, Pb, ·) in XLA so every block covers its full minor
+    axes ("equal to the respective dimensions" rule) — the 8/128 minor-dim
+    divisibility constraint never applies, even at odd operating grids
+    like 41×73 (the production ~512×384 /8 resolution)."""
+    Pb = w1
+    for cand in (row_block * w1, 8 * w1, 4 * w1, 2 * w1):
+        if P_all % cand == 0 and vmem_bytes(cand) < 8 * 1024 * 1024:
+            Pb = cand
+            break
+    return Pb
+
+
 def _kernel_fused(coords_ref, f1_ref, *refs, radius: int, levels: int):
     """altcorr-style fused build+lookup: per pixel block, each level's
     correlation volume is computed ON THE MXU IN VMEM (f1_blk · f2ᵀ) and
@@ -105,8 +121,8 @@ def _kernel_fused(coords_ref, f1_ref, *refs, radius: int, levels: int):
     block, and selections are built at final rank."""
     f2_refs = refs[:levels]
     out_refs = refs[levels:]
-    cr = coords_ref[0]                                   # (P, 2)
-    f1 = f1_ref[0]                                       # (P, C) bf16
+    cr = coords_ref[0, 0]                                # (P, 2)
+    f1 = f1_ref[0, 0]                                    # (P, C) bf16
     P = f1.shape[0]
     k = 2 * radius + 1
     for lvl in range(levels):
@@ -139,7 +155,7 @@ def _kernel_fused(coords_ref, f1_ref, *refs, radius: int, levels: int):
         t = jax.lax.fori_loop(
             0, h2, body, jnp.zeros((P, k, w2), jnp.float32)
         )
-        out_refs[lvl][0] = _flat_window_output(t, Wx2, R)
+        out_refs[lvl][0, 0] = _flat_window_output(t, Wx2, R)
 
 
 def corr_fused_pallas(
@@ -200,25 +216,26 @@ def _corr_fused_call(f1, fmap2_pyr, coords, radius, interpret, row_block):
         out = p * L * max(kk, 128) * 4
         return f2s + trans + sel_y + out + p * (C * 2 + 2 * 4)
 
-    Pb = w1
-    for cand in (row_block * w1, 8 * w1, 4 * w1, 2 * w1):
-        if P_all % cand == 0 and _vmem_bytes(cand) < 8 * 1024 * 1024:
-            Pb = cand
-            break
+    Pb = _pick_pixel_block(P_all, w1, row_block, _vmem_bytes)
+    G = P_all // Pb
 
-    coords_f = coords.reshape(E, P_all, 2)
-    f1_f = f1.reshape(E, P_all, C)
+    # pixel-indexed arrays PRE-BLOCKED to rank 4: every BlockSpec covers
+    # its full minor axes, so Mosaic's 8/128 minor-dim divisibility rule
+    # is satisfied by the "equal to the array dimension" clause at ANY
+    # operating grid (41×73 included)
+    coords_f = coords.reshape(E, G, Pb, 2)
+    f1_f = f1.reshape(E, G, Pb, C)
     # per-row (C, w2) layout so the kernel's row matmul contracts C directly
     fmap2_t = tuple(f.transpose(0, 1, 3, 2) for f in fmap2_pyr)
 
-    grid = (E, P_all // Pb)
+    grid = (E, G)
     in_specs = [
         pl.BlockSpec(
-            (1, Pb, 2), lambda e, y: (e, y, 0),
+            (1, 1, Pb, 2), lambda e, y: (e, y, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, Pb, C), lambda e, y: (e, y, 0),
+            (1, 1, Pb, C), lambda e, y: (e, y, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -230,15 +247,15 @@ def _corr_fused_call(f1, fmap2_pyr, coords, radius, interpret, row_block):
                 memory_space=pltpu.VMEM,
             )
         )
-    # one flat (E, P, k²) output PER LEVEL (multi-output avoids both the
+    # one flat (E, G, Pb, k²) output PER LEVEL (multi-output avoids both the
     # Mosaic-illegal minor-dim concat/reshape and the (7,7) tile blowup);
     # XLA concatenates level-major outside, matching the XLA path's layout
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((E, P_all, k * k), jnp.float32)
+        jax.ShapeDtypeStruct((E, G, Pb, k * k), jnp.float32)
         for _ in range(L)
     )
     out_specs = tuple(
-        pl.BlockSpec((1, Pb, k * k), lambda e, y: (e, y, 0),
+        pl.BlockSpec((1, 1, Pb, k * k), lambda e, y: (e, y, 0, 0),
                      memory_space=pltpu.VMEM)
         for _ in range(L)
     )
@@ -270,7 +287,7 @@ def _corr_fused_call(f1, fmap2_pyr, coords, radius, interpret, row_block):
 def _kernel(coords_ref, *refs, radius: int, levels: int):
     vol_refs = refs[:levels]
     out_refs = refs[levels:]
-    cr = coords_ref[0]                                   # (P, 2)
+    cr = coords_ref[0, 0]                                # (P, 2)
     for lvl in range(levels):
         scale = 1.0 / (2.0 ** lvl)
         vol = vol_refs[lvl][0]                           # (P, h2, w2) bf16
@@ -281,7 +298,7 @@ def _kernel(coords_ref, *refs, radius: int, levels: int):
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        out_refs[lvl][0] = _flat_window_output(t, Wx2, R)
+        out_refs[lvl][0, 0] = _flat_window_output(t, Wx2, R)
 
 
 @functools.partial(
@@ -326,21 +343,21 @@ def corr_lookup_pyramid_pallas(
 
     # largest pixel block that divides h1·w1 AND fits comfortably in VMEM
     # (~16 MB/core; leave half for pipelining/double buffering)
-    Pb = w1
-    for cand in (row_block * w1, 8 * w1, 4 * w1, 2 * w1):
-        if P_all % cand == 0 and _vmem_bytes(cand) < 8 * 1024 * 1024:
-            Pb = cand
-            break
+    Pb = _pick_pixel_block(P_all, w1, row_block, _vmem_bytes)
+    G = P_all // Pb
 
-    coords_f = coords.reshape(E, P_all, 2)
+    # coords/outputs pre-blocked to rank 4 (see _pick_pixel_block); the
+    # volumes stay rank 4 with the pixel block at dim -3, where Mosaic's
+    # minor-dim rule doesn't constrain it
+    coords_f = coords.reshape(E, G, Pb, 2)
     pyr_f = tuple(
         v.reshape(E, P_all, v.shape[3], v.shape[4]) for v in pyramid
     )
 
-    grid = (E, P_all // Pb)
+    grid = (E, G)
     in_specs = [
         pl.BlockSpec(
-            (1, Pb, 2), lambda e, y: (e, y, 0),
+            (1, 1, Pb, 2), lambda e, y: (e, y, 0, 0),
             memory_space=pltpu.VMEM,
         )
     ]
@@ -353,13 +370,13 @@ def corr_lookup_pyramid_pallas(
                 memory_space=pltpu.VMEM,
             )
         )
-    # one flat (E, P, k²) output per level (see _corr_fused_call)
+    # one flat (E, G, Pb, k²) output per level (see _corr_fused_call)
     out_shapes = tuple(
-        jax.ShapeDtypeStruct((E, P_all, k * k), jnp.float32)
+        jax.ShapeDtypeStruct((E, G, Pb, k * k), jnp.float32)
         for _ in range(L)
     )
     out_specs = tuple(
-        pl.BlockSpec((1, Pb, k * k), lambda e, y: (e, y, 0),
+        pl.BlockSpec((1, 1, Pb, k * k), lambda e, y: (e, y, 0, 0),
                      memory_space=pltpu.VMEM)
         for _ in range(L)
     )
