@@ -187,8 +187,13 @@ def main():
     # the production batch-annotation shape (run.py `interleave`).  Each
     # video's host syncs overlap the other videos' device work; per-video
     # results are identical to serial (tests/test_interleave.py).  Reported
-    # fps is aggregate chip throughput (K·n_frames / wall).
-    n_videos = int(os.environ.get("BENCH_VIDEOS", "1"))
+    # fps is aggregate chip throughput (K·n_frames / wall).  Default 2:
+    # measured round-2/3 A/B — 2-video volume-mode interleave beats single
+    # (+15%); 4-video volume OOMs the chip and 4-video alt is slower than
+    # 1-video volume (alt's on-the-fly window recompute costs ~8x on
+    # device).  The north star (150 fps/chip) is chip throughput, so the
+    # headline measures the deployment shape.
+    n_videos = int(os.environ.get("BENCH_VIDEOS", "2"))
 
     def run(n, seed: int = 0):
         sys_ = SLAMSystem(config=dict(
@@ -229,11 +234,16 @@ def main():
         best = dt if best is None else min(best, dt)
 
     fps = n_frames * n_videos / best
+    name = (
+        "slam_annotation_fps_720p_real" if real_mode
+        else "slam_annotation_fps_720p"
+    )
+    if n_videos > 1:
+        # aggregate chip throughput over an n-video interleave (the
+        # production shape); suffix keeps the metric self-describing
+        name += f"_x{n_videos}"
     print(json.dumps({
-        "metric": (
-            "slam_annotation_fps_720p_real" if real_mode
-            else "slam_annotation_fps_720p"
-        ),
+        "metric": name,
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 150.0, 4),

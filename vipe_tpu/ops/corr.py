@@ -213,10 +213,15 @@ def corr_lookup_pyramid(pyramid, coords, radius: int = 3):
                 f1, pools, coords, radius=radius,
                 interpret=jax.default_backend() == "cpu", prescaled=True,
             )
-        f1 = f1.astype(jnp.float32)
+        # contract in bf16: the (E,h1,w1,S,S,C) gathered-patch transient is
+        # HBM-bandwidth-bound (measured ~8x slower than volume-mode lookups
+        # in f32 on v5e) — halving its traffic is the cheapest lever; the
+        # C=128 dot accumulates in f32 via preferred_element_type inside
+        # einsum, matching the bf16 stored-volume precision of volume mode
+        f1 = f1.astype(jnp.bfloat16)
         outs = [
             alt_corr_lookup_level(
-                f1, pools[lvl].astype(jnp.float32),
+                f1, pools[lvl].astype(jnp.bfloat16),
                 coords / (2.0**lvl), radius,
             )
             for lvl in range(len(pools))
@@ -263,8 +268,11 @@ def alt_corr_lookup_level(fmap1, fmap2, coords, radius: int = 3):
 
     ei = jnp.arange(E)[:, None, None, None, None]
     patch = fmap2[ei, yic[..., :, None], xic[..., None, :]]  # (E,h1,w1,S,S,C)
-    mask = (oky[..., :, None] & okx[..., None, :]).astype(patch.dtype)
-    dots = jnp.einsum("eyxabc,eyxc->eyxab", patch, fmap1) * mask
+    mask = (oky[..., :, None] & okx[..., None, :]).astype(jnp.float32)
+    dots = jnp.einsum(
+        "eyxabc,eyxc->eyxab", patch, fmap1,
+        preferred_element_type=jnp.float32,
+    ) * mask
 
     w00 = ((1 - dv) * (1 - du))[..., None, None]
     w01 = ((1 - dv) * du)[..., None, None]
