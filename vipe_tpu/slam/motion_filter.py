@@ -69,6 +69,94 @@ def _jitted_score(update_fn, masked: bool):
         params, f_fmap, f_net, f_inp, None, fmap))
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_score_vec(update_fn, masked: bool):
+    """Batched variant of :func:`_jitted_score`: scores a (B, ht, wd, 128)
+    block of frame features against ONE shared keyframe reference in a
+    single dispatch, returning per-frame scores (B,).
+
+    The B frames ride the update net's edge axis; only ``delta`` (a per-edge
+    output) feeds the score, so rows can't mix through GraphAgg's
+    per-source aggregation.  Used by the pass-1 upload/encode batching:
+    one stacked upload + one encode + one score dispatch + one vector
+    readback per ``upload_batch`` frames (VERDICT r03 item 8)."""
+
+    def score(params, f_fmap, f_net, f_inp, f_mask, fmaps):
+        B, ht, wd = fmaps.shape[0], fmaps.shape[1], fmaps.shape[2]
+        u, v = jnp.meshgrid(
+            jnp.arange(wd, dtype=jnp.float32),
+            jnp.arange(ht, dtype=jnp.float32),
+            indexing="xy",
+        )
+        coords0 = jnp.broadcast_to(
+            jnp.stack([u, v], axis=-1)[None], (B, ht, wd, 2)
+        )
+        f_b = jnp.broadcast_to(f_fmap, (B,) + f_fmap.shape[1:])
+        pyr = corr_ops.corr_pyramid(
+            f_b.astype(jnp.float32), fmaps.astype(jnp.float32)
+        )
+        corr = corr_ops.corr_lookup_pyramid(pyr, coords0)
+        motn = jnp.zeros((B, ht, wd, 4), jnp.float32)
+        net_b = jnp.broadcast_to(f_net, (B,) + f_net.shape[1:])
+        inp_b = jnp.broadcast_to(f_inp, (B,) + f_inp.shape[1:])
+        _, delta, _, _ = update_fn(
+            params, net_b, inp_b, corr, motn,
+            jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32), 1,
+        )
+        flow_mag = jnp.linalg.norm(delta, axis=-1)  # (B, ht, wd)
+        if masked:
+            w = jnp.broadcast_to(
+                (~f_mask).astype(jnp.float32), (B, ht, wd)
+            )
+            return jnp.mean(flow_mag * w, axis=(1, 2)) / (
+                jnp.mean(w, axis=(1, 2)) + 1e-6
+            )
+        return jnp.mean(flow_mag, axis=(1, 2))
+
+    if masked:
+        return jax.jit(score)
+    return jax.jit(lambda params, f_fmap, f_net, f_inp, fmaps: score(
+        params, f_fmap, f_net, f_inp, None, fmaps))
+
+
+class _SharedScores:
+    """One device (B,) score vector shared by B tokens; the host fetch
+    happens ONCE, on the first row read (the async copy was started at
+    submit, so by resolve time it has usually landed)."""
+
+    __slots__ = ("vec", "_host")
+
+    def __init__(self, vec):
+        self.vec = vec
+        self._host = None
+
+    def row(self, i) -> float:
+        if self._host is None:
+            import numpy as np
+
+            self._host = np.asarray(self.vec)
+        return float(self._host[i])
+
+
+class _RowScore:
+    """float()-able view of one row of a :class:`_SharedScores` vector."""
+
+    __slots__ = ("shared", "i")
+
+    def __init__(self, shared: _SharedScores, i: int):
+        self.shared = shared
+        self.i = i
+
+    def __float__(self) -> float:
+        return self.shared.row(self.i)
+
+    def copy_to_host_async(self):
+        try:
+            self.shared.vec.copy_to_host_async()
+        except Exception:
+            pass
+
+
 @dataclasses.dataclass
 class _Token:
     image: object           # device image handle
@@ -199,6 +287,77 @@ class MotionFilter:
         except Exception:
             pass
         return _Token(image, fmap, score, buffer_mask, self.kf_version, fi)
+
+    def submit_group(self, images, buffer_masks=None, n_valid=None):
+        """Batched :meth:`submit` for ``n_valid`` single-view frames stacked
+        as ``images`` (B, h, w, 3) (rows past n_valid are shape padding).
+
+        Returns ``(tokens, fmaps)``: one token per valid frame plus the
+        (B, ht, wd, 128) feature block (callers park rows from it).  All
+        scores ride ONE fused dispatch against the CURRENT keyframe
+        reference and ONE async vector readback; a token whose reference
+        goes stale before resolve is re-scored exactly like single submits
+        (refresh / resolve recompute paths are shared).
+
+        Pass-1 batching (VERDICT r03 item 8): per ``upload_batch`` frames
+        this turns B uploads + B encode dispatches + B scalar readbacks
+        into 1 + 1 + 1."""
+        B = images.shape[0]
+        n_valid = B if n_valid is None else int(n_valid)
+        if getattr(self.update_fn, "host_only", False):
+            toks = [
+                self.submit(
+                    images[i],
+                    None if buffer_masks is None else buffer_masks[i],
+                )
+                for i in range(n_valid)
+            ]
+            return toks, None
+        fmaps = self.encode_features(self.params, images)
+
+        def _mask(i):
+            if buffer_masks is None:
+                return None
+            m = buffer_masks[i]
+            return None if m is None else (m if m.ndim == 3 else m[None])
+
+        tokens = []
+        start = 0
+        if not self.initialized:
+            self.initialized = True
+            self.current_frame_idx += 1
+            tok = _Token(images[0:1], fmaps[0:1], None, _mask(0),
+                         self.kf_version, self.current_frame_idx)
+            self._promote(tok)
+            tokens.append(tok)
+            start = 1
+        if start >= n_valid:
+            return tokens, fmaps
+        if self._decision_fixed is not None:
+            for i in range(start, n_valid):
+                self.current_frame_idx += 1
+                tokens.append(_Token(images[i: i + 1], fmaps[i: i + 1],
+                                     "fixed", _mask(i), self.kf_version,
+                                     self.current_frame_idx))
+            return tokens, fmaps
+        if self.f_mask is not None:
+            fn = _jitted_score_vec(self.update_fn, True)
+            vec = fn(self.params, self.f_fmap, self.f_net, self.f_inp,
+                     self.f_mask, fmaps)
+        else:
+            fn = _jitted_score_vec(self.update_fn, False)
+            vec = fn(self.params, self.f_fmap, self.f_net, self.f_inp, fmaps)
+        shared = _SharedScores(vec)
+        try:
+            vec.copy_to_host_async()
+        except Exception:
+            pass
+        for i in range(start, n_valid):
+            self.current_frame_idx += 1
+            tokens.append(_Token(images[i: i + 1], fmaps[i: i + 1],
+                                 _RowScore(shared, i), _mask(i),
+                                 self.kf_version, self.current_frame_idx))
+        return tokens, fmaps
 
     def _sparse_score(self, frame_idx: int) -> float:
         """Mean keypoint flow vs the last keyframe, plus the track-attrition

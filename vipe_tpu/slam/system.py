@@ -21,7 +21,7 @@ import numpy as np
 
 from ..ops import cameras as cam
 from ..ops import lie
-from ..utils import jaxutil
+from ..utils import jaxutil, profiling
 from ..streams.base import FrameAttribute, ProcessedVideoStream, StreamProcessor, VideoFrame, VideoStream
 from .backend import SLAMBackend
 from .buffer import GraphBuffer
@@ -402,6 +402,20 @@ class SLAMSystem:
             park = jaxutil.set_rows(park, frame_idx, fmap_row[None])
             parked[frame_idx] = frame_idx
 
+        def _park_block(start_idx, rows):
+            """Park a contiguous block of fmap rows in one donated dispatch
+            (the grouped pass-1 path: frame indices are consecutive)."""
+            nonlocal park
+            if park is None:
+                park = jnp.zeros(
+                    (total,) + tuple(rows.shape[1:]), jnp.bfloat16
+                )
+            park = jaxutil.set_rows(
+                park, start_idx, rows.astype(jnp.bfloat16)
+            )
+            for k in range(rows.shape[0]):
+                parked[start_idx + k] = start_idx + k
+
         # host→device feed prefetch (SURVEY §2.6.4): decode/resize, uint8
         # conversion, mask build and the upload itself run on a side thread
         # up to prefetch_depth frames ahead — the tracking loop's blocking
@@ -424,29 +438,53 @@ class SLAMSystem:
             mark("upload", t0)
             return frame_idx, frames, rgb_dev, bmask
 
-        pending = []
-        t_pass1 = time.perf_counter()
-        for frame_idx, frames, rgb_dev, bmask in ThreadPrefetcher(
-            enumerate(zip(*streams)), _prepare1, pf_depth
-        ):
-            sparse_tracks.track_image(frame_idx, frames)
-            if skip_non_kf and frame_idx % kf_stride != 0:
-                token = None
-                if park_enabled:
-                    t0 = time.perf_counter()
-                    fmap_nk = self.encode_features(self.params, rgb_dev[None])
-                    _park(frame_idx, fmap_nk[0])
-                    mark("park", t0)
-            else:
+        # GROUPED pass-1 feed (live-filter mode, V=1): ``upload_batch``
+        # frames share ONE stacked host→device transfer, ONE feature-encode
+        # dispatch, ONE batched score dispatch and ONE vector readback
+        # (motion_filter.submit_group) — per-frame 0.6 MB transfers are
+        # tunnel-overhead-bound exactly like the pass-2 encode batches.
+        # Decisions are unchanged: stale tokens re-score via refresh().
+        UB = int(c.get("upload_batch", 4))
+        live_group = (
+            UB > 1 and V == 1 and not skip_non_kf
+            and not getattr(self.update_fn, "host_only", False)
+        )
+
+        def _group_iter(src, size):
+            grp = []
+            for e in src:
+                grp.append(e)
+                if len(grp) == size:
+                    yield grp
+                    grp = []
+            if grp:
+                yield grp
+
+        def _prepare1g(group):
+            """Host work for a frame group + one stacked upload (+ masks),
+            padded to the ``upload_batch`` bucket so encode/score program
+            shapes repeat across the tail group."""
+            t0 = time.perf_counter()
+            rgbs = np.stack([_upload_host(fs) for _, fs in group])
+            if len(group) < UB:
+                rgbs = np.concatenate(
+                    [rgbs, np.repeat(rgbs[-1:], UB - len(group), 0)]
+                )
+            rgb_block = jnp.asarray(rgbs)
+            mask_block = [
+                (lambda m: None if m is None else jnp.asarray(m))(
+                    _masks_host(fs)
+                )
+                for _, fs in group
+            ]
+            mark("upload", t0)
+            profiling.add("p1_upload", time.perf_counter() - t0)
+            return group, rgb_block, mask_block
+
+        def _drain(limit):
+            while len(pending) > limit:
                 t0 = time.perf_counter()
-                token = motion_filter.submit(rgb_dev, bmask)
-                mark("mf_submit", t0)
-                if park_enabled:
-                    _park(frame_idx, token.fmap[0])
-            pending.append((frame_idx, frames, rgb_dev, bmask, token))
-            if len(pending) > mf_depth:
-                t0 = time.perf_counter()
-                _process(pending.pop(0), force_kf=False)
+                _process(pending.pop(0), force_kf=limit == 0 and not pending)
                 mark("process", t0)
                 # if _process promoted a keyframe, the in-flight scores were
                 # submitted against the old reference — re-score them
@@ -455,11 +493,56 @@ class SLAMSystem:
                 for e in pending:
                     if e[4] is not None:
                         motion_filter.refresh(e[4])
-        while pending:
-            _process(pending.pop(0), force_kf=not pending)
-            for e in pending:
-                if e[4] is not None:
-                    motion_filter.refresh(e[4])
+
+        pending = []
+        t_pass1 = time.perf_counter()
+        if live_group:
+            for group, rgb_block, mask_block in ThreadPrefetcher(
+                _group_iter(enumerate(zip(*streams)), UB), _prepare1g,
+                pf_depth,
+            ):
+                for frame_idx, frames in group:
+                    sparse_tracks.track_image(frame_idx, frames)
+                t0 = time.perf_counter()
+                tokens, fmaps = motion_filter.submit_group(
+                    rgb_block, mask_block, n_valid=len(group)
+                )
+                mark("mf_submit", t0)
+                if park_enabled and fmaps is not None:
+                    t0 = time.perf_counter()
+                    _park_block(group[0][0], fmaps[: len(group)])
+                    mark("park", t0)
+                for i, ((frame_idx, frames), token) in enumerate(
+                    zip(group, tokens)
+                ):
+                    pending.append(
+                        (frame_idx, frames, rgb_block[i], mask_block[i],
+                         token)
+                    )
+                    _drain(mf_depth)
+        else:
+            for frame_idx, frames, rgb_dev, bmask in ThreadPrefetcher(
+                enumerate(zip(*streams)), _prepare1, pf_depth
+            ):
+                sparse_tracks.track_image(frame_idx, frames)
+                if skip_non_kf and frame_idx % kf_stride != 0:
+                    token = None
+                    if park_enabled:
+                        t0 = time.perf_counter()
+                        fmap_nk = self.encode_features(
+                            self.params, rgb_dev[None]
+                        )
+                        _park(frame_idx, fmap_nk[0])
+                        mark("park", t0)
+                else:
+                    t0 = time.perf_counter()
+                    token = motion_filter.submit(rgb_dev, bmask)
+                    mark("mf_submit", t0)
+                    if park_enabled:
+                        _park(frame_idx, token.fmap[0])
+                pending.append((frame_idx, frames, rgb_dev, bmask, token))
+                _drain(mf_depth)
+        _drain(0)
         mark("pass1_total", t_pass1)
 
         # ------------------------------------------------------- global BA
