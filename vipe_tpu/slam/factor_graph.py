@@ -109,8 +109,9 @@ def _jitted_gru_step(update_fn, camera_type):
         coords1, _ = geom.reproject_mv(
             poses, rig, disps, intr_grid, camera_type, pi, qi, di, pj, qj
         )
+        # callers pass the FULL (EV+1)-row pyramids; slice in-program
         corr_feat = corr_ops.corr_lookup_pyramid(
-            corr_pyr, coords1, CORR_RADIUS
+            [p[: pi.shape[0]] for p in corr_pyr], coords1, CORR_RADIUS
         )
         ht, wd = disps.shape[-2:]
         u, v = jnp.meshgrid(
@@ -384,6 +385,9 @@ def _jitted_fused_rounds(update_fn, cfg, rounds: int):
         # zero-weighted through ev_ba)
         tgt_inac = t_inac_full[sel_inac]
         wgt_inac = w_inac_full[sel_inac]
+        # active-row slice of the full (EV+1)-row pyramids in-program (an
+        # eager slice would copy the whole volume set per dispatch)
+        corr_pyr = [p[: ii_act.shape[0]] for p in corr_pyr]
         ht, wd = disps.shape[-2:]
         # eta scatter: padding entries of src_rows point at the scratch row Nb
         damping = jnp.concatenate([damping, jnp.zeros((1, ht, wd))], 0)
@@ -424,6 +428,7 @@ def _jitted_frontend_step(update_fn, cfg, r1: int, r2: int, const_vel: bool):
 
         tgt_inac = t_inac_full[sel_inac]
         wgt_inac = w_inac_full[sel_inac]
+        corr_pyr = [p[: ii_act.shape[0]] for p in corr_pyr]
         ht, wd = disps.shape[-2:]
         damping = jnp.concatenate([damping, jnp.zeros((1, ht, wd))], 0)
 
@@ -1127,9 +1132,11 @@ class FactorGraph:
             )
         else:
             step = _jitted_gru_step(self.update_fn, buf.camera_type)
+            # full pyramids passed in; the EV-row slice happens in-program
+            # (an eager slice copies the whole volume set per call)
             net, target, weight, eta = step(
                 self.params, NbV, buf.poses[:Nb], rig, buf.disps[:NbV],
-                intr, [p[:EV] for p in self.corr_pyr],
+                intr, list(self.corr_pyr),
                 self.target[:EV], self.f_net[:EV], buf.inps[:NbV],
                 buf.masks[:NbV], pi_d, qi_d, di_d, pj_d, qj_d, ev,
             )
@@ -1311,7 +1318,12 @@ class FactorGraph:
         b = base
         args = (
             buf.poses[b: b + Nb], buf.disps[b: b + Nb], buf.intrinsics,
-            [p[:E] for p in self.corr_pyr], self.target[:E], self.f_net[:E],
+            # FULL (EV+1)-row pyramids: the E-row slice happens INSIDE the
+            # jitted program.  An eager p[:E] here dispatches a device copy
+            # of the whole ~1.2 GB volume set per keyframe — the dominant
+            # transient behind the 4-video volume-mode OOM (two in-flight
+            # copies/video under the depth-2 pipeline).
+            list(self.corr_pyr), self.target[:E], self.f_net[:E],
             buf.inps[b: b + Nb], buf.masks[b: b + Nb], ii_d, jj_d, ev,
             self.damping[b: b + Nb],
             self.target_inac, self.weight_inac, sel_d,
