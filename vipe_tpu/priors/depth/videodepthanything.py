@@ -94,6 +94,16 @@ class DPTHeadTemporal(nn.Module):
 
 
 class VideoDepthAnythingNet:
+    """TPU memory/dtype policy: the whole clip forward runs in bf16 (the
+    reference's vitl path runs under fp16 autocast, video_depth.py:127 +
+    __init__.py:49-52; we use bf16 for the vits variant too — TPU-native,
+    f32-accumulated matmuls, and the per-window output feeds a host-side
+    f32 scale/shift stitch).  The per-frame ViT runs as a ``lax.map`` over
+    8-frame chunks: a 32-frame batch at 518-res materializes a multi-GB
+    attention transient that RESOURCE_EXHAUSTs a shared v5e chip."""
+
+    VIT_CHUNK = 8
+
     def __init__(self, variant: str = "vitl", params=None, rng_seed: int = 0,
                  num_frames: int = INFER_LEN):
         cfg = DAV2_CONFIGS[variant]
@@ -112,10 +122,33 @@ class VideoDepthAnythingNet:
         @jax.jit
         def _forward(params, clip):
             """clip: (T, H, W, 3) normalized → (T, H, W) disparity."""
-            T = clip.shape[0]
-            taps = self.vit.apply(params["vit"], clip, tap_layers=self.taps)
-            ph, pw = clip.shape[1] // 14, clip.shape[2] // 14
-            return self.head.apply(params["head"], taps, ph, pw, T)
+            T, H, W = clip.shape[0], clip.shape[1], clip.shape[2]
+            pbf = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params,
+            )
+            clip = clip.astype(jnp.bfloat16)
+            CH = self.VIT_CHUNK
+            if T % CH == 0 and T > CH:
+                chunks = clip.reshape(T // CH, CH, H, W, 3)
+                taps_st = jax.lax.map(
+                    lambda c: self.vit.apply(
+                        pbf["vit"], c, tap_layers=self.taps
+                    ),
+                    chunks,
+                )
+                taps = [
+                    tuple(
+                        x.reshape((T,) + x.shape[2:]) for x in tap
+                    )
+                    for tap in taps_st
+                ]
+            else:
+                taps = self.vit.apply(pbf["vit"], clip, tap_layers=self.taps)
+            ph, pw = H // 14, W // 14
+            out = self.head.apply(pbf["head"], taps, ph, pw, T)
+            return out.astype(jnp.float32)
 
         self._forward = _forward
 
