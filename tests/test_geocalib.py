@@ -40,9 +40,11 @@ class TestFields:
         np.testing.assert_allclose(c, expected, atol=1e-4)
 
     def test_latitude_center_equals_pitch(self):
-        """At the principal point the latitude equals the pitch angle."""
+        """At the principal point the latitude equals the pitch angle.
+        Principal point convention is c = (w/2, h/2) on an INTEGER pixel
+        grid (reference camera.py:308-322) — even dims put it on a pixel."""
         for pitch in (0.0, 0.2, -0.35):
-            lat = latitude_field(17, 21, 25.0, 0.1, pitch)
+            lat = latitude_field(16, 20, 25.0, 0.1, pitch)
             np.testing.assert_allclose(float(lat[8, 10]), pitch, atol=1e-4)
 
     def test_latitude_range(self):

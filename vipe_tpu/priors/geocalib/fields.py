@@ -32,9 +32,14 @@ def rp_from_gravity(g):
 
 
 def normalized_grid(h: int, w: int, focal, cx=None, cy=None):
-    """Normalized image coords uv = (pix − c) / f  (camera.normalize)."""
-    cx = (w - 1) / 2.0 if cx is None else cx
-    cy = (h - 1) / 2.0 if cy is None else cy
+    """Normalized image coords uv = (pix − c) / f  (camera.normalize).
+
+    Grid is INTEGER pixel indices with principal point c = (w/2, h/2) —
+    the reference's convention exactly (camera.py:308-322 arange grid,
+    c = size/2): a ((w−1)/2)-centered grid is half a pixel off and biases
+    the recovered focal by ~3% at small fields."""
+    cx = w / 2.0 if cx is None else cx
+    cy = h / 2.0 if cy is None else cy
     x = (jnp.arange(w, dtype=jnp.float32) - cx)
     y = (jnp.arange(h, dtype=jnp.float32) - cy)
     u, v = jnp.meshgrid(x, y, indexing="xy")
