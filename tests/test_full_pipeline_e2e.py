@@ -76,7 +76,8 @@ def tiny_models(monkeypatch):
     def tiny_depth_factory(name: str):
         family, _, variant = name.partition("-")
         assert family == "unidepth", name  # full.yaml uses unidepth-l
-        return UniDepthModel("s", input_size=70)
+        # tiny pixel bounds ≈ the old input_size=70 operating point
+        return UniDepthModel("s", pixels_min=70 * 70, pixels_max=70 * 70)
 
     def tiny_geocalib(camera_type: str = "pinhole", **kw):
         kw.setdefault("infer_size", 64)

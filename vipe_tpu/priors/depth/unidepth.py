@@ -48,6 +48,54 @@ UNIDEPTH_TAPS = {
 }
 
 
+# --------------------------------------------------------------- infer policy
+# Reference unidepthv2.py:49-119 — the production pre/post pipeline ViPE's
+# adapter drives through model.infer() (reference depth/unidepth/__init__.py:
+# 26-69): pad to the aspect-ratio bounds, resize into the pixel-count bounds
+# (/14-aligned, ceil), run, resize back to the padded shape, crop the padding.
+
+
+def get_paddings(original_shape, ratio_bounds):
+    """(pad_left, pad_right, pad_top, pad_bottom), (H_pad, W_pad) — pad the
+    short side until W/H lies within ``ratio_bounds`` (unidepthv2.py:49-71)."""
+    H, W = original_shape
+    r = W / H
+    target = min(ratio_bounds[1], max(ratio_bounds[0], r))
+    if r > target:  # too wide: pad height
+        Hn = int(W / target)
+        pt = (Hn - H) // 2
+        return (0, 0, pt, Hn - H - pt), (Hn, W)
+    Wn = int(H * target)
+    pl = (Wn - W) // 2
+    return (pl, Wn - W - pl, 0, 0), (H, Wn)
+
+
+def get_resize_factor(original_shape, pixels_range, shape_multiplier=14):
+    """(resize_factor, (H_new, W_new)): scale the pixel count into
+    ``pixels_range``, each side ceil-rounded to the shape multiplier
+    (unidepthv2.py:74-90)."""
+    import math
+
+    H, W = original_shape
+    n = W * H
+    target = min(pixels_range[1], max(pixels_range[0], n))
+    f = (target / n) ** 0.5
+    Hn = math.ceil(int(H * f) / shape_multiplier) * shape_multiplier
+    Wn = math.ceil(int(W * f) / shape_multiplier) * shape_multiplier
+    return f, (Hn, Wn)
+
+
+def resolution_level_bounds(pixels_min, pixels_max, level: Optional[int]):
+    """Narrow the pixel bounds to decile ``level`` ∈ [0, 10)
+    (unidepthv2.py:249-255); None = full bounds (ViPE never sets one)."""
+    if level is None:
+        return (pixels_min, pixels_max)
+    assert 0 <= level < 10
+    interval = (pixels_max - pixels_min) / 10
+    return (level * interval + pixels_min,
+            (level + 1) * interval + pixels_min)
+
+
 @dataclasses.dataclass(frozen=True)
 class UniDepthConfig:
     variant: str = "vitl"
@@ -282,41 +330,69 @@ class UniDepthNet:
 
 
 class UniDepthModel(DepthEstimationModel):
-    """Adapter (reference UniDepth2Model, unidepth/__init__.py:26-69)."""
+    """Adapter (reference UniDepth2Model, unidepth/__init__.py:26-69),
+    driving the reference ``infer()`` pre/post policy (unidepthv2.py:238-330):
+    aspect-ratio padding → pixel-bound resize (/14 ceil) → camera
+    crop(-pads)+resize(factor) rays → net → resize back to the padded
+    shape → crop the padding off.
+
+    ``shape_constraints`` defaults mirror the published v2 operating range;
+    the exact checkpoint values ship in the HF config (not vendored in the
+    reference either) and can be overridden per instance."""
 
     depth_type = DepthType.MODEL_METRIC_DEPTH
 
-    def __init__(self, variant: str = "l", input_size: int = 518, params=None):
+    def __init__(self, variant: str = "l", params=None,
+                 ratio_bounds=(0.5, 2.5),
+                 pixels_min: int = 200_000, pixels_max: int = 500_000,
+                 resolution_level: Optional[int] = None):
         vit_variant = {"s": "vits", "b": "vitb", "l": "vitl"}.get(variant, variant)
         if params is None:
             from ...models import zoo
 
             params = zoo.load_params(f"unidepth_{vit_variant}")
         self.net = UniDepthNet(vit_variant, params)
-        self.input_size = input_size
+        self.ratio_bounds = tuple(ratio_bounds)
+        self.pixels_min = pixels_min
+        self.pixels_max = pixels_max
+        self.resolution_level = resolution_level
 
     def estimate(self, inp: DepthEstimationInput) -> DepthEstimationResult:
         import cv2
 
         rgb = np.asarray(inp.rgb, np.float32)
         h, w = rgb.shape[:2]
-        scale = self.input_size / min(h, w)
-        nh = max(round(h * scale / 14) * 14, 14)
-        nw = max(round(w * scale / 14) * 14, 14)
-        img = cv2.resize(rgb, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        img = (img - IMAGENET_MEAN) / IMAGENET_STD
+        (pl, pr, pt, pb), (hp, wp) = get_paddings((h, w), self.ratio_bounds)
+        rf, (nh, nw) = get_resize_factor(
+            (hp, wp),
+            resolution_level_bounds(self.pixels_min, self.pixels_max,
+                                    self.resolution_level),
+        )
+        # normalize BEFORE padding: the reference pads with 0 in normalized
+        # space (unidepthv2.py:278-286)
+        img = (rgb - IMAGENET_MEAN) / IMAGENET_STD
+        img = np.pad(img, ((pt, pb), (pl, pr), (0, 0)))
+        img = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
 
         rays = None
         if inp.focal_length is not None:
-            f = float(inp.focal_length) * (nw / w)
+            # camera.crop(-pads).resize(rf): fx' = f·rf, principal point at
+            # the padded-then-scaled center (unidepthv2.py:288-291)
+            f = float(inp.focal_length) * rf
+            cx = (w / 2 + pl) * rf
+            cy = (h / 2 + pt) * rf
             u, v = np.meshgrid(np.arange(nw) + 0.5, np.arange(nh) + 0.5)
-            rx = (u - nw / 2) / f
-            ry = (v - nh / 2) / f
+            rx = (u - cx) / f
+            ry = (v - cy) / f
             rays = np.stack([rx, ry, np.ones_like(rx)], -1)
             rays = rays / np.linalg.norm(rays, axis=-1, keepdims=True)
             rays = jnp.asarray(rays, jnp.float32)[None]
 
         out = self.net(jnp.asarray(img, jnp.float32)[None], rays)
-        depth = jax.image.resize(out["depth"][0], (h, w), "bilinear")
-        conf = jax.image.resize(out["confidence"][0], (h, w), "bilinear")
+        # _postprocess (unidepthv2.py:93-100): bilinear to the PADDED shape
+        # (align_corners=False ≡ jax.image.resize 'bilinear'), then unpad
+        depth = jax.image.resize(out["depth"][0], (hp, wp), "bilinear")
+        conf = jax.image.resize(out["confidence"][0], (hp, wp), "bilinear")
+        depth = depth[pt: hp - pb, pl: wp - pr]
+        conf = conf[pt: hp - pb, pl: wp - pr]
         return DepthEstimationResult(depth=depth, confidence=conf)
