@@ -347,6 +347,80 @@ class TestUniDepthDecoderParity:
         np.testing.assert_allclose(intr_j[:, 3], K_t[:, 1, 2], rtol=2e-4)
 
 
+class TestUniDepthInferPolicyParity:
+    """UniDepth v2 ``infer()`` pre/post policy (reference unidepthv2.py:
+    238-330 + helpers :49-119): aspect-ratio padding, pixel-bound /14
+    resize, resolution-level decile narrowing, and the padded-camera
+    intrinsics transform that conditions the rays — vs the rebuild's
+    policy functions in vipe_tpu.priors.depth.unidepth (decoder/encoder
+    activation parity is covered separately; this pins the glue)."""
+
+    SHAPES = [(720, 1280), (1280, 720), (384, 512), (100, 923), (923, 100),
+              (518, 518), (47, 1000)]
+
+    def test_paddings_and_resize(self):
+        m = ref_module(
+            "vipe.priors.depth.unidepth.models.unidepthv2.unidepthv2"
+        )
+        from vipe_tpu.priors.depth.unidepth import (
+            get_paddings, get_resize_factor, resolution_level_bounds,
+        )
+
+        for shape in self.SHAPES:
+            for rb in [(0.5, 2.5), (0.66, 2.0), (1.0, 1.0)]:
+                pads_t, padded_t = m.get_paddings(shape, rb)
+                pads_j, padded_j = get_paddings(shape, rb)
+                assert pads_j == tuple(pads_t), (shape, rb)
+                assert padded_j == tuple(padded_t), (shape, rb)
+                for pr in [(200_000, 500_000), (1_000, 20_000_000),
+                           (700_000, 900_000)]:
+                    rf_t, new_t = m.get_resize_factor(padded_t, pr)
+                    rf_j, new_j = get_resize_factor(padded_j, pr)
+                    assert new_j == tuple(new_t), (shape, rb, pr)
+                    np.testing.assert_allclose(rf_j, rf_t, rtol=1e-12)
+
+    def test_resolution_level_deciles(self):
+        """resolution_level narrows the pixel bounds to one decile
+        (unidepthv2.py:249-255)."""
+        from vipe_tpu.priors.depth.unidepth import resolution_level_bounds
+
+        pmin, pmax = 200_000, 500_000
+        interval = (pmax - pmin) / 10
+        for level in range(10):
+            lo, hi = resolution_level_bounds(pmin, pmax, level)
+            assert lo == level * interval + pmin
+            assert hi == (level + 1) * interval + pmin
+        assert resolution_level_bounds(pmin, pmax, None) == (pmin, pmax)
+
+    def test_padded_camera_rays_match_reference_crop_resize(self):
+        """Our adapter builds rays from (f·rf, (W/2+pl)·rf, (H/2+pt)·rf);
+        the reference gets there via camera.crop(-pads).resize(rf)
+        (unidepthv2.py:288-291).  Verify against the reference Pinhole."""
+        m = ref_module(
+            "vipe.priors.depth.unidepth.models.unidepthv2.unidepthv2"
+        )
+        from vipe_tpu.priors.depth.unidepth import (
+            get_paddings, get_resize_factor,
+        )
+
+        for (h, w) in [(720, 1280), (384, 512), (100, 923)]:
+            f = 0.9 * w
+            K = torch.tensor(
+                [[f, 0.0, w / 2], [0.0, f, h / 2], [0.0, 0.0, 1.0]]
+            )[None]
+            cam = m.Pinhole(K=K.clone())
+            (pl, pr, pt, pb), (hp, wp) = get_paddings((h, w), (0.5, 2.5))
+            rf, _ = get_resize_factor((hp, wp), (200_000, 500_000))
+            cam = cam.crop(left=-pl, top=-pt, right=-pr, bottom=-pb)
+            cam = cam.resize(rf)
+            K2 = cam.K[0].numpy()
+            np.testing.assert_allclose(K2[0, 0], f * rf, rtol=1e-5)
+            np.testing.assert_allclose(K2[0, 2], (w / 2 + pl) * rf,
+                                       rtol=1e-5)
+            np.testing.assert_allclose(K2[1, 2], (h / 2 + pt) * rf,
+                                       rtol=1e-5)
+
+
 class TestGeoCalibNetParity:
     """GeoCalib perception net (reference vipe/priors/geocalib/geocalib.py:
     28-103 + modules.py: MSCAN backbone, LowLevelEncoder, LightHamHead
@@ -421,6 +495,65 @@ class TestGeoCalibNetParity:
         np.testing.assert_allclose(
             np.asarray(out_j["latitude_confidence"]),
             out_t["latitude_confidence"].numpy(), rtol=2e-4, atol=2e-4,
+        )
+
+
+class TestGeoCalibLMOptimizerParity:
+    """GeoCalib LM optimizer, jointly with the field model (reference
+    lm_optimizer.py:519-609 + perspective_fields.py): feed BOTH optimizers
+    the SAME ground-truth perspective fields (generated by the reference's
+    own get_perspective_field) and require the recovered focal/roll/pitch
+    to agree — a wrong damping schedule, field convention (sin vs rad), or
+    up-sign flip diverges here even though the net parity test passes."""
+
+    def test_lm_recovers_same_camera(self):
+        lmm = ref_module("vipe.priors.geocalib.lm_optimizer")
+        cm = ref_module("vipe.priors.geocalib.camera")
+        gm = ref_module("vipe.priors.geocalib.gravity")
+        pf = ref_module("vipe.priors.geocalib.perspective_fields")
+        um = ref_module("vipe.priors.geocalib.utils")
+
+        from vipe_tpu.priors.geocalib.optimizer import calibrate_from_fields
+
+        h, w = 32, 40
+        f_gt, roll_gt, pitch_gt = 1.1 * w, 0.12, -0.18
+        cam_gt = cm.camera_models["pinhole"].from_dict({
+            "width": torch.tensor([float(w)]),
+            "height": torch.tensor([float(h)]),
+            "vfov": um.focal2fov(torch.tensor([f_gt]),
+                                 torch.tensor([float(h)])),
+        })
+        grav_gt = gm.Gravity.from_rp(
+            torch.tensor([roll_gt]), torch.tensor([pitch_gt])
+        )
+        with torch.no_grad():
+            up_gt, lat_gt = pf.get_perspective_field(cam_gt, grav_gt)
+
+        # data latitude convention is RADIANS (get_perspective_field returns
+        # get_latitude_field's asin; verified residual(GT) == 0 with radians)
+        lm_t = lmm.LMOptimizer({"camera_model": "pinhole"}).eval()
+        with torch.no_grad():
+            out_t = lm_t({"up_field": up_gt, "latitude_field": lat_gt})
+        f_t = float(out_t["camera"].f[0, 1])
+        roll_t, pitch_t = (float(v) for v in out_t["gravity"].rp[0])
+
+        # our LM: up (B, h, w, 2), latitude in radians too
+        res = calibrate_from_fields(
+            np.asarray(up_gt.permute(0, 2, 3, 1)),
+            np.asarray(lat_gt[:, 0]),
+        )
+        f_j = float(res.focal)
+        roll_j, pitch_j = float(res.roll[0]), float(res.pitch[0])
+
+        # both must land on the GT optimum (and hence each other)
+        np.testing.assert_allclose(f_j, f_t, rtol=2e-3)
+        np.testing.assert_allclose(
+            [roll_j, pitch_j], [roll_t, pitch_t], atol=2e-3
+        )
+        np.testing.assert_allclose(f_t, f_gt, rtol=5e-3)
+        np.testing.assert_allclose(f_j, f_gt, rtol=5e-3)
+        np.testing.assert_allclose(
+            [roll_j, pitch_j], [roll_gt, pitch_gt], atol=5e-3
         )
 
 
@@ -952,6 +1085,202 @@ class TestGDINOParity:
         np.testing.assert_allclose(
             np.asarray(out_j), out_t, rtol=2e-4, atol=2e-4
         )
+
+
+class TestGDINOFullModelParity:
+    """FULL GroundingDINO forward (reference models/main/groundingdino.py:
+    37-380: tokenized caption + image → pred_logits/pred_boxes through
+    Swin + BERT + fusion encoder + two-stage query selection + cross-modal
+    decoder with iterative box refinement) vs GroundingDINOModel +
+    convert_gdino at a reduced-dim config with the released topology
+    (two_stage_type='standard', embed_init_tgt, shared bbox head).
+
+    Component-level parity (TestGDINOParity) can miss ASSEMBLY bugs — a
+    transposed box head, wrong two-stage top-k source, wrong position
+    embedding temperature; this pins the whole call."""
+
+    def test_full_model(self):
+        import jax
+        import jax.numpy as jnp
+        import transformers
+
+        from vipe_tpu.priors.track_anything.gdino import (
+            GDINOConfig, GroundingDINOModel,
+        )
+        from vipe_tpu.priors.track_anything.gdino.bert import (
+            BertConfig as JBertConfig,
+            generate_special_token_masks, make_tokenizer,
+        )
+        from vipe_tpu.priors.track_anything.gdino.convert import convert_gdino
+
+        gdm = ref_module(
+            "vipe.priors.track_anything.groundingdino.models.main"
+            ".groundingdino"
+        )
+        swm = ref_module(
+            "vipe.priors.track_anything.groundingdino.models.main"
+            ".backbone.swin_transformer"
+        )
+        bbm = ref_module(
+            "vipe.priors.track_anything.groundingdino.models.main"
+            ".backbone.backbone"
+        )
+        pem = ref_module(
+            "vipe.priors.track_anything.groundingdino.models.main"
+            ".backbone.position_encoding"
+        )
+        trm = ref_module(
+            "vipe.priors.track_anything.groundingdino.models.main"
+            ".transformer"
+        )
+        misc = ref_module(
+            "vipe.priors.track_anything.groundingdino.util.misc"
+        )
+        gt = ref_module(
+            "vipe.priors.track_anything.groundingdino.util.get_tokenlizer"
+        )
+
+        # d MUST be 256: the reference hardcodes the text position embed
+        # width (transformer.py:536-538 num_pos_feats=256); every other dim
+        # is shrunk
+        d, heads, ffn, nq, Lcap = 256, 8, 512, 24, 64
+        cfg = GDINOConfig(
+            hidden_dim=d, nheads=heads, enc_layers=2, dec_layers=2,
+            ffn_dim=ffn, num_queries=nq, max_text_len=Lcap,
+            swin_embed_dim=16, swin_depths=(1, 1, 1, 1),
+            swin_heads=(1, 2, 4, 8), swin_window=4,
+            bert=JBertConfig(
+                vocab_size=30522, hidden_size=48, num_layers=2, num_heads=4,
+                intermediate_size=96, max_position=512,
+            ),
+        )
+
+        # ------------------- reference model, manually assembled tiny
+        torch.manual_seed(0)
+        hf_cfg = transformers.BertConfig(
+            vocab_size=30522, hidden_size=48, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=96,
+            max_position_embeddings=512, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+        )
+        bert_t = transformers.BertModel(hf_cfg).eval()
+        jtok = make_tokenizer()
+
+        class _Enc(dict):
+            def to(self, device):
+                return self
+
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError as e:
+                    raise AttributeError(k) from e
+
+        class _FakeTok:
+            def convert_tokens_to_ids(self, toks):
+                from vipe_tpu.priors.track_anything.gdino.bert import (
+                    CLS_ID, DOT_ID, QMARK_ID, SEP_ID,
+                )
+
+                m = {"[CLS]": CLS_ID, "[SEP]": SEP_ID, ".": DOT_ID,
+                     "?": QMARK_ID}
+                return [m[t] for t in toks]
+
+            def __call__(self, captions, padding=None, return_tensors=None):
+                ids = jtok(captions[0])
+                return _Enc(
+                    input_ids=torch.as_tensor([ids]),
+                    attention_mask=torch.ones(1, len(ids), dtype=torch.bool),
+                    token_type_ids=torch.zeros(1, len(ids),
+                                               dtype=torch.long),
+                )
+
+        swin_t = swm.SwinTransformer(
+            embed_dim=16, depths=[1, 1, 1, 1], num_heads=[1, 2, 4, 8],
+            window_size=4, drop_path_rate=0.0, out_indices=(1, 2, 3),
+        )
+        swin_t.eval()
+        pos_t = pem.PositionEmbeddingSineHW(
+            d // 2, temperatureH=20, temperatureW=20, normalize=True
+        )
+        joiner = bbm.Joiner(swin_t, pos_t)
+        joiner.num_channels = [32, 64, 128]
+        tr_t = trm.Transformer(
+            d_model=d, nhead=heads, num_queries=nq, num_encoder_layers=2,
+            num_decoder_layers=2, dim_feedforward=ffn, dropout=0.0,
+            activation="relu", normalize_before=False,
+            return_intermediate_dec=True, query_dim=4, num_patterns=0,
+            num_feature_levels=4, enc_n_points=4, dec_n_points=4,
+            learnable_tgt_init=True, two_stage_type="standard",
+            embed_init_tgt=True, use_text_enhancer=True,
+            use_fusion_layer=True, use_checkpoint=False,
+            use_transformer_ckpt=False, use_text_cross_attention=True,
+            text_dropout=0.0, fusion_dropout=0.0, fusion_droppath=0.0,
+        )
+        orig_tok = gt.get_tokenlizer
+        orig_lm = gt.get_pretrained_language_model
+        gt.get_tokenlizer = lambda t: _FakeTok()
+        gt.get_pretrained_language_model = lambda t: bert_t
+        try:
+            model_t = gdm.GroundingDINO(
+                joiner, tr_t, num_queries=nq, aux_loss=False,
+                iter_update=True, query_dim=4, num_feature_levels=4,
+                nheads=heads, dec_pred_bbox_embed_share=True,
+                two_stage_type="standard", two_stage_bbox_embed_share=False,
+                two_stage_class_embed_share=False, num_patterns=0,
+                dn_number=0, text_encoder_type="bert-base-uncased",
+                sub_sentence_present=True, max_text_len=Lcap,
+            ).eval()
+        finally:
+            gt.get_tokenlizer = orig_tok
+            gt.get_pretrained_language_model = orig_lm
+
+        caption = "person . car . dog ."
+        H, W = 64, 96
+        img_t = torch.rand(
+            1, 3, H, W, generator=torch.Generator().manual_seed(2)
+        )
+        # direct NestedTensor (no padding): nested_tensor_from_tensor_list
+        # routes through the stubbed torchvision
+        samples = misc.NestedTensor(
+            img_t, torch.zeros(1, H, W, dtype=torch.bool)
+        )
+        if not hasattr(samples, "device"):
+            samples.device = torch.device("cpu")
+        with torch.no_grad():
+            out_t = model_t(samples, captions=[caption])
+        logits_t = out_t["pred_logits"].numpy()[0]   # (nq, max_text_len)
+        boxes_t = out_t["pred_boxes"].numpy()[0]     # (nq, 4) cxcywh
+
+        # ----------------------------------------------------- flax side
+        ids = jtok(caption)
+        L = len(ids)
+        ids_np = np.asarray([ids], np.int64)
+        m3, pid = generate_special_token_masks(ids_np)
+        tmask = np.ones((1, L), bool)
+        variables = convert_gdino(model_t.state_dict(), cfg)
+        logits_j, boxes_j = GroundingDINOModel(cfg).apply(
+            variables,
+            jnp.asarray(img_t.numpy().transpose(0, 2, 3, 1)),
+            jnp.asarray(ids_np.astype(np.int32)), jnp.asarray(m3),
+            jnp.asarray(pid.astype(np.int32)), jnp.asarray(tmask),
+        )
+        logits_j = np.asarray(logits_j[0])
+        boxes_j = np.asarray(boxes_j[0])
+
+        # queries come from a top-k over encoder scores — compare as SETS
+        # ordered by matching rows (top-k tie order is backend-dependent);
+        # with random weights scores are distinct, so sort both by score
+        def order(logits, boxes):
+            key = np.argsort(-logits[:, :L].max(-1), kind="stable")
+            return logits[key][:, :L], boxes[key]
+
+        lt, bt = order(logits_t, boxes_t)
+        lj, bj = order(logits_j, boxes_j)
+        # logits are unnormalized contrastive dots of magnitude ~30; f32
+        # accumulation across 2+2 layers leaves ~5e-3 absolute wiggle
+        np.testing.assert_allclose(lj, lt, rtol=5e-3, atol=1e-2)
+        np.testing.assert_allclose(bj, bt, rtol=2e-3, atol=2e-3)
 
 
 class TestDeAOTParity:
