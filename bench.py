@@ -149,51 +149,38 @@ def main_pipeline_full(gate: dict):
     }))
 
 
-def main():
-    import jax
+def measure_slam(real_mode: bool, n_videos: int, n_frames: int, reps: int,
+                 corr_mode: str, park: bool, thresh=None) -> float:
+    """One SLAM-hot-path measurement: warm run + best-of-``reps``.
 
+    ``real_mode``: calibrated live-score keyframing (the production decision
+    path); else deterministic 1-in-3 stride (run-to-run comparable with
+    random weights).  ``n_videos`` > 1 interleaves independent videos on the
+    one chip (run.py `interleave`; per-video results identical to serial —
+    tests/test_interleave.py) and returns AGGREGATE chip fps."""
     from vipe_tpu.slam.system import SLAMSystem
 
-    n_frames = int(os.environ.get("BENCH_FRAMES", "48"))
-    # BENCH_MODE=real exercises the production decision path: a calibrated
-    # motion-filter threshold with live score readbacks instead of the
-    # deterministic stride fast path (the default stays deterministic for
-    # run-to-run comparability with random weights)
-    real_mode = os.environ.get("BENCH_MODE") == "real"
     if real_mode:
-        thresh = calibrate_filter_thresh()
         gate = dict(filter_thresh=thresh)
     else:
-        # untrained weights make the motion-filter score nearly constant
-        # (content-insensitive), so gate keyframes deterministically at the
-        # realistic trained-weights cadence of 1 in 3
         gate = dict(filter_thresh=float("inf"), keyframe_stride=3)
+    # BENCH_PROX_SPEC=0: disable the pre-step speculative proximity matrix
+    # (A/B for the zero-blocking-sync architecture — VERDICT r03 item 7)
+    if os.environ.get("BENCH_PROX_SPEC") == "0":
+        gate["proximity_spec"] = False
+    # BENCH_UPLOAD_BATCH=K: pass-1 grouped uploads/encodes/scores (live-
+    # filter mode; 1 disables — per-frame reference path A/B)
+    if os.environ.get("BENCH_UPLOAD_BATCH"):
+        gate["upload_batch"] = int(os.environ["BENCH_UPLOAD_BATCH"])
 
-    # BENCH_PIPELINE=full: the complete annotation pipeline (priors +
-    # masking + depth + artifacts), not just the SLAM hot path
-    if os.environ.get("BENCH_PIPELINE") == "full":
-        return main_pipeline_full(gate)
+    # BENCH_CAMERA=panorama: equirect camera path (2K panoramic corpus in
+    # the reference, README.md:12) — full proj+Jacobian chain through the
+    # same fused programs; intrinsics stay unoptimized like the reference
+    from vipe_tpu.ops import cameras as cam
 
-    # BENCH_CORR_MODE=alt: packed-feature edge state with on-the-fly
-    # window dots (pair with VIPE_PALLAS=1 for the fused kernel) — A/B
-    # against the default materialized volumes on real hardware
-    corr_mode = os.environ.get("BENCH_CORR_MODE", "volume")
-
-    # BENCH_PARK=1: park pass-1 fmaps in fixed-stride skip mode (trades
-    # batched pass-2 transfers for per-frame pass-1 ones — tunnel A/B)
-    park = os.environ.get("BENCH_PARK") == "1"
-
-    # BENCH_VIDEOS=K: interleave K independent videos on the one chip —
-    # the production batch-annotation shape (run.py `interleave`).  Each
-    # video's host syncs overlap the other videos' device work; per-video
-    # results are identical to serial (tests/test_interleave.py).  Reported
-    # fps is aggregate chip throughput (K·n_frames / wall).  Default 2:
-    # measured round-2/3 A/B — 2-video volume-mode interleave beats single
-    # (+15%); 4-video volume OOMs the chip and 4-video alt is slower than
-    # 1-video volume (alt's on-the-fly window recompute costs ~8x on
-    # device).  The north star (150 fps/chip) is chip throughput, so the
-    # headline measures the deployment shape.
-    n_videos = int(os.environ.get("BENCH_VIDEOS", "2"))
+    cam_type = getattr(
+        cam.CameraType, os.environ.get("BENCH_CAMERA", "pinhole").upper()
+    )
 
     def run(n, seed: int = 0):
         sys_ = SLAMSystem(config=dict(
@@ -201,8 +188,11 @@ def main():
             corr_mode=corr_mode, park_fmaps_in_skip_mode=park,
             **gate,
         ))
-        stream = synth_stream(n, seed=seed)
-        return sys_.run(stream)
+        stream = synth_stream(
+            n, seed=seed,
+            with_intrinsics=cam_type == cam.CameraType.PINHOLE,
+        )
+        return sys_.run(stream, camera_type=cam_type)
 
     def run_batch(n):
         if n_videos == 1:
@@ -226,28 +216,155 @@ def main():
     # best of N: the shared remote-TPU tunnel has large run-to-run variance
     # (measured 2x swings with identical code)
     best = None
-    for _ in range(int(os.environ.get("BENCH_REPS", "2"))):
+    for _ in range(reps):
         t0 = time.perf_counter()
         outs = run_batch(n_frames)
         dt = time.perf_counter() - t0
         assert all(o.trajectory.shape[0] == n_frames for o in outs)
         best = dt if best is None else min(best, dt)
+    return n_frames * n_videos / best
 
-    fps = n_frames * n_videos / best
+
+def emit(real_mode: bool, n_videos: int, fps: float, suffix: str = ""):
     name = (
         "slam_annotation_fps_720p_real" if real_mode
         else "slam_annotation_fps_720p"
     )
-    if n_videos > 1:
-        # aggregate chip throughput over an n-video interleave (the
-        # production shape); suffix keeps the metric self-describing
-        name += f"_x{n_videos}"
-    print(json.dumps({
-        "metric": name,
+    cam_env = os.environ.get("BENCH_CAMERA", "pinhole")
+    if cam_env != "pinhole":
+        name += f"_{cam_env}"
+    name += suffix
+    rec = {
+        "metric": name if n_videos == 1 else f"{name}_x{n_videos}",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 150.0, 4),
-    }))
+    }
+    if n_videos > 1:
+        # aggregate chip throughput over an n-video interleave (the
+        # production shape); per_video keeps it comparable to 1-video runs
+        rec["per_video"] = round(fps / n_videos, 2)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def emit_mfu():
+    """BENCH_MFU=1: measured-FLOPs utilization of the flagship fused step
+    (DroidNet GRU update + one GN BA iteration at production SLAM shapes,
+    __graft_entry__.entry) — separates tunnel-bound from compute-bound:
+    fps alone can't (VERDICT r03 item 5).  Conventions: FLOPs from XLA's
+    cost model (jitted.lower().compile().cost_analysis()), peak = v5e bf16
+    197 TFLOP/s, step time = steady-state per-call latency measured by
+    pipelining PIPE calls and syncing once (per-call sync over the tunnel
+    measures RTT, not compute)."""
+    import sys as _sys
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    jfn = jax.jit(fn)
+    compiled = jfn.lower(*args).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops = float(ca.get("flops", 0.0))
+    out = jfn(*args)  # warm
+    jax.block_until_ready(out)
+    float(np.asarray(out[0]).reshape(-1)[0])  # tunnel-safe sync
+    PIPE, REPS = 32, 3
+    best = None
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(PIPE):
+            o = jfn(*args)
+        float(np.asarray(o[0]).reshape(-1)[0])
+        dt = (time.perf_counter() - t0) / PIPE
+        best = dt if best is None else min(best, dt)
+    peak = 197e12  # v5e bf16
+    rec = {
+        "metric": "fused_step_mfu_v5e_bf16",
+        "value": round(flops / best / peak, 5),
+        "unit": "fraction",
+        "flops_per_step": flops,
+        "step_ms": round(best * 1e3, 3),
+        "tflops_per_s": round(flops / best / 1e12, 2),
+    }
+    print(json.dumps(rec), flush=True)
+    print(json.dumps(rec), file=_sys.stderr, flush=True)
+
+
+def main():
+    n_frames = int(os.environ.get("BENCH_FRAMES", "48"))
+    env_mode = os.environ.get("BENCH_MODE")
+    real_env = env_mode == "real"
+    if env_mode or os.environ.get("BENCH_PIPELINE") == "full":
+        thresh = calibrate_filter_thresh() if real_env else None
+        gate = (
+            dict(filter_thresh=thresh) if real_env
+            else dict(filter_thresh=float("inf"), keyframe_stride=3)
+        )
+
+    # BENCH_PIPELINE=full: the complete annotation pipeline (priors +
+    # masking + depth + artifacts), not just the SLAM hot path
+    if os.environ.get("BENCH_PIPELINE") == "full":
+        return main_pipeline_full(gate)
+
+    # BENCH_CORR_MODE=alt: packed-feature edge state with on-the-fly
+    # window dots (pair with VIPE_PALLAS=1 for the fused kernel) — A/B
+    # against the default materialized volumes on real hardware.
+    # BENCH_PARK=1: park pass-1 fmaps in fixed-stride skip mode (trades
+    # batched pass-2 transfers for per-frame pass-1 ones — tunnel A/B).
+    corr_mode = os.environ.get("BENCH_CORR_MODE", "volume")
+    park = os.environ.get("BENCH_PARK") == "1"
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+
+    # BENCH_AB=real_knobs: hardware A/Bs for the latency-architecture knobs
+    # in ONE process (the expensive SLAM fused programs compile once and are
+    # shared): real-mode baseline, proximity_spec off (VERDICT r03 item 7),
+    # per-frame pass-1 uploads (item 8).  Three JSON lines, baseline LAST.
+    if os.environ.get("BENCH_AB") == "real_knobs":
+        thresh = calibrate_filter_thresh()
+        os.environ["BENCH_PROX_SPEC"] = "0"
+        fps = measure_slam(True, 1, n_frames, reps, corr_mode, park, thresh)
+        del os.environ["BENCH_PROX_SPEC"]
+        emit(True, 1, fps, suffix="_noproxspec")
+        os.environ["BENCH_UPLOAD_BATCH"] = "1"
+        fps = measure_slam(True, 1, n_frames, reps, corr_mode, park, thresh)
+        del os.environ["BENCH_UPLOAD_BATCH"]
+        emit(True, 1, fps, suffix="_ub1")
+        fps = measure_slam(True, 1, n_frames, reps, corr_mode, park, thresh)
+        emit(True, 1, fps)
+        return
+
+    if env_mode or os.environ.get("BENCH_VIDEOS"):
+        # explicit single-config run (bench_sweep / A/B scripts)
+        n_videos = int(os.environ.get("BENCH_VIDEOS", "1"))
+        fps = measure_slam(real_env, n_videos, n_frames, reps,
+                           corr_mode, park, thresh if real_env else None)
+        if os.environ.get("BENCH_MFU") == "1":
+            emit_mfu()
+        emit(real_env, n_videos, fps)
+        return
+
+    # Default driver run: emit all three production-relevant shapes in one
+    # process (shared warm programs), HEADLINE (real-mode, the production
+    # decision path — measured fastest: live-filter mode parks every pass-1
+    # fmap) printed LAST so the driver's one-JSON-line capture records it.
+    fps1 = measure_slam(False, 1, n_frames, reps, corr_mode, park)
+    emit(False, 1, fps1)
+    fps2 = measure_slam(False, 2, n_frames, reps, corr_mode, park)
+    emit(False, 2, fps2)
+    if os.environ.get("BENCH_MFU", "1") == "1":
+        try:
+            emit_mfu()
+        except Exception as e:  # never let the MFU probe kill the headline
+            print(f"mfu probe failed: {e}", file=__import__("sys").stderr)
+    thresh = calibrate_filter_thresh()
+    fps_real = measure_slam(True, 1, n_frames, reps, corr_mode, park, thresh)
+    emit(True, 1, fps_real)
 
 
 if __name__ == "__main__":

@@ -5,11 +5,14 @@
 #
 #   bash scripts/bench_matrix.sh [logfile]
 #
-# Steps, in value order: volume baseline (same-day tunnel reference),
-# corr_mode=alt, 4-video interleave (the production batch shape), real-mode
-# keyframing, Pallas fused corr, full annotation pipeline.  Each prints one
-# JSON line; compare within ONE day's log only — the shared tunnel swings
-# 2x day-to-day.
+# Steps, in value order: full (full annotation pipeline — the north-star
+# metric), triple (default bench: stride single + x2 aggregate + MFU +
+# real-mode headline, one process), volume3 + volume4 (volume-mode
+# interleave past the old 2-video OOM ceiling — in-jit corr slicing),
+# realknobs (one-process real-mode A/B: prox-spec off / per-frame uploads /
+# baseline), pano1 (panorama camera path).  Each step prints JSON lines;
+# compare within ONE day's log only — the shared tunnel swings 2x
+# day-to-day.
 cd "$(dirname "$0")/.." || exit 1
 log=${1:-/tmp/bench_matrix.log}
 : > "$log"
@@ -19,11 +22,10 @@ run() {
   timeout "$to" env "$@" python bench.py >> "$log" 2>&1
   echo "=== $name rc=$? end $(date +%T) ===" >> "$log"
 }
-run volume1 900  BENCH_VIDEOS=1
-run volume2 900  BENCH_VIDEOS=2
-run alt1    1500 BENCH_CORR_MODE=alt BENCH_VIDEOS=1
-run alt4    1500 BENCH_CORR_MODE=alt BENCH_VIDEOS=4
-run real1   900  BENCH_MODE=real BENCH_VIDEOS=1
-run alt1p   900  BENCH_CORR_MODE=alt VIPE_PALLAS=1 BENCH_VIDEOS=1
-run full    1800 BENCH_PIPELINE=full BENCH_REPS=1 BENCH_VIDEOS=1
+run full      4800 BENCH_PIPELINE=full BENCH_REPS=2 BENCH_VIDEOS=1
+run triple    2400
+run volume3   1200 BENCH_VIDEOS=3
+run volume4   1200 BENCH_VIDEOS=4
+run realknobs 2400 BENCH_AB=real_knobs
+run pano1     1200 BENCH_CAMERA=panorama BENCH_VIDEOS=1
 echo "=== MATRIX DONE $(date +%T) ===" >> "$log"
