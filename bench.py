@@ -186,6 +186,9 @@ def measure_slam(real_mode: bool, n_videos: int, n_frames: int, reps: int,
         sys_ = SLAMSystem(config=dict(
             warmup=8, buffer=256, infill_chunk_size=16, backend_iters=4,
             corr_mode=corr_mode, park_fmaps_in_skip_mode=park,
+            # BENCH_CORR_DTYPE=int8: quantized stored volumes (~½ edge-state
+            # HBM; the ≥3-video interleave lever) — A/B on hardware
+            corr_dtype=os.environ.get("BENCH_CORR_DTYPE", "bf16"),
             **gate,
         ))
         stream = synth_stream(

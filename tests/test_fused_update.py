@@ -28,7 +28,8 @@ def tiny_droidnet():
     return init_droidnet(jax.random.PRNGKey(0), ht=HT, wd=WD)
 
 
-def _make_graph(tiny_droidnet, seed=0, corr_mode="volume"):
+def _make_graph(tiny_droidnet, seed=0, corr_mode="volume",
+                corr_dtype="bf16"):
     model, params = tiny_droidnet
     ef, ec, uf = make_droidnet_fns(model)
     rng = np.random.default_rng(seed)
@@ -47,7 +48,7 @@ def _make_graph(tiny_droidnet, seed=0, corr_mode="volume"):
             0.1 * jnp.asarray(rng.random((HT, WD)), jnp.float32)
         )
     g = FactorGraph(buf, uf, params, max_factors=16, incremental=True,
-                    corr_mode=corr_mode)
+                    corr_mode=corr_mode, corr_dtype=corr_dtype)
     g.add_neighborhood_factors(0, N, r=1)
     return buf, g
 
@@ -105,6 +106,52 @@ class TestFusedUpdateEquivalence:
                 sa[key], sb[key], rtol=0, atol=2e-2,
                 err_msg=f"mismatch in {key}",
             )
+
+    def test_corr_dtype_int8_one_round(self, tiny_droidnet):
+        """corr_dtype='int8' (quantized stored volumes, per-edge dequant
+        scales — the ≥3-video interleave memory lever) vs the bf16 default,
+        one GRU+BA round: int8 lookup parity is ≤1e-2 relative
+        (ops/corr.quantize_volume), so a single round must stay close."""
+        buf_a, g_a = _make_graph(tiny_droidnet, seed=3)
+        buf_b, g_b = _make_graph(tiny_droidnet, seed=3, corr_dtype="int8")
+        assert g_b.corr_pyr[0].dtype == jnp.int8
+        assert g_b.corr_scale is not None
+
+        g_a.update(use_inactive=True)
+        g_b.update(use_inactive=True)
+        sa, sb = _snapshot(buf_a, g_a), _snapshot(buf_b, g_b)
+        for key in sa:
+            np.testing.assert_allclose(
+                sa[key], sb[key], rtol=0, atol=2e-2,
+                err_msg=f"mismatch in {key}",
+            )
+
+    def test_corr_dtype_int8_row_machinery(self, tiny_droidnet):
+        """Quantized rows and their scales must track the same add/remove/
+        permute machinery as bf16 volumes: after evicting edges (store=True)
+        and removing a keyframe, the dequantized stored rows must equal a
+        freshly-built pyramid for the surviving edges."""
+        from vipe_tpu.slam.factor_graph import _jitted_edge_corr
+
+        buf, g = _make_graph(tiny_droidnet, seed=7, corr_dtype="int8")
+        # evict two edges into the inactive store, then drop a keyframe
+        mask = np.zeros(g.n_edges, bool)
+        mask[1] = mask[3] = True
+        g.rm_factors(mask, store=True)
+        g.rm_keyframe(2)
+        n = g.n_edges
+        assert n > 0
+        di = jnp.asarray(g.exp[: n, 2], jnp.int32)
+        dj = jnp.asarray(g.exp[: n, 3] * g.V + g.exp[: n, 4], jnp.int32)
+        fresh = _jitted_edge_corr(g.corr_levels, buf.fmaps, di, dj)
+        for l in range(g.corr_levels):
+            deq = (
+                np.asarray(g.corr_pyr[l][:n], np.float32)
+                * np.asarray(g.corr_scale[l][:n])[:, None, None, None, None]
+            )
+            ref = np.asarray(fresh[l], np.float32)
+            scale = np.abs(ref).max() + 1e-9
+            assert np.abs(deq - ref).max() / scale < 1.5e-2
 
     def test_matches_with_inactive_edges(self, tiny_droidnet):
         buf_a, g_a = _make_graph(tiny_droidnet, seed=5)

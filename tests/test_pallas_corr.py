@@ -42,6 +42,25 @@ class TestPallasLookup:
             np.asarray(out), np.asarray(ref), rtol=0, atol=2e-2
         )
 
+    def test_int8_scales_match_dequantized(self, rng):
+        """int8 quantized volumes + per-edge scales (corr_dtype='int8'):
+        the kernel dequantizes in VMEM, the scale folds in outside — must
+        match the XLA lookup of the explicitly dequantized volumes."""
+        pyr, coords = _pyramid_and_coords(rng)
+        qs = [corr.quantize_volume(p) for p in pyr]
+        deq = [
+            (q.astype(jnp.float32)
+             * s[:, None, None, None, None]).astype(jnp.bfloat16)
+            for q, s in qs
+        ]
+        ref = corr.corr_lookup_pyramid(deq, coords)
+        out = corr_lookup_pyramid_pallas(
+            [q for q, _ in qs], coords, interpret=True,
+            scales=tuple(s for _, s in qs),
+        )
+        scale = np.abs(np.asarray(ref)).max() + 1e-9
+        assert np.abs(np.asarray(out) - np.asarray(ref)).max() / scale < 2e-2
+
     def test_out_of_bounds_taps_are_zero(self, rng):
         pyr, _ = _pyramid_and_coords(rng)
         E, H, W = pyr[0].shape[:3]

@@ -32,6 +32,63 @@ import jax.numpy as jnp
 _USE_PALLAS = os.environ.get("VIPE_PALLAS") == "1"
 
 
+@jax.tree_util.register_pytree_node_class
+class QVol:
+    """Per-edge int8-quantized correlation volume + per-edge dequant scale.
+
+    ``q``: (E, h1, w1, h2, w2) int8, ``s``: (E,) f32 with
+    ``vol ≈ q · s[:, None, None, None, None]``.  Registered as a pytree so
+    it flows through jit signatures wherever a plain volume array does; row
+    slicing (``p[:n]``) slices both members, matching the factor graph's
+    in-program active-row slice.  Halves the stored-volume HBM footprint
+    (the 4-video interleave OOM driver — ~1.2 GB/video bf16 at 48 edges)
+    and halves lookup HBM traffic; dequantization is folded into the
+    lookup output (the window contraction is linear in the volume)."""
+
+    def __init__(self, q, s):
+        self.q = q
+        self.s = s
+
+    def tree_flatten(self):
+        return (self.q, self.s), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def __getitem__(self, idx):
+        return QVol(self.q[idx], self.s[idx])
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def dtype(self):
+        return self.q.dtype
+
+
+def quantize_volume(vol):
+    """Symmetric per-edge int8 quantization of a correlation volume.
+
+    Returns (q int8, s f32 (E,)) with vol ≈ q·s.  The scale is per EDGE
+    (not global): correlation magnitudes vary with feature content, and the
+    GRU's corr encoder is sensitive to the window's relative structure —
+    per-edge scaling keeps ~7 significant bits everywhere."""
+    v = vol.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(v), axis=tuple(range(1, v.ndim)))
+    s = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(
+        jnp.round(v / s[(slice(None),) + (None,) * (v.ndim - 1)]),
+        -127, 127,
+    ).astype(jnp.int8)
+    return q, s
+
+
 def level_dims(ht: int, wd: int, level: int):
     """Target-plane dims at a pyramid level, clamped at 1 px so tiny test
     grids still produce the full 4-level (196-channel) feature stack."""
@@ -137,7 +194,7 @@ def _selection_matrix(centers, frac, size: int, radius: int):
     return (1.0 - f) * onehot0 + f * onehot1  # (..., k, size)
 
 
-def corr_lookup(vol, coords, radius: int = 3):
+def corr_lookup(vol, coords, radius: int = 3, scale=None):
     """Sample a (2r+1)² window bilinearly from a materialized volume.
 
     vol: (E, h1, w1, h2, w2); coords: (E, h1, w1, 2) at this level's scale.
@@ -147,8 +204,15 @@ def corr_lookup(vol, coords, radius: int = 3):
     batched matmuls with sparse selection matrices,
     ``out = Wy @ vol @ Wxᵀ`` — XLA's generic gather for this access pattern
     measured ~680 ms for 48 edges; the matmul form rides the MXU.
+
+    ``scale``: per-edge (E,) dequantization factor for int8 volumes, folded
+    into the f32 output (the contraction is linear in the volume).
     """
     E, h1, w1, h2, w2 = vol.shape
+    if vol.dtype == jnp.int8:
+        # contract in bf16 (int8 operands don't mix with the fractional
+        # selection weights); XLA fuses the convert into the einsum read
+        vol = vol.astype(jnp.bfloat16)
     u = coords[..., 0]
     v = coords[..., 1]
     u0 = jnp.floor(u)
@@ -174,7 +238,10 @@ def corr_lookup(vol, coords, radius: int = 3):
                    preferred_element_type=vol.dtype)
     out = jnp.einsum("epkw,eplw->epkl", t, Wxf,
                      preferred_element_type=jnp.float32)
-    return out.reshape(E, h1, w1, k * k)
+    out = out.reshape(E, h1, w1, k * k).astype(jnp.float32)
+    if scale is not None:
+        out = out * scale[:, None, None, None]
+    return out
 
 
 def corr_feat_pack(fmap1, fmap2, num_levels: int = 4):
@@ -199,10 +266,31 @@ def corr_feat_pack(fmap1, fmap2, num_levels: int = 4):
 def corr_lookup_pyramid(pyramid, coords, radius: int = 3):
     """Lookup every level at coords/2^l and concat channels (level-major).
 
-    ``pyramid``: materialized volumes (entries (E, h1, w1, h2, w2)) or
-    packed features from ``corr_feat_pack`` (entries (E, h, w, C)).
+    ``pyramid``: materialized volumes (entries (E, h1, w1, h2, w2)), int8
+    quantized volumes (``QVol`` entries), or packed features from
+    ``corr_feat_pack`` (entries (E, h, w, C)).
     Output (E, h1, w1, L·(2r+1)²) matching CorrBlock.__call__ channel order.
     """
+    if pyramid and isinstance(pyramid[0], QVol):
+        vols = [p.q for p in pyramid]
+        scales = [p.s for p in pyramid]
+        # int8 mode prefers the Pallas kernel on TPU: the dequant convert
+        # happens in VMEM per block, so HBM reads stay int8 (half the bf16
+        # traffic); the XLA path materializes a bf16 copy per lookup.
+        if _USE_PALLAS or jax.default_backend() != "cpu":
+            from .pallas_corr import corr_lookup_pyramid_pallas
+
+            return corr_lookup_pyramid_pallas(
+                vols, coords, radius=radius,
+                interpret=jax.default_backend() == "cpu",
+                scales=tuple(scales),
+            )
+        outs = [
+            corr_lookup(vols[lvl], coords / (2.0**lvl), radius,
+                        scale=scales[lvl])
+            for lvl in range(len(vols))
+        ]
+        return jnp.concatenate(outs, axis=-1)
     if pyramid and pyramid[0].ndim == 4:
         f1 = pyramid[0]
         pools = list(pyramid[1:])

@@ -290,9 +290,14 @@ def _kernel(coords_ref, *refs, radius: int, levels: int):
     cr = coords_ref[0, 0]                                # (P, 2)
     for lvl in range(levels):
         scale = 1.0 / (2.0 ** lvl)
-        vol = vol_refs[lvl][0]                           # (P, h2, w2) bf16
+        vol = vol_refs[lvl][0]                           # (P, h2, w2) bf16/int8
         h2, w2 = vol.shape[1], vol.shape[2]
         Wy, Wx2, R = _window_selections(cr, radius, scale, h2, w2)
+        if vol.dtype == jnp.int8:
+            # int8 quantized volume: dequant convert happens HERE in VMEM
+            # (the per-edge scale is folded into the output outside the
+            # kernel); int→f32→bf16 keeps the convert on probed-legal paths
+            vol = vol.astype(jnp.float32)
         t = jax.lax.dot_general(                         # (P, k, w2)
             Wy, vol.astype(Wy.dtype),
             (((2,), (1,)), ((0,), (0,))),
@@ -306,12 +311,15 @@ def _kernel(coords_ref, *refs, radius: int, levels: int):
 )
 def corr_lookup_pyramid_pallas(
     pyramid, coords, radius: int = 3, interpret: bool = False,
-    row_block: int = 8,
+    row_block: int = 8, scales=None,
 ):
     """Drop-in for ``corr.corr_lookup_pyramid`` (level-major channels).
 
-    pyramid: list of (E, h1, w1, h2_l, w2_l) volumes (bf16 or f32);
+    pyramid: list of (E, h1, w1, h2_l, w2_l) volumes (bf16, f32 or int8);
     coords:  (E, h1, w1, 2) level-0 (u, v).
+    ``scales``: optional per-level tuple of per-edge (E,) dequantization
+    factors for int8 volumes (folded into the f32 outputs in XLA — the
+    window contraction is linear in the volume).
     Returns (E, h1, w1, L·(2r+1)²) f32.
 
     Blocks are PIXEL-FLAT: volumes/coords are reshaped (free, in XLA) to
@@ -400,6 +408,7 @@ def corr_lookup_pyramid_pallas(
         interpret=interpret,
     )(coords_f, *pyr_f)
     # level-major channel order, identical to the XLA path's concatenation
-    return jnp.concatenate(
-        [o.reshape(E, h1, w1, k * k) for o in outs], axis=-1
-    )
+    outs = [o.reshape(E, h1, w1, k * k) for o in outs]
+    if scales is not None:
+        outs = [o * s[:, None, None, None] for o, s in zip(outs, scales)]
+    return jnp.concatenate(outs, axis=-1)

@@ -83,6 +83,18 @@ def _jitted_edge_corr(levels, fmaps, ii, jj):
 
 
 @functools.partial(jax.jit, static_argnums=0)
+def _jitted_edge_corr_q(levels, fmaps, ii, jj):
+    """Per-edge correlation pyramid, int8-quantized with per-edge scales
+    (corr_dtype='int8'): builds in bf16 like ``_jitted_edge_corr`` then
+    symmetric-quantizes each level (ops/corr.quantize_volume)."""
+    f1 = fmaps[ii].astype(jnp.float32)
+    f2 = fmaps[jj].astype(jnp.float32)
+    pyr = corr_ops.corr_pyramid(f1, f2, levels)
+    qs = [corr_ops.quantize_volume(p) for p in pyr]
+    return [q for q, _ in qs], [s for _, s in qs]
+
+
+@functools.partial(jax.jit, static_argnums=0)
 def _jitted_edge_feat(levels, fmaps, ii, jj):
     """Per-edge packed correlation FEATURES (corr_mode='alt'): [f1,
     pooled f2 per level], /4-scaled bf16 — ~1/13 the volume memory, the
@@ -577,6 +589,7 @@ class FactorGraph:
         ba_cfg_kwargs: Optional[dict] = None,
         optimize_intrinsics: bool = False,
         corr_mode: str = "volume",
+        corr_dtype: str = "bf16",
     ):
         self.buffer = buffer
         self.update_fn = update_fn
@@ -623,6 +636,11 @@ class FactorGraph:
         # reference's altcorr formulation; the fused Pallas kernel builds
         # each volume block in VMEM).  Same row machinery either way.
         self.corr_mode = corr_mode
+        # int8 quantized stored volumes (volume mode only): ~½ the edge-state
+        # HBM of bf16 with per-edge dequant scales — the lever that fits ≥4
+        # interleaved videos on one chip (see ops/corr.QVol)
+        self.corr_q = corr_dtype == "int8" and corr_mode != "alt"
+        self.corr_scale = None
         if incremental:
             if corr_mode == "alt":
                 C = buffer.fmaps.shape[-1]
@@ -634,13 +652,19 @@ class FactorGraph:
                     jnp.zeros((EV + 1,) + d + (C,), CORR_DTYPE) for d in dims
                 ]
             else:
+                vdt = jnp.int8 if self.corr_q else CORR_DTYPE
                 self.corr_pyr = [
                     jnp.zeros(
                         (EV + 1, ht, wd) + corr_ops.level_dims(ht, wd, l),
-                        CORR_DTYPE,
+                        vdt,
                     )
                     for l in range(self.corr_levels)
                 ]
+                if self.corr_q:
+                    self.corr_scale = [
+                        jnp.zeros((EV + 1,), jnp.float32)
+                        for _ in range(self.corr_levels)
+                    ]
         else:
             self.corr_pyr = None
 
@@ -684,6 +708,16 @@ class FactorGraph:
         self._inac_cap = new_cap
 
     # ------------------------------------------------------------ edge admin
+
+    def _pyr_list(self):
+        """Stored pyramids as jit-ready args: plain arrays, or ``QVol``
+        (int8 volume + per-edge scale) pytrees in quantized mode."""
+        if self.corr_scale is not None:
+            return [
+                corr_ops.QVol(q, s)
+                for q, s in zip(self.corr_pyr, self.corr_scale)
+            ]
+        return list(self.corr_pyr)
 
     def _edge_set(self):
         return set(zip(self.ii[: self.n_edges], self.jj[: self.n_edges])) | set(
@@ -763,9 +797,20 @@ class FactorGraph:
                 self.f_net, rows_d, self.buffer.nets[di_d].astype(jnp.float32)
             )
             if self.incremental:
-                build = (_jitted_edge_feat if self.corr_mode == "alt"
-                         else _jitted_edge_corr)
-                pyr = build(self.corr_levels, self.buffer.fmaps, di_d, dj_d)
+                if self.corr_q:
+                    pyr, sca = _jitted_edge_corr_q(
+                        self.corr_levels, self.buffer.fmaps, di_d, dj_d
+                    )
+                    for l in range(len(self.corr_pyr)):
+                        self.corr_scale[l] = jaxutil.set_rows_at(
+                            self.corr_scale[l], rows_d, sca[l]
+                        )
+                else:
+                    build = (_jitted_edge_feat if self.corr_mode == "alt"
+                             else _jitted_edge_corr)
+                    pyr = build(
+                        self.corr_levels, self.buffer.fmaps, di_d, dj_d
+                    )
                 for l in range(len(self.corr_pyr)):
                     self.corr_pyr[l] = jaxutil.set_rows_at(
                         self.corr_pyr[l], rows_d, pyr[l]
@@ -846,6 +891,11 @@ class FactorGraph:
         if self.incremental:
             for l in range(len(self.corr_pyr)):
                 self.corr_pyr[l] = jaxutil.permute_rows(self.corr_pyr[l], perm_d)
+            if self.corr_scale is not None:
+                for l in range(len(self.corr_scale)):
+                    self.corr_scale[l] = jaxutil.permute_rows(
+                        self.corr_scale[l], perm_d
+                    )
         self.n_edges = len(keep)
 
     def rm_second_newest_keyframe(self, ix: int):
@@ -1122,7 +1172,7 @@ class FactorGraph:
                 pi_d, qi_d, di_d, pj_d, qj_d,
             )
             corr_feat = corr_ops.corr_lookup_pyramid(
-                [p[:EV] for p in self.corr_pyr],
+                [p[:EV] for p in self._pyr_list()],
                 coords1, CORR_RADIUS,
             )
             dj_d = pj_d * self.V + qj_d
@@ -1136,7 +1186,7 @@ class FactorGraph:
             # (an eager slice copies the whole volume set per call)
             net, target, weight, eta = step(
                 self.params, NbV, buf.poses[:Nb], rig, buf.disps[:NbV],
-                intr, list(self.corr_pyr),
+                intr, self._pyr_list(),
                 self.target[:EV], self.f_net[:EV], buf.inps[:NbV],
                 buf.masks[:NbV], pi_d, qi_d, di_d, pj_d, qj_d, ev,
             )
@@ -1323,7 +1373,7 @@ class FactorGraph:
             # of the whole ~1.2 GB volume set per keyframe — the dominant
             # transient behind the 4-video volume-mode OOM (two in-flight
             # copies/video under the depth-2 pipeline).
-            list(self.corr_pyr), self.target[:E], self.f_net[:E],
+            self._pyr_list(), self.target[:E], self.f_net[:E],
             buf.inps[b: b + Nb], buf.masks[b: b + Nb], ii_d, jj_d, ev,
             self.damping[b: b + Nb],
             self.target_inac, self.weight_inac, sel_d,

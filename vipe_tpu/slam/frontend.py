@@ -49,8 +49,11 @@ class SLAMFrontend:
             optimize_intrinsics=config.get("optimize_intrinsics", False),
             # 'alt' stores packed features instead of materialized volumes
             # (~13x less edge state; lookups recompute windows on the fly —
-            # pair with VIPE_PALLAS=1 on TPU for the fused kernel)
+            # pair with VIPE_PALLAS=1 on TPU for the fused kernel);
+            # corr_dtype='int8' halves volume-mode edge state instead
+            # (per-edge quantized volumes, dequant folded into lookups)
             corr_mode=config.get("corr_mode", "volume"),
+            corr_dtype=config.get("corr_dtype", "bf16"),
         )
         self.t1 = 0
         self.is_initialized = False

@@ -286,6 +286,7 @@ class InnerFiller:
         graph = FactorGraph(
             buf, self.update_fn, self.params,
             max_factors=4 * (total - s), incremental=True,
+            corr_dtype=self.config.get("corr_dtype", "bf16"),
         )
         infill = np.arange(s, total)
         graph.add_factors(t0, infill)
