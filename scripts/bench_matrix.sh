@@ -26,6 +26,10 @@ run full      4800 BENCH_PIPELINE=full BENCH_REPS=2 BENCH_VIDEOS=1
 run triple    2400
 run volume3   1200 BENCH_VIDEOS=3
 run volume4   1200 BENCH_VIDEOS=4
+# int8 quantized volumes: ~half the edge-state HBM (ops/corr.QVol) — the
+# production ≥3-video batch shape without alt-mode's recompute cost
+run i8x3      1200 BENCH_VIDEOS=3 BENCH_CORR_DTYPE=int8
+run i8x4      1200 BENCH_VIDEOS=4 BENCH_CORR_DTYPE=int8
 run realknobs 2400 BENCH_AB=real_knobs
 run pano1     1200 BENCH_CAMERA=panorama BENCH_VIDEOS=1
 echo "=== MATRIX DONE $(date +%T) ===" >> "$log"

@@ -42,11 +42,16 @@ def run_interleaved(
     jobs drain (pending ones still run — a bad video must not kill the
     batch; mirror of run.py's per-video isolation).
     """
+    import gc
+
     jobs = list(jobs)
     if workers <= 1:
         results = []
         for k, job in enumerate(jobs):
             r = job()
+            # a finished video's SLAM device state (GBs) sits in reference
+            # cycles; collect before the next video allocates its own
+            gc.collect()
             if on_result is not None:
                 on_result(k, r)
             results.append(r)
@@ -61,6 +66,8 @@ def run_interleaved(
         except BaseException as e:  # noqa: BLE001 — re-raised below
             errors.append(e)
             return
+        finally:
+            gc.collect()  # free this video's cyclic SLAM device state
         results[k] = r
         if on_result is not None:
             on_result(k, r)

@@ -91,6 +91,16 @@ class DefaultAnnotationPipeline(Pipeline):
         )
         with profiling.stage("slam"):
             slam_out = slam.run(stream, camera_type=camera_type)
+        # SLAM device state (keyframe buffers + graph volumes — several GB
+        # at buffer=1024) is garbage here but sits in reference CYCLES
+        # (buffer↔graph↔components), which CPython frees only on a cycle
+        # collection; the post priors (VDA windows, per-frame ViTs) allocate
+        # multi-GB device tensors before one would trigger naturally —
+        # measured RESOURCE_EXHAUSTED on a 16 GB v5e.  Collect now.
+        import gc
+
+        del slam
+        gc.collect()
 
         # ------------------------------------------------------------- post
         output = self._post_view(stream, slam_out, camera_type,
@@ -128,6 +138,10 @@ class DefaultAnnotationPipeline(Pipeline):
             config=self.slam_cfg, metric_depth=self._make_metric_depth()
         )
         slam_out = slam.run(cached, camera_type=camera_type)
+        import gc
+
+        del slam
+        gc.collect()  # free cyclic SLAM device state before the post priors
 
         import jax
         import jax.numpy as jnp

@@ -93,6 +93,93 @@ class DPTHeadTemporal(nn.Module):
         return nn.relu(out)[..., 0]
 
 
+class _DPTHeadJoint(nn.Module):
+    """``DPTHeadTemporal`` through its LAST temporal module (motion3):
+    projections, temporal mixing and refinenet4/3 need the whole clip
+    jointly; everything after motion3 is strictly per-frame.  Submodule
+    names match ``DPTHeadTemporal`` exactly so one converted param tree
+    serves both (split by top-level key in ``VideoDepthAnythingNet``)."""
+
+    features: int = 256
+    out_channels: tuple = (256, 512, 1024, 1024)
+    num_frames: int = INFER_LEN
+
+    @nn.compact
+    def __call__(self, taps, ph: int, pw: int, T: int):
+        feats = []
+        for i, (tokens, _cls) in enumerate(taps):
+            B, N, D = tokens.shape
+            f = tokens.reshape(B, ph, pw, D)
+            f = nn.Conv(self.out_channels[i], (1, 1), name=f"project{i}")(f)
+            if i == 0:
+                f = nn.ConvTranspose(self.out_channels[i], (4, 4), strides=(4, 4),
+                                     name="resize0")(f)
+            elif i == 1:
+                f = nn.ConvTranspose(self.out_channels[i], (2, 2), strides=(2, 2),
+                                     name="resize1")(f)
+            elif i == 3:
+                f = nn.Conv(self.out_channels[i], (3, 3), strides=2,
+                            padding=((1, 1), (1, 1)), name="resize3")(f)
+            feats.append(f)
+
+        l1, l2, l3, l4 = feats
+        l3 = TemporalModule(self.out_channels[2], max_len=self.num_frames,
+                            name="motion0")(l3, T)
+        l4 = TemporalModule(self.out_channels[3], max_len=self.num_frames,
+                            name="motion1")(l4, T)
+
+        rn = []
+        for i, f in enumerate([l1, l2, l3, l4]):
+            rn.append(nn.Conv(self.features, (3, 3), use_bias=False,
+                              name=f"layer{i + 1}_rn")(f))
+        l1, l2, l3, l4 = rn
+
+        p4 = FeatureFusionBlock(self.features, name="refinenet4")(
+            l4, out_hw=l3.shape[1:3])
+        p4 = TemporalModule(self.features, max_len=self.num_frames,
+                            name="motion2")(p4, T)
+        p3 = FeatureFusionBlock(self.features, name="refinenet3")(
+            p4, l3, out_hw=l2.shape[1:3])
+        p3 = TemporalModule(self.features, max_len=self.num_frames,
+                            name="motion3")(p3, T)
+        return l1, l2, p3
+
+
+class _DPTHeadTail(nn.Module):
+    """Per-frame tail of ``DPTHeadTemporal`` (after motion3): refinenet2/1,
+    output convs and the full-resolution upsample — the memory-dominant
+    part (the post-resize (T, 14·ph, 14·pw, features/2) tensor is ~4 GB
+    bf16 for a 32-frame 518-res window), so it runs chunked over frames."""
+
+    features: int = 256
+    patch_size: int = 14
+
+    @nn.compact
+    def __call__(self, l1, l2, p3):
+        p2 = FeatureFusionBlock(self.features, name="refinenet2")(
+            p3, l2, out_hw=l1.shape[1:3])
+        p1 = FeatureFusionBlock(self.features, name="refinenet1")(p2, l1)
+        out = nn.Conv(self.features // 2, (3, 3), name="output_conv1")(p1)
+        out = _resize_bilinear(
+            out,
+            (l2.shape[1] * self.patch_size // 2,
+             l2.shape[2] * self.patch_size // 2),
+        )
+        out = nn.Conv(32, (3, 3), name="output_conv2_0")(out)
+        out = nn.relu(out)
+        out = nn.Conv(1, (1, 1), name="output_conv2_2")(out)
+        return nn.relu(out)[..., 0]
+
+
+_JOINT_KEYS = (
+    "project0", "project1", "project2", "project3",
+    "resize0", "resize1", "resize3",
+    "motion0", "motion1", "motion2", "motion3",
+    "layer1_rn", "layer2_rn", "layer3_rn", "layer4_rn",
+    "refinenet4", "refinenet3",
+)
+
+
 class VideoDepthAnythingNet:
     """TPU memory/dtype policy: the whole clip forward runs in bf16 (the
     reference's vitl path runs under fp16 autocast, video_depth.py:127 +
@@ -100,9 +187,14 @@ class VideoDepthAnythingNet:
     f32-accumulated matmuls, and the per-window output feeds a host-side
     f32 scale/shift stitch).  The per-frame ViT runs as a ``lax.map`` over
     8-frame chunks: a 32-frame batch at 518-res materializes a multi-GB
-    attention transient that RESOURCE_EXHAUSTs a shared v5e chip."""
+    attention transient that RESOURCE_EXHAUSTs a shared v5e chip.  The DPT
+    head is likewise split at its last temporal module: the per-frame tail
+    (refinenet2/1 + output convs + full-res upsample, whose intermediate is
+    ~4 GB bf16 for a whole window) maps over ``HEAD_CHUNK``-frame slices
+    with the same converted parameters."""
 
     VIT_CHUNK = 8
+    HEAD_CHUNK = 4
 
     def __init__(self, variant: str = "vitl", params=None, rng_seed: int = 0,
                  num_frames: int = INFER_LEN):
@@ -115,6 +207,12 @@ class VideoDepthAnythingNet:
             features=cfg["features"], out_channels=cfg["out_channels"],
             num_frames=num_frames,
         )
+        # split-apply views over the SAME param tree (see _DPTHeadJoint)
+        self.head_joint = _DPTHeadJoint(
+            features=cfg["features"], out_channels=cfg["out_channels"],
+            num_frames=num_frames,
+        )
+        self.head_tail = _DPTHeadTail(features=cfg["features"])
         if params is None:
             params = self.init_params(jax.random.PRNGKey(rng_seed))
         self.params = params
@@ -147,7 +245,23 @@ class VideoDepthAnythingNet:
             else:
                 taps = self.vit.apply(pbf["vit"], clip, tap_layers=self.taps)
             ph, pw = H // 14, W // 14
-            out = self.head.apply(pbf["head"], taps, ph, pw, T)
+            hp = pbf["head"]["params"]
+            joint_p = {"params": {k: v for k, v in hp.items()
+                                  if k in _JOINT_KEYS}}
+            tail_p = {"params": {k: v for k, v in hp.items()
+                                 if k not in _JOINT_KEYS}}
+            l1, l2, p3 = self.head_joint.apply(joint_p, taps, ph, pw, T)
+            HC = self.HEAD_CHUNK
+            if T % HC == 0 and T > HC:
+                out = jax.lax.map(
+                    lambda xs: self.head_tail.apply(tail_p, *xs),
+                    (l1.reshape((T // HC, HC) + l1.shape[1:]),
+                     l2.reshape((T // HC, HC) + l2.shape[1:]),
+                     p3.reshape((T // HC, HC) + p3.shape[1:])),
+                )
+                out = out.reshape((T,) + out.shape[2:])
+            else:
+                out = self.head_tail.apply(tail_p, l1, l2, p3)
             return out.astype(jnp.float32)
 
         self._forward = _forward
