@@ -54,7 +54,8 @@ class TestUniDepth:
         assert float(np.mean(np.abs(d1 - d2))) > 1e-4
 
     def test_adapter(self, rng):
-        m = UniDepthModel("s", input_size=70)
+        # tiny pixel bounds keep the infer() resize level near the test size
+        m = UniDepthModel("s", pixels_min=3_000, pixels_max=6_000)
         assert m.depth_type == DepthType.MODEL_METRIC_DEPTH
         out = m.estimate(DepthEstimationInput(
             rgb=rng.random((60, 80, 3)).astype(np.float32), focal_length=70.0,
@@ -62,6 +63,18 @@ class TestUniDepth:
         assert out.depth.shape == (60, 80)
         assert out.confidence.shape == (60, 80)
         assert bool(jnp.isfinite(out.depth).all())
+
+    def test_adapter_batch_matches_single(self, rng):
+        """estimate_depth_batch (one stacked forward) must match per-frame
+        estimate_depth for same-shaped frames sharing a focal."""
+        m = UniDepthModel("s", pixels_min=3_000, pixels_max=6_000)
+        rgbs = [rng.random((60, 80, 3)).astype(np.float32) for _ in range(3)]
+        batched = m.estimate_depth_batch(rgbs, 70.0)
+        for r, d in zip(rgbs, batched):
+            single = np.asarray(m.estimate_depth(r, 70.0))
+            np.testing.assert_allclose(
+                np.asarray(d), single, rtol=1e-4, atol=1e-5
+            )
 
 
 def make_synthetic_unidepth_sd(rng, D=384, hidden=512, depths=(2, 2, 2),

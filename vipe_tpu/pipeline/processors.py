@@ -189,6 +189,11 @@ class AdaptiveDepthProcessor(StreamProcessor):
             w2c, out.intrinsics, out.camera_type, (h, w), frame_idx=frame_idx,
         )
 
+    # frames per stacked metric-model forward in the post pass: per-frame
+    # dispatches of a large ViT amortize poorly (one program + transfer per
+    # frame); 8 bounds held frames while filling the accelerator
+    POST_BATCH = 8
+
     def update_iterator(self, it: Iterator[VideoFrame]) -> Iterator[VideoFrame]:
         frames = list(it) if self.vda is not None else it
         vda_disps = None
@@ -196,28 +201,87 @@ class AdaptiveDepthProcessor(StreamProcessor):
             with profiling.stage("vda"):
                 vda_disps = self.vda.infer_video_depth([f.rgb for f in frames])
 
-        use_metric = True
-        for frame_idx, frame in enumerate(frames if self.vda is not None else it):
-            if frame_idx == 0:
-                # coverage at the operating resolution with this frame's
-                # intrinsics (reference processors.py:226-243)
-                score = self._coverage_score(frame.size(), frame.intrinsics)
-                use_metric = score < self.coverage_thresh
-                if not use_metric and self.priorda is None:
-                    from ..models import zoo
-                    from ..priors.depth.priorda import PriorDAModel
+        src = iter(frames) if self.vda is not None else iter(it)
 
-                    # reference default = coarse→fine (priorda.py:100-161);
-                    # the fine conditioned net runs whenever converted
-                    # checkpoints are present in the weight registry.  With
-                    # random weights the fine stage would replace the
-                    # prompt-aligned coarse depth with noise (and pay a
-                    # second full DAv2 inference), so absent weights fall
-                    # back to coarse_only.
-                    self.priorda = PriorDAModel(
-                        coarse_only=not zoo.has_weights("priorda_fine")
+        def _chunks(s, n):
+            buf = []
+            for x in s:
+                buf.append(x)
+                if len(buf) == n:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+        frame_idx = 0
+        for chunk in _chunks(src, self.POST_BATCH):
+            if frame_idx == 0:
+                self._use_metric = self._decide_path(chunk[0])
+            depths = self._chunk_depths(chunk, frame_idx)
+            for j, frame in enumerate(chunk):
+                yield self._finish_frame(
+                    frame, frame_idx, depths[j], vda_disps
+                )
+                frame_idx += 1
+
+    def _decide_path(self, frame) -> bool:
+        """Coverage decision on frame 0 (reference processors.py:226-243):
+        low SLAM-map coverage -> pure metric model; else PriorDA completion
+        prompted by the projected map."""
+        score = self._coverage_score(frame.size(), frame.intrinsics)
+        use_metric = score < self.coverage_thresh
+        if not use_metric and self.priorda is None:
+            from ..models import zoo
+            from ..priors.depth.priorda import PriorDAModel
+
+            # reference default = coarse->fine (priorda.py:100-161); the
+            # fine conditioned net runs whenever converted checkpoints are
+            # present in the weight registry.  With random weights the fine
+            # stage would replace the prompt-aligned coarse depth with
+            # noise (and pay a second full DAv2 inference), so absent
+            # weights fall back to coarse_only.
+            self.priorda = PriorDAModel(
+                coarse_only=not zoo.has_weights("priorda_fine")
+            )
+        return use_metric
+
+    def _chunk_depths(self, chunk, first_idx):
+        """Metric depths for a frame chunk — ONE stacked model forward when
+        every frame shares shape + intrinsics (the SLAM-assigned intrinsics
+        are constant over a video), else the per-frame reference path."""
+        if self._use_metric:
+            focal0 = (
+                float(chunk[0].intrinsics[0])
+                if chunk[0].intrinsics is not None else None
+            )
+            same = all(
+                f.rgb.shape == chunk[0].rgb.shape
+                and (f.intrinsics is None) == (chunk[0].intrinsics is None)
+                and (f.intrinsics is None
+                     or float(f.intrinsics[0]) == focal0)
+                for f in chunk
+            )
+            with profiling.stage("post_metric_depth"):
+                if same:
+                    depths = self.metric_model.estimate_depth_batch(
+                        [f.rgb for f in chunk], focal0
                     )
-            if use_metric:
+                else:
+                    depths = [
+                        self.metric_model.estimate_depth(
+                            f.rgb,
+                            float(f.intrinsics[0])
+                            if f.intrinsics is not None else None,
+                        )
+                        for f in chunk
+                    ]
+            return [np.asarray(d) for d in depths]
+        out = []
+        for j, frame in enumerate(chunk):
+            prompt = self._project_prompt(frame, first_idx + j)
+            with profiling.stage("priorda"):
+                depth = self.priorda.complete(frame.rgb, prompt)
+            if not np.isfinite(depth).all():
                 focal = (
                     float(frame.intrinsics[0])
                     if frame.intrinsics is not None else None
@@ -226,42 +290,33 @@ class AdaptiveDepthProcessor(StreamProcessor):
                     depth = np.asarray(
                         self.metric_model.estimate_depth(frame.rgb, focal)
                     )
-            else:
-                prompt = self._project_prompt(frame, frame_idx)
-                with profiling.stage("priorda"):
-                    depth = self.priorda.complete(frame.rgb, prompt)
-                if not np.isfinite(depth).all():
-                    focal = (
-                        float(frame.intrinsics[0])
-                        if frame.intrinsics is not None else None
-                    )
-                    with profiling.stage("post_metric_depth"):
-                        depth = np.asarray(
-                            self.metric_model.estimate_depth(frame.rgb, focal)
-                        )
-            if vda_disps is not None:
-                # per-frame affine alignment of the temporally-stable VDA
-                # disparity to the prompt depth, 0.99-momentum EMA on
-                # (scale, bias) (reference processors.py:271-296)
-                align_mask = np.asarray(vda_disps[frame_idx]) > 1e-3
-                if frame.mask is not None:
-                    # exclude dynamic + sky pixels from the affine fit
-                    # (reference processors.py:274-276)
-                    align_mask &= np.asarray(frame.mask) & ~frame.sky_mask
-                try:
-                    s_, b_ = align_inv_depth_to_depth(
-                        vda_disps[frame_idx], depth, align_mask
-                    )
-                except Exception:
-                    s_ = self._ema_scale if self._ema_scale is not None else 1.0
-                    b_ = self._ema_bias if self._ema_bias is not None else 0.0
-                if self._ema_scale is None:
-                    self._ema_scale, self._ema_bias = s_, b_
-                else:
-                    self._ema_scale = 0.99 * self._ema_scale + 0.01 * s_
-                    self._ema_bias = 0.99 * self._ema_bias + 0.01 * b_
-                depth = apply_inv_depth_alignment(
-                    vda_disps[frame_idx], self._ema_scale, self._ema_bias
+            out.append(np.asarray(depth))
+        return out
+
+    def _finish_frame(self, frame, frame_idx, depth, vda_disps):
+        if vda_disps is not None:
+            # per-frame affine alignment of the temporally-stable VDA
+            # disparity to the prompt depth, 0.99-momentum EMA on
+            # (scale, bias) (reference processors.py:271-296)
+            align_mask = np.asarray(vda_disps[frame_idx]) > 1e-3
+            if frame.mask is not None:
+                # exclude dynamic + sky pixels from the affine fit
+                # (reference processors.py:274-276)
+                align_mask &= np.asarray(frame.mask) & ~frame.sky_mask
+            try:
+                s_, b_ = align_inv_depth_to_depth(
+                    vda_disps[frame_idx], depth, align_mask
                 )
-            frame.metric_depth = depth.astype(np.float32)
-            yield frame
+            except Exception:
+                s_ = self._ema_scale if self._ema_scale is not None else 1.0
+                b_ = self._ema_bias if self._ema_bias is not None else 0.0
+            if self._ema_scale is None:
+                self._ema_scale, self._ema_bias = s_, b_
+            else:
+                self._ema_scale = 0.99 * self._ema_scale + 0.01 * s_
+                self._ema_bias = 0.99 * self._ema_bias + 0.01 * b_
+            depth = apply_inv_depth_alignment(
+                vda_disps[frame_idx], self._ema_scale, self._ema_bias
+            )
+        frame.metric_depth = depth.astype(np.float32)
+        return frame

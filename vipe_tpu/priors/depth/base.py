@@ -48,6 +48,15 @@ class DepthEstimationModel:
             DepthEstimationInput(rgb=rgb, focal_length=focal_length)
         ).depth
 
+    def estimate_depth_batch(self, rgbs, focal_length=None):
+        """Depth for several same-shaped frames (one shared focal).
+
+        Default = per-frame loop; models whose forward batches trivially
+        (stacked ViT inference) override it — per-frame dispatches of a
+        large prior amortize poorly on accelerators, and the post-SLAM
+        depth pass is the hottest per-frame consumer."""
+        return [self.estimate_depth(r, focal_length) for r in rgbs]
+
 
 class ConstantDepthModel(DepthEstimationModel):
     """Test/dummy prior: constant metric depth (DummyDepthModel analog,

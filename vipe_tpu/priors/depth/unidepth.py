@@ -396,3 +396,47 @@ class UniDepthModel(DepthEstimationModel):
         depth = depth[pt: hp - pb, pl: wp - pr]
         conf = conf[pt: hp - pb, pl: wp - pr]
         return DepthEstimationResult(depth=depth, confidence=conf)
+
+    def estimate_depth_batch(self, rgbs, focal_length=None):
+        """Stacked inference for same-shaped frames sharing one focal: one
+        jitted forward for the whole batch instead of per-frame dispatches
+        (the infer() pre/post policy — pads, resize factor, rays — depends
+        only on shape + focal, so it is computed once)."""
+        import cv2
+
+        rgbs = [np.asarray(r, np.float32) for r in rgbs]
+        h, w = rgbs[0].shape[:2]
+        if any(r.shape[:2] != (h, w) for r in rgbs):
+            return super().estimate_depth_batch(rgbs, focal_length)
+        (pl, pr, pt, pb), (hp, wp) = get_paddings((h, w), self.ratio_bounds)
+        rf, (nh, nw) = get_resize_factor(
+            (hp, wp),
+            resolution_level_bounds(self.pixels_min, self.pixels_max,
+                                    self.resolution_level),
+        )
+        imgs = np.stack([
+            cv2.resize(
+                np.pad((r - IMAGENET_MEAN) / IMAGENET_STD,
+                       ((pt, pb), (pl, pr), (0, 0))),
+                (nw, nh), interpolation=cv2.INTER_LINEAR,
+            )
+            for r in rgbs
+        ])
+        K = imgs.shape[0]
+        rays = None
+        if focal_length is not None:
+            f = float(focal_length) * rf
+            cx = (w / 2 + pl) * rf
+            cy = (h / 2 + pt) * rf
+            u, v = np.meshgrid(np.arange(nw) + 0.5, np.arange(nh) + 0.5)
+            rx = (u - cx) / f
+            ry = (v - cy) / f
+            r1 = np.stack([rx, ry, np.ones_like(rx)], -1)
+            r1 = r1 / np.linalg.norm(r1, axis=-1, keepdims=True)
+            rays = jnp.broadcast_to(
+                jnp.asarray(r1, jnp.float32)[None], (K,) + r1.shape
+            )
+        out = self.net(jnp.asarray(imgs, jnp.float32), rays)
+        depth = jax.image.resize(out["depth"], (K, hp, wp), "bilinear")
+        depth = depth[:, pt: hp - pb, pl: wp - pr]
+        return list(depth)
