@@ -299,8 +299,86 @@ def emit_mfu():
     print(json.dumps(rec), file=_sys.stderr, flush=True)
 
 
+def emit_mfu_priors():
+    """BENCH_MFU_PRIORS=1: measured-FLOPs utilization of the big prior
+    forwards (UniDepth-L stacked batch at the production 720p policy
+    resolution, VDA-S 32-frame window) — extends the fused-step MFU line
+    to the full-pipeline stages so the stage budget separates tunnel-bound
+    from compute-bound (VERDICT r03 item 5)."""
+    import sys as _sys
+
+    import jax
+    import jax.numpy as jnp
+
+    def probe(name, jfn, args, flops_hint=None):
+        compiled = jfn.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", flops_hint or 0.0))
+        out = jfn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(np.asarray(leaf).reshape(-1)[0])
+        PIPE, REPS = 4, 3
+        best = None
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(PIPE):
+                o = jfn(*args)
+            leaf = jax.tree_util.tree_leaves(o)[0]
+            float(np.asarray(leaf).reshape(-1)[0])
+            dt = (time.perf_counter() - t0) / PIPE
+            best = dt if best is None else min(best, dt)
+        rec = {
+            "metric": f"{name}_mfu_v5e_bf16",
+            "value": round(flops / best / 197e12, 5),
+            "unit": "fraction",
+            "flops_per_step": flops,
+            "step_ms": round(best * 1e3, 3),
+            "tflops_per_s": round(flops / best / 1e12, 2),
+        }
+        print(json.dumps(rec), flush=True)
+        print(json.dumps(rec), file=_sys.stderr, flush=True)
+
+    # UniDepth-L: stacked POST_BATCH forward at the policy resolution for
+    # 720p (pads to 4:3-bounded ratio, ~0.5 MPix → 616x1064-ish /14 grid)
+    from vipe_tpu.priors.depth.unidepth import UniDepthModel
+
+    m = UniDepthModel("l")
+    rgbs = [np.zeros((720, 1280, 3), np.float32) for _ in range(8)]
+    m.estimate_depth_batch(rgbs, 1100.0)  # warm + shapes
+    net = m.net
+    jfn = jax.jit(lambda p, x, r: net._forward(p, x, r)["depth"])
+    # rebuild the exact net inputs the batch path uses
+    import cv2
+
+    from vipe_tpu.priors.depth.unidepth import (
+        IMAGENET_MEAN, IMAGENET_STD, get_paddings, get_resize_factor,
+        resolution_level_bounds,
+    )
+
+    (pl_, pr_, pt_, pb_), (hp, wp) = get_paddings((720, 1280), m.ratio_bounds)
+    rf, (nh, nw) = get_resize_factor(
+        (hp, wp), resolution_level_bounds(m.pixels_min, m.pixels_max,
+                                          m.resolution_level))
+    x = jnp.zeros((8, nh, nw, 3), jnp.float32)
+    rays = jnp.zeros((8, nh, nw, 3), jnp.float32)
+    probe("unidepth_l_batch8", jfn, (net.params, x, rays))
+
+    # VDA-S: one 32-frame window at 720p policy res
+    from vipe_tpu.priors.depth.videodepthanything import (
+        VideoDepthAnythingNet,
+    )
+
+    vnet = VideoDepthAnythingNet("vits")
+    clip = jnp.zeros((32, 518, 924, 3), jnp.float32)
+    probe("vda_s_window32", jax.jit(vnet._forward), (vnet.params, clip))
+
+
 def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", "48"))
+    if os.environ.get("BENCH_MFU_PRIORS") == "1":
+        return emit_mfu_priors()
     env_mode = os.environ.get("BENCH_MODE")
     real_env = env_mode == "real"
     if env_mode or os.environ.get("BENCH_PIPELINE") == "full":

@@ -62,36 +62,78 @@ class DeAOTTracker:
         self.id_to_slot: Dict[int, int] = {}
         self.slot_to_id: Dict[int, int] = {}
 
+        # Transfer discipline (the whole point of these wrappers): images
+        # cross the host→device boundary as uint8 (~4× less than f32) and
+        # masks as uint8 SLOT MAPS (~44× less than a f32 one-hot) —
+        # normalization and one-hot expansion happen IN the jitted programs;
+        # the propagate output crosses back as a uint8 slot map.  Measured
+        # on the remote-TPU tunnel the old f32/one-hot transfers dominated
+        # the full-pipeline budget (~4.6 s/frame of track_anything).
+        C = self.cfg.max_obj_num + 1
+
+        def _norm(img_u8):
+            return (
+                img_u8.astype(jnp.float32) / 255.0
+                - jnp.asarray(IMAGENET_MEAN)
+            ) / jnp.asarray(IMAGENET_STD)
+
         self._jit_ref = jax.jit(
-            lambda p, img, oh: self.net.apply(p, img, oh, method=_ref_step)
-        )
-        self._jit_prop = jax.jit(
-            lambda p, img, gK, gV, gI, km, lK, lV, lI: self.net.apply(
-                p, img, gK, gV, gI, km, lK, lV, lI, method=_prop_step
+            lambda p, img_u8, slots_u8: self.net.apply(
+                p, _norm(img_u8),
+                jax.nn.one_hot(slots_u8.astype(jnp.int32), C),
+                method=_ref_step,
             )
         )
+
+        def _prop(p, img_u8, gK, gV, gI, km, lK, lV, lI, h0, w0):
+            h1, w1 = img_u8.shape[1], img_u8.shape[2]
+            logits, currs = self.net.apply(
+                p, _norm(img_u8), gK, gV, gI, km, lK, lV, lI,
+                method=_prop_step,
+            )
+            # reference decode: bilinear(align_corners) logits to the input
+            # size, then argmax (aot_engine decode path); the memory update
+            # consumes the MODEL-res argmax (the engine works at model size)
+            full = resize_align_corners(logits, (h0, w0))
+            slot_full = jnp.argmax(full[0], -1).astype(jnp.uint8)
+            model = resize_align_corners(logits, (h1, w1))
+            slot_small = jnp.argmax(model, -1).astype(jnp.uint8)  # (1,h1,w1)
+            return slot_full, slot_small, currs
+
+        self._jit_prop = jax.jit(_prop, static_argnums=(9, 10))
         self._jit_update = jax.jit(
-            lambda p, currs, oh: self.net.apply(p, currs, oh, method=_update_step)
+            lambda p, currs, slots_u8: self.net.apply(
+                p, currs,
+                jax.nn.one_hot(slots_u8.astype(jnp.int32), C),
+                method=_update_step,
+            )
         )
+        self._gmem = None  # cached padded long-term memory (per propagate)
 
     # ------------------------------------------------------------ helpers
 
     def _preprocess(self, rgb: np.ndarray) -> jnp.ndarray:
+        """Resize to the model grid and upload as (1, h1, w1, 3) uint8 —
+        normalization happens inside the jitted steps (a f32 upload is 4×
+        the bytes; the ≤0.5/255 resize quantization is far below the bf16
+        compute noise)."""
         import cv2
 
         h, w = rgb.shape[:2]
         s = min(1.0, self.max_long_edge / max(h, w))
         h1 = max(16, int(round(h * s / 16)) * 16)
         w1 = max(16, int(round(w * s / 16)) * 16)
-        img = cv2.resize(np.asarray(rgb, np.float32), (w1, h1))
-        if img.max() > 1.5:
-            img = img / 255.0
-        img = (img - IMAGENET_MEAN) / IMAGENET_STD
+        a = np.asarray(rgb)
+        if a.dtype != np.uint8:
+            a = np.clip(a * 255.0 if a.max() <= 1.5 else a, 0, 255)
+            a = a.astype(np.uint8)
+        img = cv2.resize(a, (w1, h1))
         return jnp.asarray(img)[None]
 
-    def _one_hot(self, instance: np.ndarray, size_hw) -> jnp.ndarray:
-        """Instance ids → slot one-hot (1, H, W, max_obj+1), updating the
-        id↔slot tables for new objects."""
+    def _slots_host(self, instance: np.ndarray, size_hw) -> jnp.ndarray:
+        """Instance ids → (1, H, W) uint8 SLOT map (uploaded; the one-hot
+        expansion happens on device), updating the id↔slot tables for new
+        objects."""
         import cv2
 
         inst = cv2.resize(
@@ -110,9 +152,7 @@ class DeAOTTracker:
                 self.id_to_slot[oid] = free[0]
                 self.slot_to_id[free[0]] = oid
             slots[inst == oid] = self.id_to_slot[oid]
-        oh = np.zeros(inst.shape + (self.cfg.max_obj_num + 1,), np.float32)
-        np.put_along_axis(oh, slots[..., None], 1.0, axis=-1)
-        return jnp.asarray(oh)[None]
+        return jnp.asarray(slots.astype(np.uint8))[None]
 
     def _slots_to_ids(self, slot_map: np.ndarray) -> np.ndarray:
         out = np.zeros_like(slot_map)
@@ -120,10 +160,17 @@ class DeAOTTracker:
             out[slot_map == s] = oid
         return out
 
-    def _ensure_params(self, img, oh):
+    def _ensure_params(self, img_u8, slots_u8):
         if self._params is None:
+            img = (
+                np.asarray(img_u8, np.float32) / 255.0 - IMAGENET_MEAN
+            ) / IMAGENET_STD
+            oh = jax.nn.one_hot(
+                jnp.asarray(slots_u8, jnp.int32), self.cfg.max_obj_num + 1
+            )
             self._params = self.net.init(
-                jax.random.PRNGKey(self._rng_seed), img, oh, method=_init_all
+                jax.random.PRNGKey(self._rng_seed), jnp.asarray(img), oh,
+                method=_init_all,
             )
         return self._params
 
@@ -154,6 +201,7 @@ class DeAOTTracker:
         self.long_memory = None
         self.short_memory = None
         self.curr_mem = None
+        self._gmem = None
         self.id_to_slot.clear()
         self.slot_to_id.clear()
 
@@ -162,37 +210,45 @@ class DeAOTTracker:
         (engine add_reference_frame, aot_engine.py:195-252; new memories are
         PREPENDED to long-term memory per update_long_term_memory:294-310)."""
         img = self._preprocess(rgb)
-        oh = self._one_hot(instance, img.shape[1:3])
-        params = self._ensure_params(img, oh)
-        layer_mems = self._jit_ref(params, img, oh)
+        slots = self._slots_host(instance, img.shape[1:3])
+        params = self._ensure_params(img, slots)
+        layer_mems = self._jit_ref(params, img, slots)
         if self.long_memory is None:
             self.long_memory = [[m["global"]] for m in layer_mems]
         else:
             for i, m in enumerate(layer_mems):
                 self.long_memory[i].insert(0, m["global"])
         self.short_memory = [m["local"] for m in layer_mems]
+        self._gmem = None  # padded concat cache is stale
 
     def propagate(self, rgb: np.ndarray, update_memory: bool = True) -> np.ndarray:
         """Track one frame (match_propogate_one_frame + decode_current_logits
-        + update_short_term_memory, aot_engine.py:348-380)."""
+        + update_short_term_memory, aot_engine.py:348-380).
+
+        One jitted dispatch for propagation (normalize → encode → match →
+        decode → resize+argmax, all on device) and one for the memory
+        update, which consumes the MODEL-res slot map WITHOUT a host round
+        trip (the reference engine likewise updates memory at model size).
+        The padded long-term memory concat is cached between reference
+        updates instead of re-dispatched per frame."""
         if self.long_memory is None:
             return np.zeros(rgb.shape[:2], np.int32)
         img = self._preprocess(rgb)
-        gK, gV, gI, kmask = self._padded_long()
+        if self._gmem is None:
+            self._gmem = self._padded_long()
+        gK, gV, gI, kmask = self._gmem
         lK, lV, lI = zip(*self.short_memory)
-        logits, currs = self._jit_prop(
-            self._params, img, list(gK), list(gV), list(gI), kmask,
-            list(lK), list(lV), list(lI),
-        )
         h0, w0 = rgb.shape[:2]
-        logits = resize_align_corners(logits, (h0, w0))
-        slot_map = np.asarray(jnp.argmax(logits[0], -1)).astype(np.int32)
+        slot_full, slot_small, currs = self._jit_prop(
+            self._params, img, list(gK), list(gV), list(gI), kmask,
+            list(lK), list(lV), list(lI), h0, w0,
+        )
         self.curr_mem = currs
-        ids = self._slots_to_ids(slot_map)
+        ids = self._slots_to_ids(np.asarray(slot_full).astype(np.int32))
         if update_memory:
-            oh = self._one_hot(ids, img.shape[1:3])
-            new_short = self._jit_update(self._params, currs, oh)
-            self.short_memory = new_short
+            self.short_memory = self._jit_update(
+                self._params, currs, slot_small
+            )
         return ids
 
 
