@@ -12,6 +12,7 @@ KEYFRAMES=[0,12,24..31], INTERP_LEN=8.  "svda" = vits variant, "vda" = vitl
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional
 
 import jax
@@ -31,6 +32,26 @@ INFER_LEN = 32
 OVERLAP = 10
 KEYFRAMES = [0, 12, 24, 25, 26, 27, 28, 29, 30, 31]
 INTERP_LEN = 8
+
+
+def preprocess_u8(rgb: np.ndarray, input_size: int = 518) -> np.ndarray:
+    """``dav2.preprocess`` resize policy on uint8 pixels, WITHOUT the
+    ImageNet normalization — that runs on device (a f32 clip upload is 4×
+    the tunnel bytes; the ≤0.5/255 uint8 resize quantization is far below
+    the bf16 compute noise)."""
+    import cv2
+
+    h, w = rgb.shape[:2]
+    scale = input_size / min(h, w)
+    nh = max(int(round(h * scale / 14)) * 14, 14)
+    nw = max(int(round(w * scale / 14)) * 14, 14)
+    a = np.asarray(rgb, np.float32)
+    if a.max() <= 1.5:
+        a = a * 255.0
+    # resize in FLOAT (cubic overshoot must not clip before interpolation —
+    # matches dav2.preprocess), then quantize once for the upload
+    img = cv2.resize(a, (nw, nh), interpolation=cv2.INTER_CUBIC)
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
 
 
 class DPTHeadTemporal(nn.Module):
@@ -217,15 +238,25 @@ class VideoDepthAnythingNet:
             params = self.init_params(jax.random.PRNGKey(rng_seed))
         self.params = params
 
-        @jax.jit
-        def _forward(params, clip):
-            """clip: (T, H, W, 3) normalized → (T, H, W) disparity."""
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def _forward(params, clip, out_hw=None):
+            """clip: (T, H, W, 3) uint8 (normalized in-program — a f32 clip
+            upload is 4× the tunnel bytes) or pre-normalized f32 →
+            (T, H, W) f32 disparity, or (T, *out_hw) f16 when ``out_hw`` is
+            given (align-corners upsample fused here so ONE compact
+            readback replaces the old model-res-f32 down / re-up /
+            full-res-f32 down round trip — ~240 MB/window measured)."""
             T, H, W = clip.shape[0], clip.shape[1], clip.shape[2]
             pbf = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
                 params,
             )
+            if clip.dtype == jnp.uint8:
+                clip = (
+                    clip.astype(jnp.float32) / 255.0
+                    - jnp.asarray(IMAGENET_MEAN)
+                ) / jnp.asarray(IMAGENET_STD)
             clip = clip.astype(jnp.bfloat16)
             CH = self.VIT_CHUNK
             if T % CH == 0 and T > CH:
@@ -252,17 +283,25 @@ class VideoDepthAnythingNet:
                                  if k not in _JOINT_KEYS}}
             l1, l2, p3 = self.head_joint.apply(joint_p, taps, ph, pw, T)
             HC = self.HEAD_CHUNK
+            def tail(xs):
+                o = self.head_tail.apply(tail_p, *xs)
+                if out_hw is not None:
+                    o = resize_align_corners(
+                        o[..., None].astype(jnp.float32), out_hw
+                    )[..., 0].astype(jnp.float16)
+                return o
+
             if T % HC == 0 and T > HC:
                 out = jax.lax.map(
-                    lambda xs: self.head_tail.apply(tail_p, *xs),
+                    tail,
                     (l1.reshape((T // HC, HC) + l1.shape[1:]),
                      l2.reshape((T // HC, HC) + l2.shape[1:]),
                      p3.reshape((T // HC, HC) + p3.shape[1:])),
                 )
                 out = out.reshape((T,) + out.shape[2:])
             else:
-                out = self.head_tail.apply(tail_p, l1, l2, p3)
-            return out.astype(jnp.float32)
+                out = tail((l1, l2, p3))
+            return out if out_hw is not None else out.astype(jnp.float32)
 
         self._forward = _forward
 
@@ -274,8 +313,8 @@ class VideoDepthAnythingNet:
         head_params = self.head.init(k2, taps, h // 14, w // 14, T)
         return {"vit": vit_params, "head": head_params}
 
-    def __call__(self, clip):
-        return self._forward(self.params, clip)
+    def __call__(self, clip, out_hw=None):
+        return self._forward(self.params, clip, out_hw)
 
 
 # ---------------------------------------------------------------- stitching
@@ -369,17 +408,22 @@ class VideoDepthAnythingModel(DepthEstimationModel):
         depth_list: List[np.ndarray] = []
         pre_input: Optional[np.ndarray] = None
         for f0 in range(0, org_len, step):
+            # uint8 clip upload (4× less than normalized f32 — 46 MB vs
+            # 184 MB per 720p window); normalization runs in the forward.
+            # The align-corners upsample to (h, w) (reference
+            # video_depth.py:77,130) is fused into the same program and the
+            # result crosses back ONCE as f16 — the old path moved the
+            # window depth over the tunnel three times (model-res f32 down,
+            # re-up, full-res f32 down).
             clip = np.stack([
-                preprocess(frames[f0 + i], input_size)[0]
+                preprocess_u8(frames[f0 + i], input_size)
                 for i in range(INFER_LEN)
             ])
             if pre_input is not None:
                 clip[:OVERLAP] = pre_input[KEYFRAMES]
-            depth = np.asarray(self.net(jnp.asarray(clip)))
-            # reference: align_corners=True (video_depth.py:77,130)
             depth = np.asarray(
-                resize_align_corners(jnp.asarray(depth)[..., None], (h, w))
-            )[..., 0]
+                self.net(jnp.asarray(clip), (h, w)), np.float32
+            )
             depth_list += list(depth)
             pre_input = clip
 
