@@ -65,16 +65,23 @@ class TestUniDepth:
         assert bool(jnp.isfinite(out.depth).all())
 
     def test_adapter_batch_matches_single(self, rng):
-        """estimate_depth_batch (one stacked forward) must match per-frame
-        estimate_depth for same-shaped frames sharing a focal."""
+        """estimate_depth_batch (one stacked uint8-in/f16-out forward) must
+        match per-frame estimate_depth, and stay close to the f32
+        reference-exact estimate() path — the pad-raw-with-mean-then-
+        normalize-on-device reorder is exactly equivalent up to the single
+        0.5/255 uint8 quantization (random weights amplify it)."""
         m = UniDepthModel("s", pixels_min=3_000, pixels_max=6_000)
         rgbs = [rng.random((60, 80, 3)).astype(np.float32) for _ in range(3)]
         batched = m.estimate_depth_batch(rgbs, 70.0)
         for r, d in zip(rgbs, batched):
             single = np.asarray(m.estimate_depth(r, 70.0))
             np.testing.assert_allclose(
-                np.asarray(d), single, rtol=1e-4, atol=1e-5
+                np.asarray(d), single, rtol=1e-3, atol=1e-4
             )
+            ref = np.asarray(m.estimate(DepthEstimationInput(
+                rgb=r, focal_length=70.0)).depth)
+            scale = np.abs(ref).max() + 1e-9
+            assert np.abs(np.asarray(d) - ref).max() / scale < 0.08
 
 
 def make_synthetic_unidepth_sd(rng, D=384, hidden=512, depths=(2, 2, 2),

@@ -21,6 +21,7 @@ vendored in the reference either — it ships via ``from_pretrained``).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Sequence
 
 import flax.linen as nn
@@ -397,46 +398,100 @@ class UniDepthModel(DepthEstimationModel):
         conf = conf[pt: hp - pb, pl: wp - pr]
         return DepthEstimationResult(depth=depth, confidence=conf)
 
+    def _jit_infer(self):
+        """One jitted program: normalize uint8 batch → rays from camera
+        SCALARS (built with iota in-program — the old path uploaded a f32
+        ray grid as large as the image) → net → bilinear resize to the
+        padded shape → crop → f16.  Images cross the link as uint8 (4×
+        less than f32), depth crosses back once as f16."""
+        if getattr(self, "_jit", None) is None:
+            net = self.net
+
+            @functools.partial(jax.jit, static_argnums=(3,))
+            def run(params, imgs_u8, cam, meta):
+                hp, wp, pl, pr, pt, pb = meta
+                x = (
+                    imgs_u8.astype(jnp.float32) / 255.0
+                    - jnp.asarray(IMAGENET_MEAN)
+                ) / jnp.asarray(IMAGENET_STD)
+                K, nh, nw = x.shape[0], x.shape[1], x.shape[2]
+                if cam is None:
+                    out = net._forward_nocam(params, x)
+                else:
+                    f, cx, cy = cam[0], cam[1], cam[2]
+                    u = jnp.arange(nw, dtype=jnp.float32) + 0.5
+                    v = jnp.arange(nh, dtype=jnp.float32) + 0.5
+                    rx = (u[None, :] - cx) / f
+                    ry = (v[:, None] - cy) / f
+                    r1 = jnp.stack(
+                        [jnp.broadcast_to(rx, (nh, nw)),
+                         jnp.broadcast_to(ry, (nh, nw)),
+                         jnp.ones((nh, nw), jnp.float32)], -1,
+                    )
+                    r1 = r1 / jnp.linalg.norm(r1, axis=-1, keepdims=True)
+                    rays = jnp.broadcast_to(r1[None], (K, nh, nw, 3))
+                    out = net._forward(params, x, rays)
+                depth = jax.image.resize(out["depth"], (K, hp, wp), "bilinear")
+                return depth[:, pt: hp - pb, pl: wp - pr].astype(jnp.float16)
+
+            self._jit = run
+        return self._jit
+
+    def estimate_depth(self, rgb, focal_length=None):
+        # transfer-lean path (uint8 up, f16 down) — `estimate` keeps the
+        # reference-exact f32 path with confidence for API parity
+        return self.estimate_depth_batch([rgb], focal_length)[0]
+
     def estimate_depth_batch(self, rgbs, focal_length=None):
         """Stacked inference for same-shaped frames sharing one focal: one
         jitted forward for the whole batch instead of per-frame dispatches
         (the infer() pre/post policy — pads, resize factor, rays — depends
-        only on shape + focal, so it is computed once)."""
+        only on shape + focal, so it is computed once).
+
+        Preprocessing equivalence: the reference normalizes, pads with 0 in
+        normalized space, then resizes (unidepthv2.py:278-286).  Here the
+        RAW frame is padded with the ImageNet mean (whose normalized value
+        is exactly 0) and resized, and normalization runs on device —
+        linear interpolation commutes with the per-channel affine, so the
+        result matches up to the single 0.5/255 uint8 quantization."""
         import cv2
 
         rgbs = [np.asarray(r, np.float32) for r in rgbs]
         h, w = rgbs[0].shape[:2]
         if any(r.shape[:2] != (h, w) for r in rgbs):
-            return super().estimate_depth_batch(rgbs, focal_length)
+            return [self.estimate(DepthEstimationInput(
+                rgb=r, focal_length=focal_length)).depth for r in rgbs]
         (pl, pr, pt, pb), (hp, wp) = get_paddings((h, w), self.ratio_bounds)
         rf, (nh, nw) = get_resize_factor(
             (hp, wp),
             resolution_level_bounds(self.pixels_min, self.pixels_max,
                                     self.resolution_level),
         )
-        imgs = np.stack([
-            cv2.resize(
-                np.pad((r - IMAGENET_MEAN) / IMAGENET_STD,
-                       ((pt, pb), (pl, pr), (0, 0))),
-                (nw, nh), interpolation=cv2.INTER_LINEAR,
+        imgs = []
+        for r in rgbs:
+            canvas = np.empty((hp, wp, 3), np.float32)
+            canvas[:] = IMAGENET_MEAN
+            canvas[pt: hp - pb, pl: wp - pr] = r
+            rs = cv2.resize(canvas, (nw, nh), interpolation=cv2.INTER_LINEAR)
+            imgs.append(
+                np.clip(np.round(rs * 255.0), 0, 255).astype(np.uint8)
             )
-            for r in rgbs
-        ])
-        K = imgs.shape[0]
-        rays = None
+        K = len(imgs)
+        # pad the batch to a pow2 bucket so compile keys repeat across
+        # chunk tails
+        Kb = 1
+        while Kb < K:
+            Kb *= 2
+        imgs = np.stack(imgs + [imgs[-1]] * (Kb - K))
+        cam = None
         if focal_length is not None:
-            f = float(focal_length) * rf
-            cx = (w / 2 + pl) * rf
-            cy = (h / 2 + pt) * rf
-            u, v = np.meshgrid(np.arange(nw) + 0.5, np.arange(nh) + 0.5)
-            rx = (u - cx) / f
-            ry = (v - cy) / f
-            r1 = np.stack([rx, ry, np.ones_like(rx)], -1)
-            r1 = r1 / np.linalg.norm(r1, axis=-1, keepdims=True)
-            rays = jnp.broadcast_to(
-                jnp.asarray(r1, jnp.float32)[None], (K,) + r1.shape
+            cam = jnp.asarray(
+                [float(focal_length) * rf, (w / 2 + pl) * rf,
+                 (h / 2 + pt) * rf], jnp.float32,
             )
-        out = self.net(jnp.asarray(imgs, jnp.float32), rays)
-        depth = jax.image.resize(out["depth"], (K, hp, wp), "bilinear")
-        depth = depth[:, pt: hp - pb, pl: wp - pr]
+        depth = self._jit_infer()(
+            self.net.params, jnp.asarray(imgs), cam,
+            (hp, wp, pl, pr, pt, pb),
+        )
+        depth = np.asarray(depth, np.float32)[:K]
         return list(depth)
