@@ -444,7 +444,11 @@ class SLAMSystem:
         # (motion_filter.submit_group) — per-frame 0.6 MB transfers are
         # tunnel-overhead-bound exactly like the pass-2 encode batches.
         # Decisions are unchanged: stale tokens re-score via refresh().
-        UB = int(c.get("upload_batch", 4))
+        # default 8: hardware A/B (one process, one tunnel day) measured
+        # real-mode 20.47 fps at UB=1, 21.24 at UB=4, 23.61 at UB=8 — the
+        # stacked transfer amortizes per-transfer tunnel overhead; decisions
+        # are timing-independent (stale tokens re-score on promotion)
+        UB = int(c.get("upload_batch", 8))
         live_group = (
             UB > 1 and V == 1 and not skip_non_kf
             and not getattr(self.update_fn, "host_only", False)
