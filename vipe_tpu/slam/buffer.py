@@ -83,12 +83,7 @@ def _depth_to_sens(depth):
     return jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-8), d)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1))
-def _jitted_extract_map(camera_type, Nb, poses, rig_v, disps, intr_grid,
-                        pin, masks, images, filter_thresh, n):
-    """Whole map extraction as ONE program over a pow2 frame bucket — the
-    eager chain (iproj + transform + depth_filter + masks) was ~40 tunnel
-    dispatches.  Rows ≥ n are bucket padding, masked out by the caller."""
+def _extract_geom_body(camera_type, poses, rig_v, disps, intr_grid, images):
     ht, wd = disps.shape[-2:]
     u, v = geom.pixel_grid(ht, wd)
     poses = jax.vmap(lambda p: lie.se3_mul(lie.se3_inv(rig_v), p))(poses)
@@ -100,7 +95,14 @@ def _jitted_extract_map(camera_type, Nb, poses, rig_v, disps, intr_grid,
     )
     pts_world = geom.act_homog(c2w[:, None, None, :], pts_local)
     xyz = pts_world[..., :3] / jnp.maximum(pts_world[..., 3:], 1e-8)
+    colors = images[:, 3::8, 3::8, :].astype(jnp.float32) / 255.0
+    return xyz, colors
 
+
+def _extract_filter_body(Nb, poses, rig_v, disps, pin, masks,
+                         filter_thresh, n):
+    ht, wd = disps.shape[-2:]
+    poses = jax.vmap(lambda p: lie.se3_mul(lie.se3_inv(rig_v), p))(poses)
     valid_row = (jnp.arange(Nb) < n)[:, None, None]
     mean_disp = jnp.sum(jnp.where(valid_row, disps, 0.0)) / jnp.maximum(
         jnp.sum(valid_row) * ht * wd, 1
@@ -111,13 +113,43 @@ def _jitted_extract_map(camera_type, Nb, poses, rig_v, disps, intr_grid,
         jnp.broadcast_to(thresh_v, (Nb,)), num_valid=n,
     )
     per_frame_mean = jnp.mean(disps, axis=(1, 2), keepdims=True)
-    mask = (
+    return (
         (counts >= jnp.minimum(2, n - 1))
         & (disps > 0.5 * per_frame_mean)
         & (~masks)
     )
-    colors = images[:, 3::8, 3::8, :].astype(jnp.float32) / 255.0
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _jitted_extract_map(camera_type, Nb, poses, rig_v, disps, intr_grid,
+                        pin, masks, images, filter_thresh, n):
+    """Whole map extraction as ONE program over a pow2 frame bucket — the
+    eager chain (iproj + transform + depth_filter + masks) was ~40 tunnel
+    dispatches.  Rows ≥ n are bucket padding, masked out by the caller."""
+    xyz, colors = _extract_geom_body(
+        camera_type, poses, rig_v, disps, intr_grid, images
+    )
+    mask = _extract_filter_body(
+        Nb, poses, rig_v, disps, pin, masks, filter_thresh, n
+    )
     return xyz, colors, mask
+
+
+# The fully-fused panorama extract program faults the v5e TPU worker at
+# runtime (async kernel fault; probe_pano.py bisected it to this program,
+# probe_pano2.py proved each half compiles AND executes cleanly standalone
+# — an XLA:TPU miscompile in the pano-iproj + depth_filter fusion).  For
+# panoramas the extract therefore runs as TWO dispatches; it executes once
+# per video, so the extra round trip is noise.
+_jitted_extract_geom = functools.partial(jax.jit, static_argnums=(0,))(
+    lambda camera_type, poses, rig_v, disps, intr_grid, images:
+    _extract_geom_body(camera_type, poses, rig_v, disps, intr_grid, images)
+)
+_jitted_extract_filter = functools.partial(jax.jit, static_argnums=(0,))(
+    lambda Nb, poses, rig_v, disps, pin, masks, filter_thresh, n:
+    _extract_filter_body(Nb, poses, rig_v, disps, pin, masks,
+                         filter_thresh, n)
+)
 
 
 class GraphBuffer:
@@ -506,10 +538,23 @@ class GraphBuffer:
             intr_v = self.intrinsics
         intr_grid = cam.scaled_intrinsics(self.camera_type, intr_v, 1.0 / 8.0)
         pin = cam.pinhole_equivalent(self.camera_type, intr_v) / 8.0
-        xyz, colors, mask = _jitted_extract_map(
-            self.camera_type, Nb, poses, self.rig[view], disps, intr_grid,
-            pin, masks, images, jnp.float32(filter_thresh), jnp.int32(n),
-        )
+        if self.camera_type == cam.CameraType.PANORAMA:
+            # two dispatches: the fused pano extract faults the TPU worker
+            # (see the _jitted_extract_geom/_filter comment above)
+            xyz, colors = _jitted_extract_geom(
+                self.camera_type, poses, self.rig[view], disps, intr_grid,
+                images,
+            )
+            mask = _jitted_extract_filter(
+                Nb, poses, self.rig[view], disps, pin, masks,
+                jnp.float32(filter_thresh), jnp.int32(n),
+            )
+        else:
+            xyz, colors, mask = _jitted_extract_map(
+                self.camera_type, Nb, poses, self.rig[view], disps,
+                intr_grid, pin, masks, images,
+                jnp.float32(filter_thresh), jnp.int32(n),
+            )
         return SLAMMap(
             xyz=np.asarray(xyz[:n]),
             rgb=np.asarray(colors[:n]),
