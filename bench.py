@@ -61,11 +61,12 @@ def synth_stream(n_frames: int, h: int = 720, w: int = 1280, seed: int = 0,
     return _S()
 
 
-def calibrate_filter_thresh(n: int = 12) -> float:
+def calibrate_filter_thresh(n: int = 12, q: float = 0.66) -> float:
     """With random (untrained) DroidNet weights the flow-delta scores are
-    arbitrary in scale; pick the threshold as the 60th percentile of observed
-    scores so the bench exercises a realistic ~1-in-3 keyframe rate (what
-    trained weights produce on normal footage)."""
+    arbitrary in scale; pick the threshold as the ``q`` quantile of observed
+    scores so the bench exercises a chosen keyframe rate (default ~1-in-3,
+    what trained weights produce on normal footage; q=0.5 → ~1-in-2,
+    q=0.75 → ~1-in-4 for the cadence-sensitivity lines)."""
     import jax.numpy as jnp
 
     from vipe_tpu.slam.motion_filter import MotionFilter
@@ -85,7 +86,7 @@ def calibrate_filter_thresh(n: int = 12) -> float:
         if tok.score is not None:
             scores.append(float(tok.score))
         mf._promote_kf(tok)
-    return float(np.quantile(scores, 0.66))
+    return float(np.quantile(scores, q))
 
 
 def main_pipeline_full(gate: dict):
@@ -106,7 +107,7 @@ def main_pipeline_full(gate: dict):
     from vipe_tpu.utils import profiling
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "48"))
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))  # full pipeline: long reps
     phrases = ["person", "animal", "vehicle", "ball", "balloon",
                "gun", "pet", "car", "bus", "sky"]
 
@@ -130,15 +131,15 @@ def main_pipeline_full(gate: dict):
 
     run_once()  # warm: identical workload (remote compiles, jit buckets)
     profiling.snapshot(reset=True)
-    best = None
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = run_once()
         dt = time.perf_counter() - t0
         assert len(out.frame_inds) == n_frames
-        best = dt if best is None else min(best, dt)
+        times.append(dt)
 
-    fps = n_frames / best
+    fps = n_frames / min(times)
     budget = profiling.snapshot()
     print(json.dumps({"stage_budget_s_over_reps": budget}), file=_sys.stderr)
     print(json.dumps({
@@ -146,6 +147,8 @@ def main_pipeline_full(gate: dict):
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 150.0, 4),
+        "median": round(n_frames / float(np.median(times)), 2),
+        "reps": reps,
     }))
 
 
@@ -217,18 +220,26 @@ def measure_slam(real_mode: bool, n_videos: int, n_frames: int, reps: int,
     run_batch(n_frames)
 
     # best of N: the shared remote-TPU tunnel has large run-to-run variance
-    # (measured 2x swings with identical code)
-    best = None
+    # (measured 2x swings with identical code).  The median is emitted next
+    # to the best so the scored JSON self-documents that variance.
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         outs = run_batch(n_frames)
         dt = time.perf_counter() - t0
         assert all(o.trajectory.shape[0] == n_frames for o in outs)
-        best = dt if best is None else min(best, dt)
-    return n_frames * n_videos / best
+        times.append(dt)
+    total = n_frames * n_videos
+    return total / min(times), total / float(np.median(times))
 
 
-def emit(real_mode: bool, n_videos: int, fps: float, suffix: str = ""):
+def emit(real_mode: bool, n_videos: int, fps, suffix: str = ""):
+    """``fps`` is either a scalar or the (best, median) pair measure_slam
+    returns; best stays the headline value (documented tunnel variance),
+    median + rep count ride along so the JSON is variance-annotated."""
+    fps_med = None
+    if isinstance(fps, tuple):
+        fps, fps_med = fps
     name = (
         "slam_annotation_fps_720p_real" if real_mode
         else "slam_annotation_fps_720p"
@@ -243,6 +254,9 @@ def emit(real_mode: bool, n_videos: int, fps: float, suffix: str = ""):
         "unit": "frames/s",
         "vs_baseline": round(fps / 150.0, 4),
     }
+    if fps_med is not None:
+        rec["median"] = round(fps_med, 2)
+        rec["reps"] = int(os.environ.get("BENCH_REPS", "3"))
     if n_videos > 1:
         # aggregate chip throughput over an n-video interleave (the
         # production shape); per_video keeps it comparable to 1-video runs
@@ -374,6 +388,23 @@ def emit_mfu_priors():
     clip = jnp.zeros((32, 518, 924, 3), jnp.float32)
     probe("vda_s_window32", jax.jit(vnet._forward), (vnet.params, clip))
 
+    # DeAOT propagate: the ONE fused per-frame tracking program (encode +
+    # long/short-term match + decode + argmax + memory refresh) at 720p
+    from vipe_tpu.priors.track_anything.deaot import DeAOTTracker
+
+    trk = DeAOTTracker()
+    rgb = np.zeros((720, 1280, 3), np.uint8)
+    inst = np.zeros((720, 1280), np.int32)
+    inst[100:300, 200:500] = 1
+    trk.add_reference(rgb, inst)
+    trk.propagate(rgb)  # warm + build the padded long-term memory cache
+    img = trk._preprocess(rgb)
+    gK, gV, gI, kmask = trk._gmem
+    lK, lV, lI = zip(*trk.short_memory)
+    probe("deaot_propagate_720p", trk._jit_prop,
+          (trk._params, img, list(gK), list(gV), list(gI), kmask,
+           list(lK), list(lV), list(lI), 720, 1280))
+
 
 def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", "48"))
@@ -400,7 +431,7 @@ def main():
     # batched pass-2 transfers for per-frame pass-1 ones — tunnel A/B).
     corr_mode = os.environ.get("BENCH_CORR_MODE", "volume")
     park = os.environ.get("BENCH_PARK") == "1"
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
 
     # BENCH_AB=real_knobs: hardware A/Bs for the latency-architecture knobs
     # in ONE process (the expensive SLAM fused programs compile once and are
@@ -430,19 +461,33 @@ def main():
         emit(real_env, n_videos, fps)
         return
 
-    # Default driver run: emit all three production-relevant shapes in one
+    # Default driver run: emit the production-relevant shapes in one
     # process (shared warm programs), HEADLINE (real-mode, the production
     # decision path — measured fastest: live-filter mode parks every pass-1
     # fmap) printed LAST so the driver's one-JSON-line capture records it.
     fps1 = measure_slam(False, 1, n_frames, reps, corr_mode, park)
     emit(False, 1, fps1)
-    fps2 = measure_slam(False, 2, n_frames, reps, corr_mode, park)
-    emit(False, 2, fps2)
+    # x3 interleave: the round-4 hardware winner for aggregate chip
+    # throughput (bf16 volume ×3 = 10.48 agg vs ×2 9.56, STATUS r04 table)
+    fps3 = measure_slam(False, 3, n_frames, reps, corr_mode, park)
+    emit(False, 3, fps3)
     if os.environ.get("BENCH_MFU", "1") == "1":
         try:
             emit_mfu()
         except Exception as e:  # never let the MFU probe kill the headline
             print(f"mfu probe failed: {e}", file=__import__("sys").stderr)
+    # cadence sensitivity: the real-mode headline's keyframe rate comes from
+    # a synthetic calibration, so pin fps at ~1-in-2 and ~1-in-4 rates too —
+    # the headline can't be cadence-shopped if its neighbors are published
+    # (VERDICT r04 weak#7).  Fewer reps: these are context lines.
+    for q, tag in ((0.5, "_kf2"), (0.75, "_kf4")):
+        try:
+            t_q = calibrate_filter_thresh(q=q)
+            fps_q = measure_slam(True, 1, n_frames, max(reps - 1, 1),
+                                 corr_mode, park, t_q)
+            emit(True, 1, fps_q, suffix=tag)
+        except Exception as e:
+            print(f"cadence {tag} failed: {e}", file=__import__("sys").stderr)
     thresh = calibrate_filter_thresh()
     fps_real = measure_slam(True, 1, n_frames, reps, corr_mode, park, thresh)
     emit(True, 1, fps_real)
