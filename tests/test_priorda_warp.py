@@ -80,6 +80,49 @@ class TestPriorDAFine:
         out2 = model.complete(rgb, prompt2)
         assert np.abs(out1 - out2).max() > 1e-5  # condition changed output
 
+    def test_complete_batch_matches_per_frame(self, rng):
+        """complete_batch (one stacked coarse + fine forward per chunk) is
+        EXACTLY the per-frame path given identical net outputs — the
+        batching must not change the per-frame alignment/conditioning math.
+        Real nets are batch-size-sensitive at f32 epsilon and the KNN 2×2
+        solves amplify that through near-singular systems (measured 1e-6 →
+        1e4 with random weights), so the nets are stubbed deterministic and
+        equality is required bitwise."""
+        from vipe_tpu.priors.depth.priorda import PriorDAModel
+
+        model = PriorDAModel(variant="vits", input_size=70, K=5,
+                             fine_variant="vits")
+
+        class _StubNet:
+            """Batch-invariant stand-in: disp = per-pixel channel mix of the
+            (possibly condition-concatenated) input."""
+
+            def __call__(self, imgs, condition=None):
+                import jax.numpy as jnp
+
+                x = jnp.asarray(imgs)
+                out = 0.3 + 0.5 * x.mean(-1)
+                if condition is not None:
+                    out = out + 0.1 * jnp.asarray(condition).mean(-1)
+                return out
+
+        model.net = _StubNet()
+        model.fine_net = _StubNet()
+        H, W = 48, 64
+        rgbs, prompts = [], []
+        for k in range(3):
+            rgbs.append(rng.random((H, W, 3)).astype(np.float32))
+            p = np.zeros((H, W), np.float32)
+            p[::5, ::5] = 2.0 + rng.random((10, 13)).astype(np.float32)
+            if k == 2:
+                p[:] = 0.0  # empty prompt → NaN map, exercised in-batch
+            prompts.append(p)
+        batched = model.complete_batch(rgbs, prompts)
+        assert np.isnan(batched[2]).all()
+        for rgb, prompt, got in zip(rgbs, prompts, batched):
+            want = model.complete(rgb, prompt)
+            np.testing.assert_array_equal(got, want)
+
     def test_coarse_only_flag(self, rng):
         from vipe_tpu.priors.depth.priorda import PriorDAModel
 

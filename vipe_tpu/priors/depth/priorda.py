@@ -140,13 +140,12 @@ class PriorDAModel(DepthEstimationModel):
         self.input_size = input_size
         self.K = K
 
-    def _fine_refine(self, rgb, global_disp, comp_disp, sparse_depth,
-                     sparse_mask, out_hw):
-        """Conditioned refinement (reference priorda.py:127-161):
+    def _fine_inputs(self, rgb, global_disp, comp_disp, sparse_depth,
+                     sparse_mask):
+        """Per-frame conditioned-net inputs (reference priorda.py:127-161):
         normalize depths to the prompt's [min, max], stack
-        [uncertainty | global disp | completed disp], run the conditioned
-        net, un-normalize."""
-        h, w = out_hw
+        [uncertainty | global disp | completed disp].  Returns
+        (img (nh,nw,3), condition (nh,nw,3), masked_min, denom)."""
         # uncertainty = |comp - global| / global where global > 0, min-max
         # normalized (depth_completion.py:223-233)
         cal = global_disp > 0.0
@@ -173,30 +172,41 @@ class PriorDAModel(DepthEstimationModel):
 
         img, _ = preprocess(np.asarray(rgb, np.float32), self.input_size)
         nh, nw = img.shape[:2]
-        cond = resize_align_corners(
-            jnp.asarray(condition)[None], (nh, nw)
-        )
-        disp = self.fine_net(jnp.asarray(img)[None], cond)
-        disp = resize_align_corners(disp[..., None], (h, w))[0, ..., 0]
-        depth_n = np.asarray(_depth2disp(np.asarray(disp)))
-        return (depth_n * denom + masked_min).astype(np.float32)
+        cond = np.asarray(resize_align_corners(jnp.asarray(condition), (nh, nw)))
+        return img, cond, masked_min, denom
 
-    def complete(self, rgb: np.ndarray, prompt_depth: np.ndarray) -> np.ndarray:
-        """rgb (H, W, 3) in [0,1]; prompt_depth (H, W) metric with 0 = empty.
-        Returns completed metric depth (H, W)."""
-        img, (h, w) = preprocess(rgb, self.input_size)
-        # reference resizes disparity with align_corners=True (dpt.py:223)
-        pred_disp = np.asarray(
-            resize_align_corners(self.net(jnp.asarray(img)[None])[0], (h, w))
+    def _fine_forward_batch(self, imgs, conds, norms, out_hw):
+        """ONE stacked conditioned forward for the chunk, then per-frame
+        un-normalization (the affine params are per-frame)."""
+        h, w = out_hw
+        disp = self.fine_net(
+            jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(conds))
         )
+        disp = np.asarray(resize_align_corners(disp[..., None], (h, w))[..., 0])
+        out = []
+        for d, (masked_min, denom) in zip(disp, norms):
+            depth_n = _depth2disp(d)
+            out.append((depth_n * denom + masked_min).astype(np.float32))
+        return out
+
+    def _fine_refine(self, rgb, global_disp, comp_disp, sparse_depth,
+                     sparse_mask, out_hw):
+        """Conditioned refinement for a single frame."""
+        img, cond, mmin, den = self._fine_inputs(
+            rgb, global_disp, comp_disp, sparse_depth, sparse_mask
+        )
+        return self._fine_forward_batch([img], [cond], [(mmin, den)], out_hw)[0]
+
+    def _coarse_align(self, pred_disp, prompt_depth, out_hw):
+        """Global + KNN scale/shift alignment of one frame's predicted
+        disparity to its prompt.  Returns (coarse_depth_or_nan_map,
+        fine_args_or_None) — fine_args feed the conditioned refinement."""
+        h, w = out_hw
         prompt = np.asarray(prompt_depth, np.float32)
         sparse_mask = prompt > 0
         sparse_disp = np.where(sparse_mask, 1.0 / np.maximum(prompt, 1e-6), 0.0)
-
         if sparse_mask.sum() < 2:
-            return np.full((h, w), np.nan, np.float32)
-
-        # coarse: global then KNN scale/shift alignment
+            return np.full((h, w), np.nan, np.float32), None
         s, b = global_scale_shift(pred_disp, sparse_disp, sparse_mask)
         global_disp = pred_disp * s + b
         completed = np.asarray(
@@ -205,11 +215,59 @@ class PriorDAModel(DepthEstimationModel):
             )
         )
         completed = np.maximum(completed, 1e-4)
-        if self.coarse_only:
-            return (1.0 / completed).astype(np.float32)
-        return self._fine_refine(
-            rgb, global_disp, completed, prompt, sparse_mask, (h, w)
+        return (
+            (1.0 / completed).astype(np.float32),
+            (global_disp, completed, prompt, sparse_mask),
         )
+
+    def complete(self, rgb: np.ndarray, prompt_depth: np.ndarray) -> np.ndarray:
+        """rgb (H, W, 3) in [0,1]; prompt_depth (H, W) metric with 0 = empty.
+        Returns completed metric depth (H, W)."""
+        return self.complete_batch([rgb], [prompt_depth])[0]
+
+    def complete_batch(self, rgbs, prompt_depths):
+        """Batched prompted completion: ONE stacked DAv2 forward for the
+        chunk (and one stacked conditioned forward in fine mode) instead of
+        a full ViT dispatch per frame — the per-frame reference semantics
+        (depth_completion.py:292-427) are per-frame only because torch runs
+        eagerly; the alignment math is independent across frames.  Mixed
+        frame shapes fall back to per-frame chunks of one."""
+        shapes = {np.asarray(r).shape for r in rgbs}
+        if len(shapes) != 1:
+            return [
+                d for r, p in zip(rgbs, prompt_depths)
+                for d in self.complete_batch([r], [p])
+            ]
+        imgs, hw = [], None
+        for rgb in rgbs:
+            img, hw = preprocess(rgb, self.input_size)
+            imgs.append(img)
+        h, w = hw
+        # reference resizes disparity with align_corners=True (dpt.py:223)
+        pred = self.net(jnp.asarray(np.stack(imgs)))
+        pred_disps = np.asarray(
+            resize_align_corners(pred[..., None], (h, w))[..., 0]
+        )
+        out = [None] * len(rgbs)
+        fine_idx, fine_imgs, fine_conds, fine_norms = [], [], [], []
+        for i, (rgb, prompt_depth) in enumerate(zip(rgbs, prompt_depths)):
+            coarse, fine_args = self._coarse_align(
+                pred_disps[i], prompt_depth, (h, w)
+            )
+            out[i] = coarse
+            if fine_args is not None and not self.coarse_only:
+                img_f, cond, mmin, den = self._fine_inputs(rgb, *fine_args)
+                fine_idx.append(i)
+                fine_imgs.append(img_f)
+                fine_conds.append(cond)
+                fine_norms.append((mmin, den))
+        if fine_idx:
+            refined = self._fine_forward_batch(
+                fine_imgs, fine_conds, fine_norms, (h, w)
+            )
+            for i, d in zip(fine_idx, refined):
+                out[i] = d
+        return out
 
     def estimate(self, inp: DepthEstimationInput) -> DepthEstimationResult:
         raise RuntimeError(
