@@ -110,6 +110,87 @@ class TestCaching:
         assert src.decode_count == n
 
 
+class TestPrefill:
+    """start_prefill: the cache fills from a background thread (masking
+    overlaps SLAM, pipeline/default.py) with pull semantics unchanged."""
+
+    def _stream(self, n=6, delay=0.0, fail_at=None):
+        import time as _t
+
+        class _S(__import__("vipe_tpu.streams.base", fromlist=["VideoStream"]).VideoStream):
+            def __init__(self):
+                self.decode_count = 0
+
+            def __len__(self):
+                return n
+
+            def frame_size(self):
+                return (8, 8)
+
+            def __iter__(self):
+                for k in range(n):
+                    if fail_at is not None and k == fail_at:
+                        raise RuntimeError("bad frame")
+                    if delay:
+                        _t.sleep(delay)
+                    self.decode_count += 1
+                    yield VideoFrame(k, np.full((8, 8, 3), k / 10, np.float32))
+
+        return _S()
+
+    def test_prefill_same_frames_and_order(self):
+        src = self._stream()
+        c = CachedVideoStream(src, online=True, compress_rgb=True)
+        c.start_prefill()
+        frames = list(c)
+        assert [f.raw_frame_idx for f in frames] == list(range(6))
+        assert [float(f.rgb[0, 0, 0]) for f in frames] == pytest.approx(
+            [round(k / 10 * 255) / 255 for k in range(6)]
+        )
+        assert src.decode_count == 6
+        list(c)
+        assert src.decode_count == 6  # fully cached, no re-decode
+
+    def test_consumer_blocks_until_filled(self):
+        src = self._stream(delay=0.02)
+        c = CachedVideoStream(src, online=True)
+        c.start_prefill()
+        # immediate consumption must still see every frame, in order
+        assert [f.raw_frame_idx for f in c] == list(range(6))
+
+    def test_prefill_exception_reaches_consumer(self):
+        c = CachedVideoStream(self._stream(fail_at=3), online=True)
+        c.start_prefill()
+        it = iter(c)
+        got = [next(it).raw_frame_idx for _ in range(3)]
+        assert got == [0, 1, 2]
+        with pytest.raises(RuntimeError, match="bad frame"):
+            next(it)
+
+    def test_prefill_early_exhaustion_truncates(self):
+        class _Short(__import__("vipe_tpu.streams.base", fromlist=["VideoStream"]).VideoStream):
+            def __len__(self):
+                return 6  # lies: only 4 real frames
+
+            def frame_size(self):
+                return (8, 8)
+
+            def __iter__(self):
+                for k in range(4):
+                    yield VideoFrame(k, np.zeros((8, 8, 3), np.float32))
+
+        c = CachedVideoStream(_Short(), online=True)
+        c.start_prefill()
+        assert len(list(c)) == 4
+        assert len(c) == 4
+
+    def test_prefill_noop_on_filled_cache(self):
+        src = self._stream()
+        c = CachedVideoStream(src, online=False)
+        c.start_prefill()  # already filled: no thread, still iterable
+        assert len(list(c)) == 6
+
+
 class TestProcessors:
     def test_assign_attributes(self):
         poses = np.tile([0, 0, 0, 0, 0, 0, 1.0], (4, 1))

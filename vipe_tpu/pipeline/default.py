@@ -85,6 +85,12 @@ class DefaultAnnotationPipeline(Pipeline):
         stream = ProcessedVideoStream(video_stream, init_procs).cache(
             "process", online=True, compress_rgb=True
         )
+        if self.init_cfg.get("overlap", True) and init_procs:
+            # run the init chain (decode + GeoCalib stamp + TrackAnything
+            # masking) in a filler thread AHEAD of SLAM's consumption —
+            # mask tracking overlaps pose tracking instead of serializing
+            # inside its frame pulls (VERDICT r04 item 3)
+            stream.start_prefill()
 
         slam = SLAMSystem(
             config=self.slam_cfg, metric_depth=self._make_metric_depth()
@@ -125,11 +131,12 @@ class DefaultAnnotationPipeline(Pipeline):
         streams = []
         for v in range(V):
             init_procs = self._init_processors(video_list[v])
-            streams.append(
-                ProcessedVideoStream(video_list[v], init_procs).cache(
-                    "process", online=True, compress_rgb=True
-                )
+            s = ProcessedVideoStream(video_list[v], init_procs).cache(
+                "process", online=True, compress_rgb=True
             )
+            if self.init_cfg.get("overlap", True) and init_procs:
+                s.start_prefill()  # per-view filler threads (see run())
+            streams.append(s)
         cached = MultiviewVideoList(
             video_list.name(), streams, video_list.rig
         )

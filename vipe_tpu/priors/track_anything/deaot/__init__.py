@@ -98,16 +98,16 @@ class DeAOTTracker:
             slot_full = jnp.argmax(full[0], -1).astype(jnp.uint8)
             model = resize_align_corners(logits, (h1, w1))
             slot_small = jnp.argmax(model, -1).astype(jnp.uint8)  # (1,h1,w1)
-            return slot_full, slot_small, currs
-
-        self._jit_prop = jax.jit(_prop, static_argnums=(9, 10))
-        self._jit_update = jax.jit(
-            lambda p, currs, slots_u8: self.net.apply(
-                p, currs,
-                jax.nn.one_hot(slots_u8.astype(jnp.int32), C),
+            # short-term memory refresh fused into the SAME program (the
+            # whole per-frame propagate is ONE dispatch + one uint8
+            # readback); callers discard it on no-update (detection) frames
+            new_short = self.net.apply(
+                p, currs, jax.nn.one_hot(slot_small.astype(jnp.int32), C),
                 method=_update_step,
             )
-        )
+            return slot_full, new_short
+
+        self._jit_prop = jax.jit(_prop, static_argnums=(9, 10))
         self._gmem = None  # cached padded long-term memory (per propagate)
 
     # ------------------------------------------------------------ helpers
@@ -225,12 +225,14 @@ class DeAOTTracker:
         """Track one frame (match_propogate_one_frame + decode_current_logits
         + update_short_term_memory, aot_engine.py:348-380).
 
-        One jitted dispatch for propagation (normalize → encode → match →
-        decode → resize+argmax, all on device) and one for the memory
-        update, which consumes the MODEL-res slot map WITHOUT a host round
-        trip (the reference engine likewise updates memory at model size).
-        The padded long-term memory concat is cached between reference
-        updates instead of re-dispatched per frame."""
+        ONE jitted dispatch per frame: normalize → encode → match → decode →
+        resize+argmax AND the short-term memory refresh (which consumes the
+        MODEL-res slot map without a host round trip — the reference engine
+        likewise updates memory at model size) are fused into a single
+        program; the only per-frame transfers are the uint8 image upload
+        and the uint8 slot-map readback.  The padded long-term memory
+        concat is cached between reference updates instead of re-dispatched
+        per frame."""
         if self.long_memory is None:
             return np.zeros(rgb.shape[:2], np.int32)
         img = self._preprocess(rgb)
@@ -239,16 +241,13 @@ class DeAOTTracker:
         gK, gV, gI, kmask = self._gmem
         lK, lV, lI = zip(*self.short_memory)
         h0, w0 = rgb.shape[:2]
-        slot_full, slot_small, currs = self._jit_prop(
+        slot_full, new_short = self._jit_prop(
             self._params, img, list(gK), list(gV), list(gI), kmask,
             list(lK), list(lV), list(lI), h0, w0,
         )
-        self.curr_mem = currs
         ids = self._slots_to_ids(np.asarray(slot_full).astype(np.int32))
         if update_memory:
-            self.short_memory = self._jit_update(
-                self._params, currs, slot_small
-            )
+            self.short_memory = new_short
         return ids
 
 

@@ -199,10 +199,81 @@ class CachedVideoStream(VideoStream):
         self._iter = None
         self._src_pos = 0
         self._filled = 0
+        self._prefill = None  # background filler thread (start_prefill)
         if not online:
             for i, f in enumerate(stream):
                 self._frames[i] = self._pack(f)
             self._filled = len(self._frames)
+
+    def start_prefill(self):
+        """Fill the cache from a background daemon thread so the upstream
+        processor chain (TrackAnything masking: GDINO/SAM detection + DeAOT
+        propagation) runs AHEAD of the consumer instead of inline with its
+        pull.  The SLAM loop's blocking readbacks release the GIL and the
+        filler dispatches its device programs into those gaps — mask
+        tracking overlaps tracking instead of serializing with it
+        (reference pipeline semantics preserved: same frames, same order,
+        masks computed from the same detector cadence).
+
+        Consumers that out-run the filler block until the frame is cached;
+        a filler exception re-raises at the consumer's next pull.  Must be
+        called before the first consumption of a fresh online cache."""
+        if self._filled >= len(self._frames) or self._prefill is not None:
+            return self
+        assert self._iter is None and self._filled == 0, (
+            "start_prefill requires a fresh (unconsumed) online cache"
+        )
+        import threading
+
+        self._cond = threading.Condition()
+        self._prefill_exc: Optional[BaseException] = None
+        self._prefill_done = False
+
+        def _fill():
+            try:
+                for i, f in enumerate(self.stream):
+                    if i >= len(self._frames):
+                        break
+                    packed = self._pack(f)
+                    with self._cond:
+                        self._frames[i] = packed
+                        self._filled = i + 1
+                        self._cond.notify_all()
+                with self._cond:
+                    if self._filled < len(self._frames):
+                        # early source exhaustion: truncate like the inline
+                        # path does
+                        self._frames = self._frames[: self._filled]
+                    self._prefill_done = True
+                    self._cond.notify_all()
+            except BaseException as e:  # noqa: BLE001 — re-raised at consumer
+                with self._cond:
+                    self._prefill_exc = e
+                    self._prefill_done = True
+                    self._cond.notify_all()
+
+        self._prefill = threading.Thread(
+            target=_fill, daemon=True, name=f"prefill-{self._name}"
+        )
+        self._prefill.start()
+        return self
+
+    def _iter_prefilled(self):
+        i = 0
+        while True:
+            with self._cond:
+                while i >= self._filled and not self._prefill_done:
+                    self._cond.wait()
+                if (i < self._filled and i < len(self._frames)
+                        and self._frames[i] is not None):
+                    f = self._frames[i]  # drain cached frames first …
+                elif self._prefill_exc is not None:
+                    # … so a filler failure surfaces AT the failing frame
+                    raise self._prefill_exc
+                else:
+                    return
+            yield self._unpack(f)
+            i += 1
 
     def _pack(self, frame: VideoFrame) -> VideoFrame:
         """Store rgb as uint8 (4× smaller; exact round-trip for video-decoded
@@ -235,6 +306,9 @@ class CachedVideoStream(VideoStream):
         if self._filled >= len(self._frames):
             for f in self._frames:
                 yield self._unpack(f)  # type: ignore[arg-type]
+            return
+        if self._prefill is not None:
+            yield from self._iter_prefilled()
             return
         for i in range(len(self._frames)):
             if self._frames[i] is not None:
