@@ -45,6 +45,65 @@ class TestRunInterleaved:
             )
         assert sorted(done) == [0, 1, 2, 3, 4]  # pending jobs still ran
 
+    def test_device_fatal_skips_queued_and_reports(self):
+        """A device-fatal fault (dead TPU worker connection) cannot be
+        contained in-process — but finished videos keep their results,
+        queued videos are skipped fast instead of failing against the dead
+        device one by one, and the raised error carries the status map so a
+        driver can re-run the unfinished set in a fresh process."""
+        from vipe_tpu.parallel.interleave import DeviceFatalError
+
+        class JaxRuntimeError(RuntimeError):
+            """Name-matched stand-in for jax's error type (is_device_fatal
+            classifies by type NAME + status substring, so tests don't have
+            to manufacture a real dead PJRT client)."""
+
+        started = []
+
+        def ok(k):
+            started.append(k)
+            return k
+
+        def fatal():
+            started.append("fatal")
+            raise JaxRuntimeError(
+                "UNAVAILABLE: TPU worker process crashed or restarted."
+            )
+
+        jobs = [functools.partial(ok, 0), fatal] + [
+            functools.partial(ok, k) for k in range(2, 6)
+        ]
+        # serial path: deterministic — job 0 done, job 1 fatal, rest skipped
+        with pytest.raises(DeviceFatalError) as ei:
+            run_interleaved(jobs, workers=1)
+        assert ei.value.statuses == ["done", "failed"] + ["skipped"] * 4
+        assert ei.value.results[0] == 0
+        assert "fresh process" in str(ei.value)
+        assert started == [0, "fatal"]
+
+        # threaded path: statuses partition into done/failed/skipped and the
+        # fatal cause is preserved
+        started.clear()
+        with pytest.raises(DeviceFatalError) as ei:
+            run_interleaved(jobs, workers=2)
+        sts = ei.value.statuses
+        assert sts[1] == "failed"
+        assert all(s in ("done", "failed", "skipped") for s in sts)
+        assert "UNAVAILABLE" in str(ei.value.cause)
+
+    def test_ordinary_exception_still_drains(self):
+        """Non-fatal errors keep the old isolation contract: every other
+        video still runs (no skipping)."""
+        done = []
+
+        def bad():
+            raise ValueError("per-video bug")
+
+        jobs = [bad] + [lambda k=k: done.append(k) or k for k in range(4)]
+        with pytest.raises(ValueError):
+            run_interleaved(jobs, workers=1)
+        assert sorted(done) == [0, 1, 2, 3]
+
     def test_actually_concurrent(self):
         gate = threading.Barrier(2, timeout=10)
 
