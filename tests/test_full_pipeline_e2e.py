@@ -190,6 +190,31 @@ class TestFullPipelineE2E:
         phrase_txt = art.mask_phrase_path.read_text()
         assert phrase_txt.strip()
 
+        # ------------------------------------------- weights-day smoke:
+        # `vipe evaluate` must consume the PIPELINE's own artifacts against
+        # reference-format GT, so ATE/abs-rel parity fires the day real
+        # checkpoints land (VERDICT r04 item 10).  GT here = the run's own
+        # outputs (perturbed poses) — format plumbing, not accuracy.
+        import json
+
+        from click.testing import CliRunner
+
+        from vipe_tpu.cli.main import vipe as vipe_cli
+        from vipe_tpu.utils.geometry import matrix_to_se3
+
+        gt_art = io_utils.ArtifactPath(tmp_path / "gt", "fullpipe")
+        gt_traj = matrix_to_se3(pose["data"].astype(np.float32))
+        io_utils.save_poses(gt_art, np.asarray(gt_traj))
+        io_utils.save_depth_zip(gt_art, iter(depths))
+        r = CliRunner().invoke(
+            vipe_cli,
+            ["evaluate", str(tmp_path), str(tmp_path / "gt")],
+        )
+        assert r.exit_code == 0, r.output
+        res = json.loads(r.output)
+        assert res["fullpipe"]["ate_rmse"] < 1e-4  # self vs self
+        assert res["fullpipe"]["depth_abs_rel"] < 1e-3
+
     def test_adaptive_depth_priorda_branch(self, tiny_models):
         """High SLAM-map coverage routes frames through PriorDA completion
         prompted by the projected map (reference processors.py:252-269) —
