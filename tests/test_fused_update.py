@@ -477,3 +477,172 @@ class TestFusedUpdateEquivalence:
             np.asarray(win)[:span, :span],
             np.asarray(full)[w0: w0 + span, w0: w0 + span], rtol=1e-5,
         )
+
+
+# ------------------------------------------------------------ multiview (rig)
+
+VV = 2
+
+
+def _make_graph_mv(tiny_droidnet, seed=0):
+    """2-view rig graph with a real traceable DroidNet (the V > 1 analog of
+    _make_graph): per-view slots, a translated rig, per-view intrinsics."""
+    model, params = tiny_droidnet
+    ef, ec, uf = make_droidnet_fns(model)
+    rng = np.random.default_rng(seed)
+    rig = np.asarray(
+        [[0, 0, 0, 0, 0, 0, 1], [0.2, 0, 0, 0, 0, 0, 1]], np.float32
+    )
+    buf = GraphBuffer(height=H, width=W, buffer_size=32, n_views=VV, rig=rig)
+    for k in range(N):
+        imgs = jnp.asarray(
+            (rng.random((VV, H, W, 3)) * 255).astype(np.uint8)
+        )
+        fmap = ef(params, imgs)
+        nets, inps = ec(params, imgs)
+        buf.append_keyframe(
+            k, imgs, fmap, nets, inps,
+            intrinsics=np.asarray([[W, W, W / 2, H / 2]] * VV, np.float32),
+        )
+        buf.poses = buf.poses.at[k, 0].set(0.1 * k + 0.01 * rng.normal())
+        buf.disps = buf.disps.at[VV * k: VV * (k + 1)].add(
+            0.1 * jnp.asarray(rng.random((VV, HT, WD)), jnp.float32)
+        )
+    g = FactorGraph(buf, uf, params, max_factors=16, incremental=True)
+    g.add_neighborhood_factors(0, N, r=1)
+    return buf, g
+
+
+def _snapshot_mv(buf, g):
+    nV = g.n_edges * VV
+    return {
+        "poses": np.asarray(buf.poses[:N]),
+        "disps": np.asarray(buf.disps[: N * VV]),
+        "target": np.asarray(g.target[:nV]),
+        "weight": np.asarray(g.weight[:nV]),
+        "damping": np.asarray(g.damping[: N * VV]),
+        "age": g.age[: g.n_edges].copy(),
+    }
+
+
+class TestFusedUpdateMV:
+    """The mv fused programs (VERDICT r04 item 7: rigs previously fell back
+    to the multi-dispatch loop) must match the sequential update() loop."""
+
+    def test_mv_fused_matches_sequential(self, tiny_droidnet):
+        buf_a, g_a = _make_graph_mv(tiny_droidnet, seed=3)
+        buf_b, g_b = _make_graph_mv(tiny_droidnet, seed=3)
+
+        for _ in range(3):
+            g_a.update(use_inactive=True)
+        g_b.update_fused(3, use_inactive=True)
+
+        sa, sb = _snapshot_mv(buf_a, g_a), _snapshot_mv(buf_b, g_b)
+        for key in sa:
+            np.testing.assert_allclose(
+                sa[key], sb[key], rtol=8e-3, atol=8e-3,
+                err_msg=f"mismatch in {key}",
+            )
+
+    def test_mv_fused_with_inactive_edges(self, tiny_droidnet):
+        buf_a, g_a = _make_graph_mv(tiny_droidnet, seed=5)
+        buf_b, g_b = _make_graph_mv(tiny_droidnet, seed=5)
+        for g in (g_a, g_b):
+            g.rm_factors(
+                (g.ii[: g.n_edges] == 0) & (g.jj[: g.n_edges] == 1),
+                store=True,
+            )
+        assert len(g_a.ii_inac) > 0
+
+        g_a.update(use_inactive=True)
+        g_b.update_fused(1, use_inactive=True)
+        sa, sb = _snapshot_mv(buf_a, g_a), _snapshot_mv(buf_b, g_b)
+        for key in sa:
+            np.testing.assert_allclose(
+                sa[key], sb[key], rtol=2e-3, atol=2e-3,
+                err_msg=f"mismatch in {key}",
+            )
+
+    def test_mv_frontend_step_matches_sequence(self, tiny_droidnet):
+        """frontend_step_fused for a rig (one dispatch) must equal the
+        sequential iters1 → per-view bidirectional distance → iters2 →
+        const-vel/disp-init path."""
+        from vipe_tpu.slam.frontend import (
+            _jitted_const_velocity,
+            _jitted_mean_disp_init,
+        )
+
+        buf_a, g_a = _make_graph_mv(tiny_droidnet, seed=9)
+        buf_b, g_b = _make_graph_mv(tiny_droidnet, seed=9)
+        t1 = N
+
+        for _ in range(2):
+            g_a.update(use_inactive=True)
+        d_ref = float(jnp.max(buf_a.frame_distance(
+            jnp.asarray([t1 - 3], jnp.int32),
+            jnp.asarray([t1 - 2], jnp.int32),
+            beta=0.3, bidirectional=True,
+        )))
+        g_a.update(use_inactive=True)
+        buf_a.poses = _jitted_const_velocity(buf_a.poses, jnp.int32(t1))
+        buf_a.disps = _jitted_mean_disp_init(
+            buf_a.disps, jnp.int32(t1), VV
+        )
+
+        assert g_b.can_fuse_frontend_step
+        d = g_b.frontend_step_fused(
+            2, 1, d_pair=(t1 - 3, t1 - 2), kf_thresh=0.0, beta=0.3,
+            slot_t1=t1, const_vel=True,
+        )
+        np.testing.assert_allclose(d, d_ref, rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(buf_a.poses[: N + 1]),
+            np.asarray(buf_b.poses[: N + 1]), rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(buf_a.disps[: (N + 1) * VV]),
+            np.asarray(buf_b.disps[: (N + 1) * VV]), rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_a.weight[: g_a.n_edges * VV]),
+            np.asarray(g_b.weight[: g_b.n_edges * VV]),
+            rtol=2e-3, atol=2e-3,
+        )
+
+    def test_mv_frontend_step_skip_branch(self, tiny_droidnet):
+        """A huge threshold takes the removal branch: iters2 and the slot
+        init must NOT run (rig variant)."""
+        buf_a, g_a = _make_graph_mv(tiny_droidnet, seed=10)
+        buf_b, g_b = _make_graph_mv(tiny_droidnet, seed=10)
+        t1 = N
+
+        for _ in range(2):
+            g_a.update(use_inactive=True)
+        d = g_b.frontend_step_fused(
+            2, 1, d_pair=(t1 - 3, t1 - 2), kf_thresh=1e9, beta=0.3,
+            slot_t1=t1, const_vel=True,
+        )
+        assert d < 1e9
+        np.testing.assert_allclose(
+            np.asarray(buf_a.poses[: N + 1]),
+            np.asarray(buf_b.poses[: N + 1]), rtol=2e-3, atol=2e-3,
+        )
+
+    def test_mv_motion_only_fused_matches_loop(self, tiny_droidnet):
+        """Rig filler rounds: fused motion-only must equal the loop and
+        leave disps untouched."""
+        buf_a, g_a = _make_graph_mv(tiny_droidnet, seed=12)
+        buf_b, g_b = _make_graph_mv(tiny_droidnet, seed=12)
+        d0 = np.asarray(buf_b.disps[: N * VV])
+
+        for _ in range(3):
+            g_a.update(1, N, motion_only=True, limited_disp=True)
+        g_b.update_fused(3, 1, N, motion_only=True, limited_disp=True)
+
+        np.testing.assert_allclose(
+            np.asarray(buf_a.poses[:N]), np.asarray(buf_b.poses[:N]),
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(buf_b.disps[: N * VV]), d0, atol=1e-6
+        )

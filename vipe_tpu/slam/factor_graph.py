@@ -375,6 +375,211 @@ def _make_round_runner(update_fn, cfg, params, Nb, corr_pyr, inps, masks,
     return run_rounds
 
 
+def _make_round_runner_mv(update_fn, cfg, params, Nb, corr_pyr, inps, masks,
+                          pi_act, qi_act, di_act, pj_act, qj_act, ev_act,
+                          tgt_inac, wgt_inac, pi_ba, qi_ba, di_ba, pj_ba,
+                          qj_ba, ev_ba, slot_edge, src_rows,
+                          pose_mask, disp_mask, sens, itrs,
+                          pose_damping, pose_ep):
+    """Rig-aware analog of ``_make_round_runner`` over EXPANDED (frame,
+    view) edges (reference expand_edge_multiview, buffer.py:303-361): rig
+    compose in the reprojection chain, per-view intrinsics, slot-major
+    disps/damping, ``ba_solve_mv`` with the rig group.  State carries
+    (poses, rig, disps, intr, f_net, target, weight, damping).  The V = 1
+    runner stays byte-identical (proven programs, warm caches); this one
+    gives rigs the same one-dispatch keyframe step."""
+    from ..ops import cameras as cam_ops
+
+    camera_type = cfg.camera_type
+    V = cfg.n_views
+    NbV = Nb * V
+    ht = cfg.ht
+    wd = cfg.wd
+    P = ht * wd
+    u, v = jnp.meshgrid(
+        jnp.arange(wd, dtype=jnp.float32),
+        jnp.arange(ht, dtype=jnp.float32), indexing="xy",
+    )
+    grid = jnp.stack([u, v], axis=-1)
+    weight_dense_disp = 0.001  # buffer.py:396
+    sens_mask = (jnp.sum(sens, axis=1) > 0).astype(jnp.float32)
+    dj_act = (pj_act * V + qj_act).astype(jnp.int32)
+
+    def run_rounds(state, n_rounds: int):
+        def one_round(_, st):
+            return _round_body(st)
+
+        return jax.lax.fori_loop(0, n_rounds, one_round, state)
+
+    def _round_body(state):
+        poses, rig_, disps, intrinsics, f_net, target, weight, damping = state
+        intr_grid = cam_ops.scaled_intrinsics(
+            camera_type, intrinsics, 1.0 / 8.0
+        )
+        coords1, _ = geom.reproject_mv(
+            poses, rig_, disps, intr_grid, camera_type,
+            pi_act, qi_act, di_act, pj_act, qj_act,
+        )
+        corr_feat = corr_ops.corr_lookup_pyramid(
+            corr_pyr, coords1, CORR_RADIUS
+        )
+        motn = jnp.concatenate(
+            [coords1 - grid, target - coords1], axis=-1
+        ).clip(-64.0, 64.0)
+        inp = inps[di_act].astype(jnp.float32)
+        ix = jnp.where(ev_act, di_act, NbV).astype(jnp.int32)
+        f_net, delta, weight, eta = update_fn(
+            params, f_net, inp, corr_feat, motn, ix, dj_act, NbV + 1
+        )
+        bad = masks[di_act][..., None] | (~ev_act)[:, None, None, None]
+        weight = jnp.where(bad, 0.0, weight)
+        target = coords1 + delta
+
+        eta_pad = jnp.concatenate([eta[:NbV], jnp.zeros((1, ht, wd))], 0)
+        damping = damping.at[src_rows].set(eta_pad[src_rows])
+
+        tgt_all = jnp.concatenate([tgt_inac, target], 0)
+        wgt_all = jnp.concatenate([wgt_inac, weight], 0)
+        disp_damping = 0.2 * damping[:NbV].reshape(NbV, P) + 1e-7
+        poses, rig_, disps_flat, intrinsics = ba.ba_solve_mv(
+            cfg, poses, rig_, disps.reshape(NbV, P), intrinsics,
+            tgt_all.reshape(-1, P, 2),
+            wgt_all.reshape(-1, P, 2) * weight_dense_disp,
+            pi_ba, qi_ba, di_ba, pj_ba, qj_ba, ev_ba, slot_edge,
+            pose_mask, disp_mask, disp_damping, sens, sens_mask,
+            itrs, pose_damping, pose_ep,
+        )
+        disps = disps_flat.reshape(NbV, ht, wd)
+        return (poses, rig_, disps, intrinsics, f_net, target, weight,
+                damping)
+
+    return run_rounds
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_fused_rounds_mv(update_fn, cfg, rounds: int):
+    """Rig-aware ``_jitted_fused_rounds``: K chained (GRU → mv BA) rounds in
+    one program over expanded (frame, view) edges."""
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(params, Nb, poses, rig, disps, intrinsics, corr_pyr, target,
+            f_net, inps, masks, pi_act, qi_act, di_act, pj_act, qj_act,
+            ev_act, damping, t_inac_full, w_inac_full, sel_inac,
+            pi_ba, qi_ba, di_ba, pj_ba, qj_ba, ev_ba, slot_edge,
+            src_rows, pose_mask, disp_mask, sens,
+            itrs, pose_damping, pose_ep):
+        tgt_inac = t_inac_full[sel_inac]
+        wgt_inac = w_inac_full[sel_inac]
+        corr_pyr = [p[: pi_act.shape[0]] for p in corr_pyr]
+        ht, wd = disps.shape[-2:]
+        damping = jnp.concatenate([damping, jnp.zeros((1, ht, wd))], 0)
+
+        run_rounds = _make_round_runner_mv(
+            update_fn, cfg, params, Nb, corr_pyr, inps, masks,
+            pi_act, qi_act, di_act, pj_act, qj_act, ev_act,
+            tgt_inac, wgt_inac, pi_ba, qi_ba, di_ba, pj_ba, qj_ba, ev_ba,
+            slot_edge, src_rows, pose_mask, disp_mask, sens,
+            itrs, pose_damping, pose_ep,
+        )
+        NbV = Nb * cfg.n_views
+        state = (poses, rig, disps, intrinsics, f_net, target,
+                 jnp.zeros_like(target), damping)
+        (poses, rig, disps, intrinsics, f_net, target, weight, damping) = (
+            run_rounds(state, rounds)
+        )
+        return (poses, rig, disps, intrinsics, f_net, target, weight,
+                damping[:NbV])
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_frontend_step_mv(update_fn, cfg, r1: int, r2: int,
+                             const_vel: bool):
+    """Rig-aware ``_jitted_frontend_step``: the whole per-keyframe frontend
+    optimization for a V-view rig as ONE dispatch — r1 rounds → per-view
+    bidirectional removal distance (max over views, the reference's rig
+    semantics in buffer.frame_distance) → lax.cond r2 rounds + next-slot
+    init (const-velocity frame pose + mean disp broadcast over the V
+    slots)."""
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def run(params, Nb, poses, rig, disps, intrinsics, corr_pyr, target,
+            f_net, inps, masks, pi_act, qi_act, di_act, pj_act, qj_act,
+            ev_act, damping, t_inac_full, w_inac_full, sel_inac,
+            pi_ba, qi_ba, di_ba, pj_ba, qj_ba, ev_ba, slot_edge,
+            src_rows, pose_mask, disp_mask, sens,
+            itrs, pose_damping, pose_ep,
+            d_i, d_j, kf_thresh, beta, t1):
+        from ..ops import cameras as cam_ops
+        from ..ops import lie as lie_ops
+
+        V = cfg.n_views
+        NbV = Nb * V
+        tgt_inac = t_inac_full[sel_inac]
+        wgt_inac = w_inac_full[sel_inac]
+        corr_pyr = [p[: pi_act.shape[0]] for p in corr_pyr]
+        ht, wd = disps.shape[-2:]
+        damping = jnp.concatenate([damping, jnp.zeros((1, ht, wd))], 0)
+
+        run_rounds = _make_round_runner_mv(
+            update_fn, cfg, params, Nb, corr_pyr, inps, masks,
+            pi_act, qi_act, di_act, pj_act, qj_act, ev_act,
+            tgt_inac, wgt_inac, pi_ba, qi_ba, di_ba, pj_ba, qj_ba, ev_ba,
+            slot_edge, src_rows, pose_mask, disp_mask, sens,
+            itrs, pose_damping, pose_ep,
+        )
+        state = (poses, rig, disps, intrinsics, f_net, target,
+                 jnp.zeros_like(target), damping)
+        state = run_rounds(state, r1)
+
+        # per-view bidirectional removal distance, max over views
+        # (reference buffer.frame_distance rig path)
+        pin = cam_ops.pinhole_equivalent(cfg.camera_type, state[3]) / 8.0
+        qv = jnp.arange(V, dtype=jnp.int32)
+        pi_d = jnp.broadcast_to(d_i, (V,)).astype(jnp.int32)
+        pj_d = jnp.broadcast_to(d_j, (V,)).astype(jnp.int32)
+        dd = geom.frame_distance_mv(
+            state[0], state[1], state[2], pin, pi_d, qv, pi_d * V + qv,
+            pj_d, qv, beta=beta,
+        )
+        dd2 = geom.frame_distance_mv(
+            state[0], state[1], state[2], pin, pj_d, qv, pj_d * V + qv,
+            pi_d, qv, beta=beta,
+        )
+        d = jnp.max(0.5 * (dd + dd2))
+
+        def keep_branch(st):
+            st = run_rounds(st, r2)
+            poses_, disps_ = st[0], st[2]
+            if const_vel:
+                p1 = poses_[t1 - 2]
+                p2 = poses_[t1 - 1]
+                w = lie_ops.se3_log(
+                    lie_ops.se3_mul(p2, lie_ops.se3_inv(p1))
+                ) * 0.5
+                poses_ = poses_.at[t1].set(
+                    lie_ops.se3_mul(lie_ops.se3_exp(w), p2)
+                )
+            # next-slot disparity init mirrors _jitted_mean_disp_init V > 1:
+            # mean over the previous frame's V slots, broadcast to all V
+            prev = jax.lax.dynamic_slice_in_dim(disps_, (t1 - 1) * V, V)
+            fill = jnp.broadcast_to(jnp.mean(prev), prev.shape)
+            disps_ = jax.lax.dynamic_update_slice_in_dim(
+                disps_, fill, t1 * V, 0
+            )
+            return (poses_, st[1], disps_) + st[3:]
+
+        state = jax.lax.cond(d >= kf_thresh, keep_branch, lambda st: st, state)
+        (poses, rig, disps, intrinsics, f_net, target, weight, damping) = (
+            state
+        )
+        return (poses, rig, disps, intrinsics, f_net, target, weight,
+                damping[:NbV], d)
+
+    return run
+
+
 @functools.lru_cache(maxsize=None)
 def _jitted_fused_rounds(update_fn, cfg, rounds: int):
     """K chained (GRU -> dense BA) rounds in ONE compiled program.
@@ -1228,12 +1433,27 @@ class FactorGraph:
         multi-view rig path fall back to the loop."""
         assert self.incremental and self.n_edges > 0
         st = getattr(self.buffer, "sparse_tracks", None)
-        if (getattr(self.update_fn, "host_only", False) or self.V > 1
+        if (getattr(self.update_fn, "host_only", False)
                 or (st is not None and st.enabled)):
             for _ in range(rounds):
                 self.update(t0=t0, t1=t1, itrs=itrs, use_inactive=use_inactive,
                             fixed_motion=fixed_motion,
                             motion_only=motion_only, limited_disp=limited_disp)
+            return
+
+        if self.V > 1:
+            cfg, Nb, base, args = self._fused_prep_mv(
+                t0, t1, use_inactive, fixed_motion,
+                motion_only=motion_only, limited_disp=limited_disp,
+            )
+            run = _jitted_fused_rounds_mv(self.update_fn, cfg, rounds)
+            (poses, rig, disps, intr, f_net, target, weight, damping) = run(
+                self.params, Nb, *args, jnp.int32(itrs),
+                jnp.float32(1e-3), jnp.float32(0.1),
+            )
+            self._apply_fused_mv(cfg, base, poses, rig, disps, intr, f_net,
+                                 target, weight, damping)
+            self.age[: self.n_edges] += rounds
             return
 
         buf = self.buffer
@@ -1398,6 +1618,169 @@ class FactorGraph:
         self.weight = jaxutil.set_prefix(self.weight, weight)
         self.damping = jaxutil.set_rows(self.damping, base, damping)
 
+    def _fused_prep_mv(self, t0, t1, use_inactive, fixed_motion, Nb=None,
+                       motion_only=False, limited_disp=False,
+                       extra_slots: int = 0):
+        """Rig-aware ``_fused_prep``: assembles EXPANDED (frame, view) edge
+        blocks over the windowed frame range for the mv fused programs.
+        Frame indices shift by ``base``; disp/inp/mask/damping/sens rows are
+        slot-major (frame·V + view).  Returns (cfg, Nb, base, args)."""
+        V = self.V
+        act_ii = self.ii[: self.n_edges]
+        act_jj = self.jj[: self.n_edges]
+        if t0 is None:
+            t0 = int(max(1, act_ii.min() + 1))
+        if t1 is None:
+            t1 = int(max(act_ii.max(), act_jj.max()) + 1)
+
+        buf = self.buffer
+        E = self.max_factors
+        EV = E * V
+        nV = self.n_edges * V
+
+        if use_inactive:
+            m = (self.ii_inac >= t0 - 3) & (self.jj_inac >= t0 - 3)
+            inac_idx = np.where(m)[0]
+        else:
+            inac_idx = np.zeros((0,), np.int64)
+        K = len(inac_idx)
+        Kb = bucket_size(K, minimum=4) if K else 0
+        KV, KbV = K * V, Kb * V
+        if KbV:
+            rows = (inac_idx[:, None] * V + np.arange(V)).reshape(-1)
+            sel_pad = np.zeros(KbV, np.int64)
+            sel_pad[:KV] = rows
+            sel_d = jnp.asarray(sel_pad, jnp.int32)
+            exp_in = np.zeros((KbV, 5), np.int64)
+            exp_in[:KV] = self.exp_inac[rows]
+        else:
+            sel_d = jnp.zeros((0,), jnp.int32)
+            exp_in = np.zeros((0, 5), np.int64)
+
+        # window base + size over FRAMES
+        frames_touched = np.concatenate(
+            [exp_in[:KV, 0], exp_in[:KV, 3], act_ii, act_jj]
+        )
+        base = int(frames_touched.min()) if len(frames_touched) else 0
+        top = int(frames_touched.max()) + 1 if len(frames_touched) else 1
+        top = max(top, t1) + extra_slots
+        if Nb is None:
+            Nb = bucket_size(top - base)
+        base = min(base, buf.buffer_size - Nb)
+        base = max(base, 0)
+        NbV = Nb * V
+
+        def _localize(exp_abs, valid_n):
+            """Absolute (pi,qi,di,pj,qj) rows → window-local, clipped."""
+            out = np.zeros_like(exp_abs)
+            pi = np.clip(np.where(np.arange(len(exp_abs)) < valid_n,
+                                  exp_abs[:, 0], base) - base, 0, Nb - 1)
+            pj = np.clip(np.where(np.arange(len(exp_abs)) < valid_n,
+                                  exp_abs[:, 3], base) - base, 0, Nb - 1)
+            out[:, 0] = pi
+            out[:, 1] = np.where(np.arange(len(exp_abs)) < valid_n,
+                                 exp_abs[:, 1], 0)
+            out[:, 3] = pj
+            out[:, 4] = np.where(np.arange(len(exp_abs)) < valid_n,
+                                 exp_abs[:, 4], 0)
+            out[:, 2] = out[:, 0] * V + out[:, 1]
+            return out
+
+        exp_act = np.zeros((EV, 5), np.int64)
+        exp_act[:nV] = self.exp[:nV]
+        exp_act_l = _localize(exp_act, nV)
+        ev_act = np.arange(EV) < nV
+
+        # combined BA edge list: [inactive (KbV) ++ active (EV)]
+        L = KbV + EV
+        exp_ba = np.concatenate([_localize(exp_in, KV), exp_act_l], 0)
+        ev_ba = np.zeros(L, bool)
+        ev_ba[:KV] = True
+        ev_ba[KbV: KbV + nV] = True
+
+        # per-slot edge grouping for the Schur assembly
+        valid_rows = np.where(ev_ba)[0]
+        fill = (
+            np.bincount(exp_ba[valid_rows, 2], minlength=NbV).max()
+            if len(valid_rows) else 1
+        )
+        M = bucket_size(int(fill), minimum=8)
+        slot_edge = np.full((NbV, M), L, np.int32)
+        fill_ct = np.zeros(NbV, np.int64)
+        for r in valid_rows:
+            d = exp_ba[r, 2]
+            slot_edge[d, fill_ct[d]] = r
+            fill_ct[d] += 1
+
+        idx = np.arange(Nb) + base
+        if fixed_motion:
+            pose_mask = np.zeros(Nb, bool)
+        else:
+            pose_mask = (idx >= t0) & (idx < t1) & (idx < buf.n_frames)
+        idv = np.arange(NbV) // V + base
+        has_edge = fill_ct > 0
+        if motion_only:
+            disp_mask = np.zeros(NbV, bool)
+        elif limited_disp:
+            disp_mask = has_edge & (idv >= t0) & (idv < t1) \
+                & (idv < buf.n_frames)
+        else:
+            disp_mask = has_edge & (idv < buf.n_frames)
+
+        src = np.unique(exp_act_l[:nV, 2]) if nV else np.zeros(0, np.int64)
+        src_rows = np.full(NbV, NbV, np.int64)
+        src_rows[: len(src)] = src
+
+        cfg = ba.BAConfig(
+            camera_type=buf.camera_type, ht=self.ht, wd=self.wd,
+            optimize_intrinsics=self.optimize_intrinsics and not motion_only,
+            alpha=buf.dense_disp_alpha, max_edges_per_frame=M,
+            n_views=V,
+            optimize_rig=self.optimize_rig and not motion_only,
+            **self.ba_cfg_kwargs,
+        )
+        rig, _ = self._rig_intr()
+        # FULL-res per-view intrinsics: the round runner scales to the /8
+        # grid itself (and BA consumes full-res)
+        intr = (
+            buf.intrinsics if buf.intrinsics.ndim == 2
+            else buf.intrinsics[None]
+        )
+        b, bV = base, base * V
+        act_cols = [jnp.asarray(exp_act_l[:, c], jnp.int32) for c in range(5)]
+        ba_cols = [jnp.asarray(exp_ba[:, c], jnp.int32) for c in range(5)]
+        args = (
+            buf.poses[b: b + Nb], rig, buf.disps[bV: bV + NbV], intr,
+            self._pyr_list(), self.target[:EV], self.f_net[:EV],
+            buf.inps[bV: bV + NbV], buf.masks[bV: bV + NbV],
+            *act_cols, jnp.asarray(ev_act),
+            self.damping[bV: bV + NbV],
+            self.target_inac, self.weight_inac, sel_d,
+            *ba_cols, jnp.asarray(ev_ba), jnp.asarray(slot_edge),
+            jnp.asarray(src_rows, jnp.int32),
+            jnp.asarray(pose_mask), jnp.asarray(disp_mask),
+            (jnp.zeros((NbV, self.ht * self.wd)) if motion_only
+             else buf.disps_sens[bV: bV + NbV].reshape(NbV, -1)),
+        )
+        return cfg, Nb, base, args
+
+    def _apply_fused_mv(self, cfg, base, poses, rig, disps, intr, f_net,
+                        target, weight, damping):
+        buf = self.buffer
+        V = self.V
+        buf.poses = jaxutil.set_rows(buf.poses, base, poses)
+        buf.disps = jaxutil.set_rows(buf.disps, base * V, disps)
+        if self.optimize_intrinsics:
+            buf.intrinsics = (
+                intr if buf.intrinsics.ndim == 2 else intr[0]
+            )
+        if cfg.optimize_rig:
+            buf.rig = rig
+        self.f_net = jaxutil.set_prefix(self.f_net, f_net)
+        self.target = jaxutil.set_prefix(self.target, target)
+        self.weight = jaxutil.set_prefix(self.weight, weight)
+        self.damping = jaxutil.set_rows(self.damping, base * V, damping)
+
     def frontend_step_fused(
         self,
         r1: int,
@@ -1425,9 +1808,37 @@ class FactorGraph:
         either way (the keep/remove split ran under ``lax.cond`` in-program).
 
         Caller contract: only valid on the fast path (traceable update_fn,
-        V == 1, no sparse tracks); check ``can_fuse_frontend_step``."""
+        no sparse tracks); check ``can_fuse_frontend_step``."""
         # +2 slots: the distance check reads slot_t1-? and the keep-branch
         # initializes the NEXT keyframe slot in-program
+        if self.V > 1:
+            cfg, Nb, base, args = self._fused_prep_mv(
+                t0, t1, True, fixed_motion, extra_slots=2,
+            )
+            assert base <= min(d_pair) and slot_t1 - base < Nb, (
+                base, d_pair, slot_t1, Nb
+            )
+            run = _jitted_frontend_step_mv(
+                self.update_fn, cfg, r1, r2, const_vel
+            )
+            (poses, rig, disps, intr, f_net, target, weight, damping, d) = (
+                run(
+                    self.params, Nb, *args, jnp.int32(itrs),
+                    jnp.float32(1e-3), jnp.float32(0.1),
+                    jnp.int32(d_pair[0] - base), jnp.int32(d_pair[1] - base),
+                    jnp.float32(kf_thresh), jnp.float32(beta),
+                    jnp.int32(slot_t1 - base),
+                )
+            )
+            self._apply_fused_mv(cfg, base, poses, rig, disps, intr, f_net,
+                                 target, weight, damping)
+            if defer:
+                try:
+                    d.copy_to_host_async()
+                except Exception:
+                    pass
+                return d
+            return self.finish_fused_step(d, r1, r2, kf_thresh)
         cfg, Nb, base, args = self._fused_prep(
             t0, t1, True, fixed_motion, extra_slots=2,
         )
@@ -1477,7 +1888,6 @@ class FactorGraph:
         return (
             self.incremental
             and not getattr(self.update_fn, "host_only", False)
-            and self.V == 1
             and (st is None or not st.enabled)
         )
 

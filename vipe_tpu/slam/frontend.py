@@ -243,8 +243,10 @@ class SLAMFrontend:
             # PRE-STEP speculative distance submission: enqueued before the
             # fused step so it computes on pre-BA state and its transfer
             # rides the step's compute shadow (zero-blocking proximity
-            # readback at the next keyframe)
-            if self.prox_spec and not self.has_init_pose:
+            # readback at the next keyframe).  V = 1 only: the rig distance
+            # matrix has no predict_slot overlay, so rigs submit post-step.
+            pre_spec = self.prox_spec and not self.has_init_pose and g.V == 1
+            if pre_spec:
                 self._submit_distance(pre_step=True)
             # ONE dispatch: iters1 rounds → removal distance → (cond) iters2
             # rounds + next-slot init.  The distance readback is DEFERRED:
@@ -269,7 +271,7 @@ class SLAMFrontend:
             if self.spec_depth >= 2:
                 g.age[: g.n_edges] += self.iters1 + self.iters2
             self._pending.append((d_dev, self.t1))
-            if self.prox_spec and not self.has_init_pose:
+            if pre_spec:
                 return  # pre-step token already submitted above
         else:
             g.update_fused(self.iters1, use_inactive=True,

@@ -145,7 +145,6 @@ class InnerFiller:
         st = getattr(buf, "sparse_tracks", None)
         return (
             not getattr(self.update_fn, "host_only", False)
-            and getattr(buf, "n_views", 1) == 1
             and (st is None or not st.enabled)
             and not self.config.get("infill_dense_disp", False)
         )
