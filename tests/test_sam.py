@@ -24,6 +24,21 @@ class TestSam:
         m2 = predictor.segment_with_box([60, 50, 120, 90])
         assert (m1 != m2).mean() > 0.01
 
+    def test_batched_boxes_match_single(self, predictor, rng):
+        """segment_with_boxes (one program per chunk, on-device best-mask
+        selection) must agree with per-box calls — boundary pixels may flip
+        at f32 batch-order epsilon, interior must match."""
+        predictor.set_image(rng.random((96, 128, 3)).astype(np.float32))
+        boxes = [[5, 5, 40, 40], [60, 50, 120, 90], [20, 15, 90, 70]]
+        batched = predictor.segment_with_boxes(boxes)
+        assert batched.shape == (3, 96, 128) and batched.dtype == bool
+        for b, box in zip(batched, boxes):
+            single = predictor.segment_with_box(box)
+            assert (b == single).mean() > 0.999
+        assert predictor.segment_with_boxes(
+            np.zeros((0, 4), np.float32)
+        ).shape == (0, 96, 128)
+
     def test_image_resolution_independent_params(self, predictor, rng):
         """Non-square inputs resize+pad to the model square."""
         predictor.set_image(rng.random((50, 120, 3)).astype(np.float32))

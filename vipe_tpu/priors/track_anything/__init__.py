@@ -47,8 +47,11 @@ class SegTracker:
         instance = np.zeros((h, w), np.int32)
         id2phrase: dict = {}
         self.segmentor.set_image(rgb)
-        for box, name in zip(boxes, names):
-            mask = self.segmentor.segment_with_box(box)
+        # ONE batched decoder pass for all boxes (segment_with_boxes) —
+        # the reference's per-box loop costs 2 dispatches + 2 readbacks per
+        # box; the compositing below keeps its sequential first-wins order
+        masks = self.segmentor.segment_with_boxes(boxes)
+        for mask, name in zip(masks, names):
             if mask.sum() < self.min_area:
                 continue
             self.curr_idx += 1

@@ -236,10 +236,12 @@ class GroundingDINODetector:
 
     def __init__(self, cfg: Optional[GDINOConfig] = None, params=None,
                  box_threshold: float = 0.35, short_side: int = 800,
-                 max_side: int = 1333, rng_seed: int = 0):
+                 max_side: int = 1333, rng_seed: int = 0,
+                 max_detections: int = 100):
         self.cfg = cfg or GDINOConfig()
         self.model = GroundingDINOModel(self.cfg)
         self.box_threshold = box_threshold
+        self.max_detections = max_detections
         self.short_side = short_side
         self.max_side = max_side
         self.tokenizer = make_tokenizer()
@@ -299,7 +301,14 @@ class GroundingDINODetector:
 
         scores = logits.max(-1)
         keep = scores > self.box_threshold
-        boxes, logits = boxes[keep], logits[keep]
+        boxes, logits, scores = boxes[keep], logits[keep], scores[keep]
+        if len(boxes) > self.max_detections:
+            # score-ordered cap: trained weights yield a handful of boxes
+            # and never hit this; it bounds the downstream per-box work
+            # (SAM segmentation, mask compositing) when an uncalibrated
+            # model floods proposals past the threshold
+            order = np.argsort(-scores)[: self.max_detections]
+            boxes, logits = boxes[order], logits[order]
 
         # cxcywh (normalized) → xyxy pixels in the ORIGINAL frame
         cx, cy, bw, bh = boxes.T * np.asarray([[W0], [H0], [W0], [H0]])

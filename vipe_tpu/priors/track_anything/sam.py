@@ -386,6 +386,34 @@ class SamPredictor:
 
         self._decode = _decode
         self._decode_with_mask = _decode_with_mask
+
+        @functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+        def _segment_batch(p, image_embed, boxes, nh, nw, h, w):
+            """Both decoder passes + best-mask selection + full-res
+            thresholding for a BATCH of box prompts in ONE program.  The
+            reference (and the single-box path) pays two dispatches and two
+            scalar readbacks PER BOX — at hundreds of detector proposals
+            that serializes hundreds of round trips."""
+            embed = jnp.broadcast_to(
+                image_embed, (boxes.shape[0],) + image_embed.shape[1:]
+            )
+            masks, iou = _decode(p, embed, boxes)
+            best = 1 + jnp.argmax(iou[:, 1:], axis=-1)           # (B,)
+            sel = jnp.take_along_axis(
+                masks, best[:, None, None, None], axis=1
+            )[:, 0]
+            masks, iou = _decode_with_mask(p, embed, boxes, sel)
+            best = 1 + jnp.argmax(iou[:, 1:], axis=-1)
+            sel = jnp.take_along_axis(
+                masks, best[:, None, None, None], axis=1
+            )[:, 0]                                               # (B, g4, g4)
+            m = jax.image.resize(
+                sel, (sel.shape[0], self.img_size, self.img_size), "bilinear"
+            )[:, :nh, :nw]
+            m = jax.image.resize(m, (m.shape[0], h, w), "bilinear")
+            return m > 0.0
+
+        self._segment_batch = _segment_batch
         self._image_embed = None
         self._orig_hw = None
 
@@ -421,27 +449,50 @@ class SamPredictor:
 
     def segment_with_box(self, box_xyxy) -> np.ndarray:
         """box in original-image pixels → (H, W) bool mask (best of 4)."""
+        return self.segment_with_boxes([box_xyxy])[0]
+
+    # boxes per jitted chunk: bounds the (B, H, W) full-res resize
+    # transient (~270 MB f32 at 32×1024²) and the compile-key bucket count
+    SEG_CHUNK = 32
+
+    def segment_with_boxes(self, boxes_xyxy) -> np.ndarray:
+        """Batched box-prompted segmentation: (B, 4) pixel boxes →
+        (B, H, W) bool masks.
+
+        Two decoder passes like the reference (segmentor.py:90-107) —
+        box-only multimask, then refine with the best low-res logits as a
+        mask prompt; best by predicted iou (masks[1:4]; mask 0 is the
+        single-mask head).  Unlike the reference's per-box python loop the
+        whole chunk runs as ONE program with on-device best-mask selection
+        and a single bool readback — at hundreds of detector proposals the
+        per-box path serializes 2 dispatches + 2 scalar readbacks each."""
         assert self._image_embed is not None, "call set_image first"
+        boxes_xyxy = np.asarray(boxes_xyxy, np.float32).reshape(-1, 4)
+        B = len(boxes_xyxy)
+        if B == 0:
+            h, w = self._orig_hw
+            return np.zeros((0, h, w), bool)
         h, w = self._orig_hw
         nh, nw = self._scaled_hw
         sx, sy = nw / w, nh / h
-        box = np.asarray(box_xyxy, np.float32)
-        pts = np.asarray(
-            [[box[0] * sx, box[1] * sy], [box[2] * sx, box[3] * sy]], np.float32
-        )
-        boxes = jnp.asarray(pts)[None]
-        # two decoder passes like the reference (segmentor.py:90-107):
-        # box-only multimask, then refine with the best low-res logits as
-        # a mask prompt.  multimask → masks[1:4] (mask 0 is the
-        # single-mask head); best by predicted iou.
-        masks, iou = self._decode(self.params, self._image_embed, boxes)
-        best = 1 + int(jnp.argmax(iou[0, 1:]))
-        masks, iou = self._decode_with_mask(
-            self.params, self._image_embed, boxes, masks[:, best]
-        )
-        best = 1 + int(jnp.argmax(iou[0, 1:]))
-        m = jax.image.resize(
-            masks[0, best], (self.img_size, self.img_size), "bilinear"
-        )[:nh, :nw]
-        m = jax.image.resize(m, (h, w), "bilinear")
-        return np.asarray(m > 0.0)
+        pts = np.stack(
+            [boxes_xyxy[:, 0] * sx, boxes_xyxy[:, 1] * sy,
+             boxes_xyxy[:, 2] * sx, boxes_xyxy[:, 3] * sy], -1
+        ).reshape(B, 2, 2)
+        out = np.zeros((B, h, w), bool)
+        for s in range(0, B, self.SEG_CHUNK):
+            chunk = pts[s: s + self.SEG_CHUNK]
+            k = len(chunk)
+            kb = 1
+            while kb < k:
+                kb *= 2
+            if kb != k:  # pow2 bucket: repeat-pad (bounded compile keys)
+                chunk = np.concatenate(
+                    [chunk, np.broadcast_to(chunk[-1:], (kb - k, 2, 2))], 0
+                )
+            m = self._segment_batch(
+                self.params, self._image_embed, jnp.asarray(chunk),
+                nh, nw, h, w,
+            )
+            out[s: s + k] = np.asarray(m[:k])
+        return out
