@@ -46,13 +46,18 @@ class GeoCalibIntrinsicsProcessor(StreamProcessor):
 
     def __init__(self, camera_type: str = "pinhole", shared_intrinsics: bool = True,
                  sample_stream=None, gap_sec: float = 1.0):
+        from ..models.model_cache import cached_global
         from ..priors.geocalib import GeoCalib
 
         # SLAM camera type → geocalib model (reference processors.py:90-93)
         model = {"pinhole": "pinhole", "mei": "simple_mei"}.get(
             camera_type, camera_type
         )
-        self.model = GeoCalib(model)
+        # stateless net + jitted LM: process-cached so per-video pipelines
+        # don't re-trace it (key includes the class — tests swap tiny ones)
+        self.model = cached_global(
+            ("geocalib", GeoCalib, model), lambda: GeoCalib(model)
+        )
         self.camera_type = camera_type
         self.shared = shared_intrinsics
         self.gap_sec = gap_sec
@@ -99,9 +104,19 @@ class TrackAnythingProcessor(StreamProcessor):
     """
 
     def __init__(self, phrases: List[str], mask_expand: int = 5, **kwargs):
+        from ..models.model_cache import cached_thread
         from ..priors.track_anything import TrackAnythingPipeline
 
-        self.pipeline = TrackAnythingPipeline(phrases, **kwargs)
+        # STATEFUL engine (SAM image embed, DeAOT memory, id counters) —
+        # cached per interleave-worker THREAD and reset per video, so the
+        # GDINO/SAM/DeAOT nets trace once per process-thread instead of per
+        # video (models/model_cache.py)
+        key = ("track_anything", TrackAnythingPipeline, tuple(phrases),
+               tuple(sorted(kwargs.items())))
+        self.pipeline = cached_thread(
+            key, lambda: TrackAnythingPipeline(phrases, **kwargs)
+        )
+        self.pipeline.reset()
         self.phrases = phrases
         self.mask_expand = mask_expand
 
@@ -118,6 +133,51 @@ class TrackAnythingProcessor(StreamProcessor):
         return frame
 
 
+class VdaPrepass:
+    """Background VideoDepthAnything inference over the (prefilled) cached
+    stream, started BEFORE SLAM so the temporally-stable disparity pass
+    rides SLAM's host/tunnel idle gaps instead of serializing after it
+    (full-pipeline stage budget: vda ≈ 30 s/rep of pure post-pass time).
+    VDA consumes only raw RGB, so it needs nothing from SLAM; the thread
+    streams frames as the prefill cache fills them.
+
+    Caller contract: ``stream`` must be a cache with an active prefill
+    thread (concurrent iteration is only safe there)."""
+
+    def __init__(self, vda_kind: str, stream):
+        import threading
+
+        from ..models.model_cache import cached_global
+        from ..priors.depth.videodepthanything import VideoDepthAnythingModel
+
+        variant = "vitl" if vda_kind == "vda" else "vits"
+        self.model = cached_global(
+            ("vda", VideoDepthAnythingModel, variant),
+            lambda: VideoDepthAnythingModel(variant),
+        )
+        self._result = None
+        self._exc: Optional[BaseException] = None
+
+        def _run():
+            try:
+                self._result = self.model.infer_video_depth(
+                    [f.rgb for f in stream]
+                )
+            except BaseException as e:  # noqa: BLE001 — re-raised in join
+                self._exc = e
+
+        self._thread = threading.Thread(
+            target=_run, daemon=True, name="vda-prepass"
+        )
+        self._thread.start()
+
+    def join(self):
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+        return self._result
+
+
 class AdaptiveDepthProcessor(StreamProcessor):
     """Post-SLAM metric depth (reference processors.py:145-296).
 
@@ -131,7 +191,8 @@ class AdaptiveDepthProcessor(StreamProcessor):
     ports land (they raise from make_depth_model until then).
     """
 
-    def __init__(self, model: str, slam_output=None, coverage_thresh: float = 0.3):
+    def __init__(self, model: str, slam_output=None,
+                 coverage_thresh: float = 0.3, vda_prepass=None):
         self.model_str = model
         self.coverage_thresh = coverage_thresh
         self.slam_output = slam_output
@@ -142,11 +203,17 @@ class AdaptiveDepthProcessor(StreamProcessor):
         self.metric_model = make_depth_model(self.metric_name)
         self.priorda = None  # created lazily when coverage warrants it
         self.vda = None
-        if self.vda_kind in ("vda", "svda"):
+        self._vda_prepass = vda_prepass
+        if vda_prepass is not None:
+            self.vda = vda_prepass.model  # inference already in flight
+        elif self.vda_kind in ("vda", "svda"):
+            from ..models.model_cache import cached_global
             from ..priors.depth.videodepthanything import VideoDepthAnythingModel
 
-            self.vda = VideoDepthAnythingModel(
-                "vitl" if self.vda_kind == "vda" else "vits"
+            variant = "vitl" if self.vda_kind == "vda" else "vits"
+            self.vda = cached_global(
+                ("vda", VideoDepthAnythingModel, variant),
+                lambda: VideoDepthAnythingModel(variant),
             )
         self._ema_scale: Optional[float] = None
         self._ema_bias: Optional[float] = None
@@ -195,13 +262,20 @@ class AdaptiveDepthProcessor(StreamProcessor):
     POST_BATCH = 8
 
     def update_iterator(self, it: Iterator[VideoFrame]) -> Iterator[VideoFrame]:
-        frames = list(it) if self.vda is not None else it
         vda_disps = None
-        if self.vda is not None:
+        if self._vda_prepass is not None:
+            # prepass ran concurrently with SLAM; the stage records only
+            # the residual wait
+            with profiling.stage("vda"):
+                vda_disps = self._vda_prepass.join()
+            src = iter(it)
+        elif self.vda is not None:
+            frames = list(it)
             with profiling.stage("vda"):
                 vda_disps = self.vda.infer_video_depth([f.rgb for f in frames])
-
-        src = iter(frames) if self.vda is not None else iter(it)
+            src = iter(frames)
+        else:
+            src = iter(it)
 
         def _chunks(s, n):
             buf = []
@@ -232,6 +306,7 @@ class AdaptiveDepthProcessor(StreamProcessor):
         use_metric = score < self.coverage_thresh
         if not use_metric and self.priorda is None:
             from ..models import zoo
+            from ..models.model_cache import cached_global
             from ..priors.depth.priorda import PriorDAModel
 
             # reference default = coarse->fine (priorda.py:100-161); the
@@ -240,8 +315,10 @@ class AdaptiveDepthProcessor(StreamProcessor):
             # stage would replace the prompt-aligned coarse depth with
             # noise (and pay a second full DAv2 inference), so absent
             # weights fall back to coarse_only.
-            self.priorda = PriorDAModel(
-                coarse_only=not zoo.has_weights("priorda_fine")
+            coarse_only = not zoo.has_weights("priorda_fine")
+            self.priorda = cached_global(
+                ("priorda", PriorDAModel, coarse_only),
+                lambda: PriorDAModel(coarse_only=coarse_only),
             )
         return use_metric
 
