@@ -84,6 +84,35 @@ class TestUniDepth:
             assert np.abs(np.asarray(d) - ref).max() / scale < 0.08
 
 
+class TestSensDevice:
+    def test_estimate_sens_device_matches_host_path(self, rng):
+        """The device-resident keyframe-depth program (uint8 buffer image →
+        policy resize → net → /8 disparity prior, zero host transfers) must
+        match the host estimate_depth path + [3::8,3::8] sampling — the
+        only differences are cv2-vs-XLA bilinear epsilon and the uint8
+        re-quantization the host path pays."""
+        import jax.numpy as jnp
+
+        m = UniDepthModel("s", pixels_min=3_000, pixels_max=6_000)
+        H, W = 64, 80
+        rgb = rng.random((H, W, 3)).astype(np.float32)
+        img_u8 = jnp.asarray(
+            np.rint(rgb * 255.0).astype(np.uint8)
+        )
+        intr = jnp.asarray([70.0, 70.0, W / 2, H / 2], jnp.float32)
+        sens_dev = np.asarray(m.estimate_sens_device(img_u8, intr))
+        assert sens_dev.shape == (H // 8, W // 8)
+
+        depth_host = np.asarray(m.estimate_depth(rgb, 70.0))
+        d = depth_host[3::8, 3::8]
+        sens_host = np.where(d > 0, 1.0 / np.maximum(d, 1e-8), d)
+        scale = np.abs(sens_host).max() + 1e-9
+        assert np.abs(sens_dev - sens_host).max() / scale < 0.08
+        # no-intrinsics branch (predicted camera) also runs
+        sens_nocam = np.asarray(m.estimate_sens_device(img_u8, None))
+        assert np.isfinite(sens_nocam).all()
+
+
 def make_synthetic_unidepth_sd(rng, D=384, hidden=512, depths=(2, 2, 2),
                                n_levels=4, vit_depth=12):
     """Reference-shaped UniDepthV2 state_dict (pixel_encoder DINOv2 +

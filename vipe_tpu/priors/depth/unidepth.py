@@ -442,6 +442,71 @@ class UniDepthModel(DepthEstimationModel):
         # reference-exact f32 path with confidence for API parity
         return self.estimate_depth_batch([rgb], focal_length)[0]
 
+    def _jit_sens(self):
+        """Device-resident keyframe-depth program: buffer uint8 image →
+        pad/resize policy → net → un-pad → /8-grid disparity prior, ALL in
+        one dispatch with zero host transfers.  The SLAM loop's old path
+        bounced the full-res image device→host (cv2 preprocessing), the
+        depth back, and the sens row up again, plus a blocking focal-scalar
+        readback — ~4 transfers per keyframe on the pass-1 critical path.
+
+        Padding equivalence: the reference pads with 0 in NORMALIZED space
+        (unidepthv2.py:278-286), so here the image is normalized first and
+        zero-padded; the bilinear resize then matches the host path up to
+        interpolation epsilon (cv2 vs XLA, both half-pixel)."""
+        if getattr(self, "_jit_sens_fn", None) is None:
+            net = self.net
+
+            @functools.partial(jax.jit, static_argnums=(3,))
+            def run(params, img_u8, intr, meta):
+                hp, wp, pl, pr, pt, pb, nh, nw, h, w, rf = meta
+                x = (
+                    img_u8.astype(jnp.float32) / 255.0
+                    - jnp.asarray(IMAGENET_MEAN)
+                ) / jnp.asarray(IMAGENET_STD)
+                x = jnp.pad(x, ((pt, pb), (pl, pr), (0, 0)))
+                x = jax.image.resize(x, (nh, nw, 3), "bilinear")[None]
+                if intr is None:
+                    out = net._forward_nocam(params, x)
+                else:
+                    f = intr[0] * rf
+                    cx = (w / 2.0 + pl) * rf
+                    cy = (h / 2.0 + pt) * rf
+                    u = jnp.arange(nw, dtype=jnp.float32) + 0.5
+                    v = jnp.arange(nh, dtype=jnp.float32) + 0.5
+                    rx = (u[None, :] - cx) / f
+                    ry = (v[:, None] - cy) / f
+                    r1 = jnp.stack(
+                        [jnp.broadcast_to(rx, (nh, nw)),
+                         jnp.broadcast_to(ry, (nh, nw)),
+                         jnp.ones((nh, nw), jnp.float32)], -1,
+                    )
+                    r1 = r1 / jnp.linalg.norm(r1, axis=-1, keepdims=True)
+                    out = net._forward(params, x, r1[None])
+                depth = jax.image.resize(out["depth"], (1, hp, wp), "bilinear")
+                d = depth[0, pt: hp - pb, pl: wp - pr][3::8, 3::8]
+                return jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-8), d)
+
+            self._jit_sens_fn = run
+        return self._jit_sens_fn
+
+    def estimate_sens_device(self, image_u8, intrinsics=None):
+        """(H, W, 3) device uint8 + device intrinsics row → (H/8, W/8)
+        device disparity prior; see ``_jit_sens``.  ``intrinsics``: the
+        buffer's live (4+,) intrinsics (focal read IN-program — no blocking
+        scalar fetch)."""
+        h, w = int(image_u8.shape[0]), int(image_u8.shape[1])
+        (pl, pr, pt, pb), (hp, wp) = get_paddings((h, w), self.ratio_bounds)
+        rf, (nh, nw) = get_resize_factor(
+            (hp, wp),
+            resolution_level_bounds(self.pixels_min, self.pixels_max,
+                                    self.resolution_level),
+        )
+        return self._jit_sens()(
+            self.net.params, image_u8, intrinsics,
+            (hp, wp, pl, pr, pt, pb, nh, nw, h, w, rf),
+        )
+
     def estimate_depth_batch(self, rgbs, focal_length=None):
         """Stacked inference for same-shaped frames sharing one focal: one
         jitted forward for the whole batch instead of per-frame dispatches

@@ -497,14 +497,26 @@ class GraphBuffer:
 
         from ..utils import profiling
 
+        intr_row = (
+            self.intrinsics[0] if self.intrinsics.ndim == 2
+            else self.intrinsics
+        )
         for k in frames:
             with profiling.stage("keyframe_depth"):
-                out = depth_model.estimate_depth(
-                    self.images[k].astype(jnp.float32) / 255.0,
-                    focal_length=float(self.intrinsics[0]),
-                )
-            d = out[3::8, 3::8]
-            sens = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-8), d)
+                if hasattr(depth_model, "estimate_sens_device"):
+                    # one dispatch, zero host transfers: uint8 buffer image
+                    # → policy resize → net → /8 disparity prior, focal
+                    # read in-program from the live device intrinsics
+                    sens = depth_model.estimate_sens_device(
+                        self.images[k], intr_row
+                    )
+                else:
+                    out = depth_model.estimate_depth(
+                        self.images[k].astype(jnp.float32) / 255.0,
+                        focal_length=float(self.intrinsics[0]),
+                    )
+                    d = jnp.asarray(out)[3::8, 3::8]
+                    sens = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-8), d)
             self.disps_sens = jaxutil.set_row(self.disps_sens, k, sens)
         self.last_depth_intrinsics = self.intrinsics
 
