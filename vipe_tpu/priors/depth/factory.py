@@ -11,6 +11,15 @@ from .base import ConstantDepthModel, DepthEstimationModel
 
 
 def make_depth_model(name: str) -> DepthEstimationModel:
+    """Depth models are stateless (params + jit closures), so instances are
+    process-cached by name — a fresh pipeline per video must not re-trace
+    a ViT-L zoo (models/model_cache.py)."""
+    from ...models.model_cache import cached_global
+
+    return cached_global(("depth_model", name), lambda: _build(name))
+
+
+def _build(name: str) -> DepthEstimationModel:
     family, _, variant = name.partition("-")
     if family == "constant":
         return ConstantDepthModel(float(variant) if variant else 2.0)

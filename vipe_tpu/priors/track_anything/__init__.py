@@ -49,14 +49,27 @@ class SegTracker:
         self.segmentor.set_image(rgb)
         # ONE batched decoder pass for all boxes (segment_with_boxes) —
         # the reference's per-box loop costs 2 dispatches + 2 readbacks per
-        # box; the compositing below keeps its sequential first-wins order
+        # box — and ONE vectorized first-wins composition (argmax returns
+        # the first True along the mask axis, which is exactly the
+        # sequential instance[mask & (instance == 0)] semantics); the
+        # per-object full-res passes were O(objects·H·W) host time
         masks = self.segmentor.segment_with_boxes(boxes)
-        for mask, name in zip(masks, names):
-            if mask.sum() < self.min_area:
+        areas = masks.reshape(len(masks), -1).sum(1) if len(masks) else []
+        kept_ids, kept_masks = [], []
+        for mask, name, area in zip(masks, names, areas):
+            if area < self.min_area:
                 continue
             self.curr_idx += 1
-            instance[mask & (instance == 0)] = self.curr_idx
+            kept_ids.append(self.curr_idx)
+            kept_masks.append(mask)
             id2phrase[self.curr_idx] = name
+        if kept_masks:
+            km = np.stack(kept_masks)
+            first = np.argmax(km, axis=0)          # first covering mask
+            covered = km.any(axis=0)
+            instance = np.where(
+                covered, np.asarray(kept_ids, np.int32)[first], 0
+            )
         return instance, id2phrase
 
     def merge_new_objects(self, instance: np.ndarray, tracked: np.ndarray,
@@ -68,16 +81,17 @@ class SegTracker:
         __init__.py:105-108 detection-glitch guard)."""
         new_mask = np.where(tracked == 0, instance, 0)
         out = tracked.copy()
-        added = np.zeros_like(tracked, bool)
-        for oid in np.unique(new_mask):
-            if oid == 0:
-                continue
-            new_area = int((new_mask == oid).sum())
-            obj_area = int((instance == oid).sum())
-            if new_area / max(obj_area, 1) < min_new_obj_iou \
-                    or new_area < self.min_area:
-                continue
-            added |= new_mask == oid
+        # per-object area ratios via bincount (one pass over the frame
+        # instead of a full-res boolean pass per object id)
+        n_ids = int(max(new_mask.max(), instance.max())) + 1
+        new_areas = np.bincount(new_mask.ravel(), minlength=n_ids)
+        obj_areas = np.bincount(instance.ravel(), minlength=n_ids)
+        ok = (
+            (new_areas / np.maximum(obj_areas, 1) >= min_new_obj_iou)
+            & (new_areas >= self.min_area)
+        )
+        ok[0] = False
+        added = ok[new_mask]
         if added.sum() > 0.4 * tracked.size:
             return out
         out[added] = new_mask[added]
@@ -111,6 +125,17 @@ class TrackAnythingPipeline:
         self._frame_count = 0
         self._last_instance: Optional[np.ndarray] = None
         self.instance_phrase: dict = {}
+
+    def reset(self):
+        """Clear per-video state (frame counter, id↔phrase maps, tracker
+        memory) so a process-cached pipeline instance can serve the next
+        video with fresh semantics (models/model_cache.py)."""
+        self._frame_count = 0
+        self._last_instance = None
+        self.instance_phrase = {}
+        self.seg_tracker.curr_idx = 0
+        if self.tracker is not None:
+            self.tracker.restart()
 
     def track(self, frame_idx: int, rgb: np.ndarray):
         """Returns ``(instance, instance_phrases)`` (reference
