@@ -133,32 +133,41 @@ class DeAOTTracker:
     def _slots_host(self, instance: np.ndarray, size_hw) -> jnp.ndarray:
         """Instance ids → (1, H, W) uint8 SLOT map (uploaded; the one-hot
         expansion happens on device), updating the id↔slot tables for new
-        objects."""
+        objects.  LUT-translated in one gather — a per-object full-res
+        boolean pass costs O(objects·H·W) host time, which at ~100 tracked
+        objects dominated the per-frame budget."""
         import cv2
 
         inst = cv2.resize(
             np.asarray(instance, np.int32), (size_hw[1], size_hw[0]),
             interpolation=cv2.INTER_NEAREST,
         )
-        slots = np.zeros_like(inst)
-        for oid in np.unique(inst):
-            if oid == 0:
+        ids = np.unique(inst)
+        free_iter = None
+        for oid in ids:
+            if oid == 0 or oid in self.id_to_slot:
                 continue
-            if oid not in self.id_to_slot:
-                free = [s for s in range(1, self.cfg.max_obj_num + 1)
-                        if s not in self.slot_to_id]
-                if not free:
-                    continue  # overflow: drop (documented divergence)
-                self.id_to_slot[oid] = free[0]
-                self.slot_to_id[free[0]] = oid
-            slots[inst == oid] = self.id_to_slot[oid]
-        return jnp.asarray(slots.astype(np.uint8))[None]
+            if free_iter is None:
+                free_iter = iter(
+                    s for s in range(1, self.cfg.max_obj_num + 1)
+                    if s not in self.slot_to_id
+                )
+            s = next(free_iter, None)
+            if s is None:
+                continue  # overflow: drop (documented divergence)
+            self.id_to_slot[oid] = s
+            self.slot_to_id[s] = oid
+        lut = np.zeros(int(ids.max()) + 1 if len(ids) else 1, np.uint8)
+        for oid in ids:
+            if oid > 0 and oid in self.id_to_slot:
+                lut[oid] = self.id_to_slot[oid]
+        return jnp.asarray(lut[inst])[None]
 
     def _slots_to_ids(self, slot_map: np.ndarray) -> np.ndarray:
-        out = np.zeros_like(slot_map)
+        lut = np.zeros(self.cfg.max_obj_num + 1, slot_map.dtype)
         for s, oid in self.slot_to_id.items():
-            out[slot_map == s] = oid
-        return out
+            lut[s] = oid
+        return lut[slot_map]
 
     def _ensure_params(self, img_u8, slots_u8):
         if self._params is None:

@@ -63,9 +63,18 @@ class VideoFrame:
         but excluded from depth alignment."""
         out = np.zeros(self.size(), bool)
         if self.instance is not None and self.instance_phrases:
-            for instance_id, phrase in self.instance_phrases.items():
-                if phrase == self.SKY_PROMPT:
-                    out |= self.instance == instance_id
+            sky_ids = [
+                i for i, p in self.instance_phrases.items()
+                if p == self.SKY_PROMPT
+            ]
+            if sky_ids:
+                # one LUT gather — a full-res pass per sky id is
+                # O(ids·H·W) host time at dense instance maps
+                lut = np.zeros(int(max(
+                    self.instance.max(), max(sky_ids)
+                )) + 1, bool)
+                lut[sky_ids] = True
+                out = lut[self.instance]
         return out
 
     def resize(self, new_size: tuple) -> "VideoFrame":
