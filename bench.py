@@ -451,6 +451,25 @@ def main():
         emit(True, 1, fps)
         return
 
+    # BENCH_MATRIX=interleave: the interleave capacity matrix in ONE warm
+    # process (VERDICT r04 item 5 — the r04 int8 x3 outlier was measured in
+    # its own process/tunnel window; back-to-back removes that confound).
+    if os.environ.get("BENCH_MATRIX") == "interleave":
+        for n_videos, dt in ((3, "bf16"), (3, "int8"), (4, "int8")):
+            os.environ["BENCH_CORR_DTYPE"] = dt
+            try:
+                fps = measure_slam(False, n_videos, n_frames, reps,
+                                   corr_mode, park)
+                emit(False, n_videos, fps,
+                     suffix="" if dt == "bf16" else f"_{dt}")
+            except Exception as e:
+                print(json.dumps({
+                    "metric": f"slam_annotation_fps_720p_{dt}_x{n_videos}",
+                    "error": str(e)[:200],
+                }), flush=True)
+        del os.environ["BENCH_CORR_DTYPE"]
+        return
+
     if env_mode or os.environ.get("BENCH_VIDEOS"):
         # explicit single-config run (bench_sweep / A/B scripts)
         n_videos = int(os.environ.get("BENCH_VIDEOS", "1"))
