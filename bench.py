@@ -486,10 +486,19 @@ def main():
     # fmap) printed LAST so the driver's one-JSON-line capture records it.
     fps1 = measure_slam(False, 1, n_frames, reps, corr_mode, park)
     emit(False, 1, fps1)
-    # x3 interleave: the round-4 hardware winner for aggregate chip
-    # throughput (bf16 volume ×3 = 10.48 agg vs ×2 9.56, STATUS r04 table)
+    # x3 interleave with int8 stored volumes: the round-5 back-to-back
+    # matrix (one warm process) measured int8 x3/x4 at 8.7-9.0 fps with
+    # tight medians while bf16 x3 swung 2.6-5.8 in the same window; int8
+    # is also the no-OOM x4 capacity shape (STATUS r05 table)
+    prev_dt = os.environ.get("BENCH_CORR_DTYPE")
+    if prev_dt is None:
+        os.environ["BENCH_CORR_DTYPE"] = "int8"
     fps3 = measure_slam(False, 3, n_frames, reps, corr_mode, park)
-    emit(False, 3, fps3)
+    if prev_dt is None:
+        del os.environ["BENCH_CORR_DTYPE"]
+        emit(False, 3, fps3, suffix="_int8")
+    else:
+        emit(False, 3, fps3)
     if os.environ.get("BENCH_MFU", "1") == "1":
         try:
             emit_mfu()

@@ -75,8 +75,11 @@ class TestUniDepth:
         batched = m.estimate_depth_batch(rgbs, 70.0)
         for r, d in zip(rgbs, batched):
             single = np.asarray(m.estimate_depth(r, 70.0))
+            # 2e-2: the production path computes in bf16 (batch-order
+            # accumulation differs between K=1 and K=4 buckets at bf16's
+            # ~8e-3 relative resolution)
             np.testing.assert_allclose(
-                np.asarray(d), single, rtol=1e-3, atol=1e-4
+                np.asarray(d), single, rtol=2e-2, atol=2e-2
             )
             ref = np.asarray(m.estimate(DepthEstimationInput(
                 rgb=r, focal_length=70.0)).depth)

@@ -410,10 +410,21 @@ class UniDepthModel(DepthEstimationModel):
             @functools.partial(jax.jit, static_argnums=(3,))
             def run(params, imgs_u8, cam, meta):
                 hp, wp, pl, pr, pt, pb = meta
+                # bf16 compute (f32-accumulated matmuls): measured 45.8
+                # TFLOP/s ≈ the v5e f32 ceiling on this forward — the MXU's
+                # bf16 path has ~4× the headroom.  The reference runs its
+                # CUDA inference under fp16 autocast; estimate() keeps the
+                # reference-exact f32 path for parity.
+                params = jax.tree_util.tree_map(
+                    lambda v: v.astype(jnp.bfloat16)
+                    if hasattr(v, "dtype") and v.dtype == jnp.float32 else v,
+                    params,
+                )
                 x = (
                     imgs_u8.astype(jnp.float32) / 255.0
                     - jnp.asarray(IMAGENET_MEAN)
                 ) / jnp.asarray(IMAGENET_STD)
+                x = x.astype(jnp.bfloat16)
                 K, nh, nw = x.shape[0], x.shape[1], x.shape[2]
                 if cam is None:
                     out = net._forward_nocam(params, x)
@@ -429,9 +440,13 @@ class UniDepthModel(DepthEstimationModel):
                          jnp.ones((nh, nw), jnp.float32)], -1,
                     )
                     r1 = r1 / jnp.linalg.norm(r1, axis=-1, keepdims=True)
-                    rays = jnp.broadcast_to(r1[None], (K, nh, nw, 3))
+                    rays = jnp.broadcast_to(
+                        r1.astype(x.dtype)[None], (K, nh, nw, 3)
+                    )
                     out = net._forward(params, x, rays)
-                depth = jax.image.resize(out["depth"], (K, hp, wp), "bilinear")
+                depth = jax.image.resize(
+                    out["depth"].astype(jnp.float32), (K, hp, wp), "bilinear"
+                )
                 return depth[:, pt: hp - pb, pl: wp - pr].astype(jnp.float16)
 
             self._jit = run
@@ -460,12 +475,20 @@ class UniDepthModel(DepthEstimationModel):
             @functools.partial(jax.jit, static_argnums=(3,))
             def run(params, img_u8, intr, meta):
                 hp, wp, pl, pr, pt, pb, nh, nw, h, w, rf = meta
+                # bf16 compute like _jit_infer (keyframe prior feeds a
+                # disparity regularizer — far above bf16 resolution)
+                params = jax.tree_util.tree_map(
+                    lambda v: v.astype(jnp.bfloat16)
+                    if hasattr(v, "dtype") and v.dtype == jnp.float32 else v,
+                    params,
+                )
                 x = (
                     img_u8.astype(jnp.float32) / 255.0
                     - jnp.asarray(IMAGENET_MEAN)
                 ) / jnp.asarray(IMAGENET_STD)
                 x = jnp.pad(x, ((pt, pb), (pl, pr), (0, 0)))
                 x = jax.image.resize(x, (nh, nw, 3), "bilinear")[None]
+                x = x.astype(jnp.bfloat16)
                 if intr is None:
                     out = net._forward_nocam(params, x)
                 else:
@@ -482,8 +505,10 @@ class UniDepthModel(DepthEstimationModel):
                          jnp.ones((nh, nw), jnp.float32)], -1,
                     )
                     r1 = r1 / jnp.linalg.norm(r1, axis=-1, keepdims=True)
-                    out = net._forward(params, x, r1[None])
-                depth = jax.image.resize(out["depth"], (1, hp, wp), "bilinear")
+                    out = net._forward(params, x, r1.astype(x.dtype)[None])
+                depth = jax.image.resize(
+                    out["depth"].astype(jnp.float32), (1, hp, wp), "bilinear"
+                )
                 d = depth[0, pt: hp - pb, pl: wp - pr][3::8, 3::8]
                 return jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-8), d)
 
