@@ -125,11 +125,13 @@ class TrackAnythingProcessor(StreamProcessor):
 
         with profiling.stage("track_anything"):
             instance, phrases_map = self.pipeline.track(frame_idx, frame.rgb)
-        frame.instance = instance
-        frame.instance_phrases = phrases_map
-        # sky stays VALID for SLAM weighting (reference processors.py:137-139)
-        valid = (instance == 0) | frame.sky_mask
-        frame.mask = np.asarray(erode(valid, self.mask_expand))
+            frame.instance = instance
+            frame.instance_phrases = phrases_map
+            # sky stays VALID for SLAM weighting (reference
+            # processors.py:137-139)
+            with profiling.stage("ta_host_mask"):
+                valid = (instance == 0) | frame.sky_mask
+                frame.mask = np.asarray(erode(valid, self.mask_expand))
         return frame
 
 

@@ -141,21 +141,28 @@ class TrackAnythingPipeline:
         """Returns ``(instance, instance_phrases)`` (reference
         __init__.py:82-123): (H, W) int32 ids (0 = background / static
         scene) plus the id→phrase mapping for the ids present."""
+        from ...utils import profiling
+
         rgb = np.asarray(rgb)
         if self._frame_count % self.sam_gap == 0:
-            detected, id2phrase = self.seg_tracker.detect_and_seg(
-                rgb, self.phrases
-            )
-            self.instance_phrase.update(id2phrase)
-            if self._last_instance is None or self.tracker is None:
-                instance = detected
-            else:
-                # detection frames track WITHOUT a memory update (reference
-                # __init__.py:102-111 + seg_tracker.track default)
-                tracked = self.tracker.propagate(rgb, update_memory=False)
-                instance = self.seg_tracker.merge_new_objects(detected, tracked)
-            if self.tracker is not None:
-                self.tracker.add_reference(rgb, instance)
+            with profiling.stage("ta_detect"):
+                detected, id2phrase = self.seg_tracker.detect_and_seg(
+                    rgb, self.phrases
+                )
+                self.instance_phrase.update(id2phrase)
+                if self._last_instance is None or self.tracker is None:
+                    instance = detected
+                else:
+                    # detection frames track WITHOUT a memory update
+                    # (reference __init__.py:102-111 + seg_tracker.track)
+                    tracked = self.tracker.propagate(
+                        rgb, update_memory=False
+                    )
+                    instance = self.seg_tracker.merge_new_objects(
+                        detected, tracked
+                    )
+                if self.tracker is not None:
+                    self.tracker.add_reference(rgb, instance)
         else:
             if self.tracker is None:
                 instance = (

@@ -244,17 +244,23 @@ class DeAOTTracker:
         per frame."""
         if self.long_memory is None:
             return np.zeros(rgb.shape[:2], np.int32)
-        img = self._preprocess(rgb)
+        from ....utils import profiling
+
+        with profiling.stage("ta_preprocess"):
+            img = self._preprocess(rgb)
         if self._gmem is None:
             self._gmem = self._padded_long()
         gK, gV, gI, kmask = self._gmem
         lK, lV, lI = zip(*self.short_memory)
         h0, w0 = rgb.shape[:2]
-        slot_full, new_short = self._jit_prop(
-            self._params, img, list(gK), list(gV), list(gI), kmask,
-            list(lK), list(lV), list(lI), h0, w0,
-        )
-        ids = self._slots_to_ids(np.asarray(slot_full).astype(np.int32))
+        with profiling.stage("ta_prop_dispatch"):
+            slot_full, new_short = self._jit_prop(
+                self._params, img, list(gK), list(gV), list(gI), kmask,
+                list(lK), list(lV), list(lI), h0, w0,
+            )
+        with profiling.stage("ta_readback"):
+            slot_np = np.asarray(slot_full).astype(np.int32)
+        ids = self._slots_to_ids(slot_np)
         if update_memory:
             self.short_memory = new_short
         return ids
