@@ -39,6 +39,32 @@ class TestSam:
             np.zeros((0, 4), np.float32)
         ).shape == (0, 96, 128)
 
+    def test_segment_composite_matches_sequential(self, predictor, rng):
+        """segment_composite (on-device first-wins + area filter, one int32
+        readback) must equal the sequential reference semantics over
+        segment_with_boxes masks, including min_area drops and id order."""
+        predictor.set_image(rng.random((96, 128, 3)).astype(np.float32))
+        boxes = [[5, 5, 60, 60], [50, 40, 120, 90], [64, 64, 66, 66],
+                 [20, 15, 90, 70]]
+        masks = predictor.segment_with_boxes(boxes)
+        min_area = int(sorted(m.sum() for m in masks)[1]) + 1  # drops ≥1
+        ref = np.zeros((96, 128), np.int32)
+        ref_ids, nid = [], 7
+        for m in masks:
+            if m.sum() < min_area:
+                ref_ids.append(0)
+                continue
+            nid += 1
+            ref[m & (ref == 0)] = nid
+            ref_ids.append(nid)
+        inst, ids = predictor.segment_composite(boxes, min_area, 8)
+        assert list(ids) == ref_ids
+        assert (inst == ref).mean() > 0.999  # bf16/boundary epsilon only
+        inst0, ids0 = predictor.segment_composite(
+            np.zeros((0, 4), np.float32), 1, 1
+        )
+        assert inst0.shape == (96, 128) and len(ids0) == 0
+
     def test_image_resolution_independent_params(self, predictor, rng):
         """Non-square inputs resize+pad to the model square."""
         predictor.set_image(rng.random((50, 120, 3)).astype(np.float32))

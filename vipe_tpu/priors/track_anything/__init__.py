@@ -43,33 +43,20 @@ class SegTracker:
         boxes, names = self.detector.run_grounding(
             rgb, phrases, return_phrases=True
         )
-        h, w = rgb.shape[:2]
-        instance = np.zeros((h, w), np.int32)
-        id2phrase: dict = {}
         self.segmentor.set_image(rgb)
-        # ONE batched decoder pass for all boxes (segment_with_boxes) —
-        # the reference's per-box loop costs 2 dispatches + 2 readbacks per
-        # box — and ONE vectorized first-wins composition (argmax returns
-        # the first True along the mask axis, which is exactly the
-        # sequential instance[mask & (instance == 0)] semantics); the
-        # per-object full-res passes were O(objects·H·W) host time
-        masks = self.segmentor.segment_with_boxes(boxes)
-        areas = masks.reshape(len(masks), -1).sum(1) if len(masks) else []
-        kept_ids, kept_masks = [], []
-        for mask, name, area in zip(masks, names, areas):
-            if area < self.min_area:
-                continue
-            self.curr_idx += 1
-            kept_ids.append(self.curr_idx)
-            kept_masks.append(mask)
-            id2phrase[self.curr_idx] = name
-        if kept_masks:
-            km = np.stack(kept_masks)
-            first = np.argmax(km, axis=0)          # first covering mask
-            covered = km.any(axis=0)
-            instance = np.where(
-                covered, np.asarray(kept_ids, np.int32)[first], 0
-            )
+        # ONE batched decoder pass for all boxes and ONE on-device
+        # first-wins composition (segment_composite) — the reference's
+        # per-box loop costs 2 dispatches + 2 readbacks per box, and even
+        # batched per-box mask readbacks are ~120 MB per detection frame;
+        # this path reads back B areas + one int32 map
+        instance, ids = self.segmentor.segment_composite(
+            boxes, self.min_area, self.curr_idx + 1
+        )
+        id2phrase: dict = {}
+        for oid, name in zip(ids, names):
+            if oid > 0:
+                id2phrase[int(oid)] = name
+                self.curr_idx = max(self.curr_idx, int(oid))
         return instance, id2phrase
 
     def merge_new_objects(self, instance: np.ndarray, tracked: np.ndarray,
