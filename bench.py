@@ -185,6 +185,11 @@ def measure_slam(real_mode: bool, n_videos: int, n_frames: int, reps: int,
         cam.CameraType, os.environ.get("BENCH_CAMERA", "pinhole").upper()
     )
 
+    # BENCH_RIG=V: V-view rig capture through the JOINT mv SLAM (fused mv
+    # frontend step — VERDICT r04 item 7); fps counts FRAMES (per-frame
+    # V-view rig solves), matching the reference's per-frame accounting
+    rig_v = int(os.environ.get("BENCH_RIG", "1"))
+
     def run(n, seed: int = 0):
         sys_ = SLAMSystem(config=dict(
             warmup=8, buffer=256, infill_chunk_size=16, backend_iters=4,
@@ -194,10 +199,22 @@ def measure_slam(real_mode: bool, n_videos: int, n_frames: int, reps: int,
             corr_dtype=os.environ.get("BENCH_CORR_DTYPE", "bf16"),
             **gate,
         ))
-        stream = synth_stream(
-            n, seed=seed,
-            with_intrinsics=cam_type == cam.CameraType.PINHOLE,
-        )
+        if rig_v > 1:
+            from vipe_tpu.streams.base import MultiviewVideoList
+
+            rig = np.asarray(
+                [[0.1 * v, 0, 0, 0, 0, 0, 1] for v in range(rig_v)],
+                np.float32,
+            )
+            views = [
+                synth_stream(n, seed=seed * 8 + v) for v in range(rig_v)
+            ]
+            stream = MultiviewVideoList(f"bench_rig{seed}", views, rig)
+        else:
+            stream = synth_stream(
+                n, seed=seed,
+                with_intrinsics=cam_type == cam.CameraType.PINHOLE,
+            )
         return sys_.run(stream, camera_type=cam_type)
 
     def run_batch(n):
@@ -247,6 +264,8 @@ def emit(real_mode: bool, n_videos: int, fps, suffix: str = ""):
     cam_env = os.environ.get("BENCH_CAMERA", "pinhole")
     if cam_env != "pinhole":
         name += f"_{cam_env}"
+    if os.environ.get("BENCH_RIG", "1") != "1":
+        name += f"_rig{os.environ['BENCH_RIG']}"
     name += suffix
     rec = {
         "metric": name if n_videos == 1 else f"{name}_x{n_videos}",

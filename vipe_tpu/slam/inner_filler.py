@@ -143,8 +143,13 @@ class InnerFiller:
     def _can_fuse(self) -> bool:
         buf = self.buffer
         st = getattr(buf, "sparse_tracks", None)
+        # V == 1: _jitted_filler_compute is a single-view program (direct
+        # frame-indexed buffers); rigs take _compute_loop, whose
+        # update_fused now runs the FUSED mv rounds (one dispatch per
+        # chunk) rather than the old per-round loop
         return (
             not getattr(self.update_fn, "host_only", False)
+            and getattr(buf, "n_views", 1) == 1
             and (st is None or not st.enabled)
             and not self.config.get("infill_dense_disp", False)
         )
