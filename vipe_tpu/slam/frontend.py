@@ -73,8 +73,12 @@ class SLAMFrontend:
         self.has_init_pose = c.get("has_init_pose", False)
         # 2 = depth-2 speculation (decision applied one keyframe late, reads
         # fully overlapped); 1 = resolve before the very next append
-        # (reference-exact removal ordering, one blocking read per keyframe)
+        # (reference-exact removal ordering, one blocking read per keyframe).
+        # Rigs cap at 1: the late-removal machinery (GraphBuffer.remove_slot
+        # with top, cross_view_idx shifting) is single-view only.
         self.spec_depth = c.get("keyframe_spec_depth", 2)
+        if getattr(buffer, "n_views", 1) > 1:
+            self.spec_depth = min(self.spec_depth, 1)
         # PRE-STEP proximity speculation: submit the distance matrix BEFORE
         # the fused frontend step (on pre-BA state, with the scratch slot
         # const-velocity-predicted in-program) so its transfer completes in
